@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline (bench-tagged) queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed (collected to the driver) so the timing
+covers scan → shuffle → aggregate → result, the same path the driver
+measures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from project_orbit_spark import registry  # noqa: E402
+from project_orbit_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench = registry.bench_queries()
+    timings: dict[str, float] = {}
+    # Warm the JVM + parquet footers once so timings measure the plan,
+    # not first-touch JIT/IO (the driver's numbers then reflect steady
+    # state, as a long-lived cluster would).
+    warm = next(iter(bench.values()))
+    warm.fn(spark, sf_dir).count()
+
+    total = 0.0
+    for name, q in sorted(bench.items()):
+        t0 = time.time()
+        df = q.fn(spark, sf_dir)
+        n = len(df.collect())
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

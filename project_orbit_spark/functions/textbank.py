@@ -1,0 +1,369 @@
+"""Text/scalar extraction bank over the documents corpus.
+
+Re-expresses SURVEY.md §2.7 as pure Spark SQL expressions (no Python
+UDFs in the hot path): fixed-size chunker C1, money parser C2,
+hash family C14, slug/id C13, token counting, truncation C21,
+title/excerpt pickers C20, risk-lexicon scan E7.
+
+Everything here is whole-stage-codegen eligible — the reference does
+each of these as a per-document Python call (its biggest single-node
+inefficiency, SURVEY §4); at 100 TB these run as vectorized JVM
+expressions inside the scan stage with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_orbit_spark.catalog import load
+from project_orbit_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# library primitives
+
+
+def chunk_text(text: Column, chunk_size: int = 1000) -> Column:
+    """C1 fixed-size non-overlapping chunker (ref
+    src/services/chunker.py:21-22: [text[i:i+n] for i in range(0,len,n)]).
+    Returns array<struct<chunk_idx int, chunk_text string>>."""
+    n_chunks = F.greatest(F.ceil(F.length(text) / chunk_size), F.lit(1)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.substring(text, i * chunk_size + 1, chunk_size).alias("chunk_text"),
+        ),
+    )
+
+
+def parse_money(s: Column) -> Column:
+    """C2 money parser (ref src/scraper_v2.py:2835-2864): '$5.5B',
+    '$10M', '$100K' → dollars as double. Multiplier checked in
+    B→M→K order exactly like the reference (billion before million
+    before thousand)."""
+    num = F.regexp_extract(s, r"\$\s*([0-9]+(?:\.[0-9]+)?)", 1).cast("double")
+    suffix = F.upper(F.regexp_extract(s, r"\$\s*[0-9]+(?:\.[0-9]+)?\s*([BMK])", 1))
+    mult = (
+        F.when(suffix == "B", 1e9)
+        .when(suffix == "M", 1e6)
+        .when(suffix == "K", 1e3)
+        .otherwise(1.0)
+    )
+    return num * mult
+
+
+def slugify(s: Column, max_len: int = 30) -> Column:
+    """C13 slug/id generation (ref
+    src/structured_extraction_v2.py:3004-3008):
+    re.sub('[^a-z0-9]+','_', s.lower())[:30]."""
+    return F.substring(F.regexp_replace(F.lower(s), "[^a-z0-9]+", "_"), 1, max_len)
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+
+
+@register(
+    "chunk_documents",
+    bench=True,
+    tags=("text", "chunker"),
+    doc="C1 fixed-size chunker (ref src/services/chunker.py:21-22) at "
+    "chunk_size=200 over documents, exploded to one row per chunk "
+    "with provenance ids (ref vector-id scheme "
+    "src/handle_chunking.py:159-181).",
+    oracle="""
+        SELECT
+          doc_id,
+          i - 1                                   AS chunk_idx,
+          substring(text, (i - 1) * 200 + 1, 200) AS chunk_text,
+          length(substring(text, (i - 1) * 200 + 1, 200)) AS chunk_len
+        FROM documents,
+             UNNEST(range(1, greatest(CAST(ceil(length(text) / 200.0) AS BIGINT), 1) + 1))
+               AS t(i)
+        ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(chunk_text(F.col("text"), 200)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.length("c.chunk_text").cast("long").alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "doc_hashes",
+    tags=("text", "hash"),
+    doc="C14 hash family (ref sha256 page hash src/scraper_v2.py:1138; "
+    "md5 vector id src/services/embeddings.py:190): content digests "
+    "per document — the exact-dup / incremental-change keys.",
+    oracle="""
+        SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash,
+               md5(lower(trim(text))) AS normalized_fingerprint
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def doc_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hash"),
+        F.sha2("text", 256).alias("sha256_hash"),
+        F.md5(F.lower(F.trim("text"))).alias("normalized_fingerprint"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_slug_ids",
+    tags=("text", "slug"),
+    doc="C13 slug/id generation (ref "
+    "src/structured_extraction_v2.py:3004-3008,3316-3318): 30-char "
+    "slug from the document head + composite id with zero-padded parts.",
+    oracle="""
+        SELECT
+          doc_id,
+          substring(regexp_replace(lower(substring(text, 1, 60)), '[^a-z0-9]+', '_', 'g'), 1, 30)
+            AS slug,
+          concat(lang, '_', source, '_',
+                 lpad(CAST(doc_id AS VARCHAR), 6, '0')) AS composite_id
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def doc_slug_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        slugify(F.substring("text", 1, 60)).alias("slug"),
+        F.concat_ws(
+            "_", "lang", "source", F.lpad(F.col("doc_id").cast("string"), 6, "0")
+        ).alias("composite_id"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "token_stats",
+    bench=True,
+    tags=("text", "tokens"),
+    doc="Token counting + W5 reading time (ref "
+    "src/scraper_v2.py:862-863 max(1, words//200)) + A5 page stats: "
+    "whitespace tokens, regex word tokens, avg token length.",
+    oracle="""
+        SELECT
+          doc_id,
+          len(string_split_regex(trim(text), '\\s+'))       AS ws_tokens,
+          len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word_tokens,
+          greatest(1, len(string_split_regex(trim(text), '\\s+')) // 200) AS reading_time_min,
+          round(length(text)::DOUBLE
+                / nullif(len(string_split_regex(trim(text), '\\s+')), 0), 4) AS chars_per_token
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim("text"), r"\s+"))
+    words = F.size(F.regexp_extract_all(F.lower("text"), F.lit("([a-z0-9]+)")))
+    return d.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        words.cast("long").alias("word_tokens"),
+        F.greatest(F.lit(1), F.floor(ws / 200)).cast("long").alias("reading_time_min"),
+        F.round(
+            F.length("text").cast("double") / F.nullif(ws, F.lit(0)).cast("double"), 4
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "money_roundtrip",
+    tags=("text", "regex"),
+    doc="C2 money parser (ref src/scraper_v2.py:2835-2864): format "
+    "order totals as '$X.XK/M' strings then parse back to dollars — "
+    "exercises the regex + multiplier ladder deterministically.",
+    oracle="""
+        WITH labeled AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_totalprice >= 1000000
+                      THEN '$' || CAST(round(o_totalprice / 1000000, 2) AS VARCHAR) || 'M'
+                      ELSE '$' || CAST(round(o_totalprice / 1000, 2) AS VARCHAR) || 'K'
+                 END AS money_str
+          FROM orders WHERE o_orderkey % 100 = 0
+        )
+        SELECT o_orderkey, money_str,
+               round(
+                 CAST(regexp_extract(money_str, '\\$\\s*([0-9]+(?:\\.[0-9]+)?)', 1) AS DOUBLE)
+                 * CASE upper(regexp_extract(money_str, '\\$\\s*[0-9]+(?:\\.[0-9]+)?\\s*([BMK])', 1))
+                     WHEN 'B' THEN 1e9 WHEN 'M' THEN 1e6 WHEN 'K' THEN 1e3 ELSE 1.0 END,
+               2) AS parsed_usd
+        FROM labeled
+        ORDER BY o_orderkey
+    """,
+)
+def money_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    money_str = F.when(
+        F.col("o_totalprice") >= 1e6,
+        F.concat(
+            F.lit("$"),
+            F.round(F.col("o_totalprice") / 1e6, 2).cast("string"),
+            F.lit("M"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("$"),
+            F.round(F.col("o_totalprice") / 1e3, 2).cast("string"),
+            F.lit("K"),
+        )
+    )
+    labeled = o.select("o_orderkey", money_str.alias("money_str"))
+    return labeled.select(
+        "o_orderkey",
+        "money_str",
+        F.round(parse_money(F.col("money_str")), 2).alias("parsed_usd"),
+    ).orderBy("o_orderkey")
+
+
+RISK_LEXICON: dict[str, tuple[str, str]] = {
+    # risk_class -> (keyword, severity)  (shape of src/risk_detection.py:21-82)
+    "latency": ("slow", "medium"),
+    "stability": ("error", "high"),
+    "volume": ("big", "low"),
+}
+
+
+@register(
+    "risk_lexicon_scan",
+    bench=True,
+    tags=("text", "risk"),
+    doc="E7 risk keyword detection (ref src/risk_detection.py:21-82): "
+    "explode a severity-tagged lexicon across documents, locate the "
+    "first hit, cut a ±40-char context window, one signal per "
+    "(doc, risk_class) — the dedup at src/risk_detection.py:197-206.",
+    oracle="""
+        WITH lexicon AS (
+          SELECT * FROM (VALUES
+            ('latency', 'slow', 'medium'),
+            ('stability', 'error', 'high'),
+            ('volume', 'big', 'low')
+          ) AS t(risk_class, keyword, severity)
+        )
+        SELECT d.doc_id, x.risk_class, x.severity, x.keyword,
+               strpos(lower(d.text), x.keyword) AS hit_pos,
+               substring(d.text,
+                         greatest(1, strpos(lower(d.text), x.keyword) - 40),
+                         length(x.keyword) + 80) AS context
+        FROM documents d
+        JOIN lexicon x ON strpos(lower(d.text), x.keyword) > 0
+        ORDER BY d.doc_id, x.risk_class
+    """,
+)
+def risk_lexicon_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    lex = F.array(
+        *[
+            F.struct(
+                F.lit(cls).alias("risk_class"),
+                F.lit(kw).alias("keyword"),
+                F.lit(sev).alias("severity"),
+            )
+            for cls, (kw, sev) in RISK_LEXICON.items()
+        ]
+    )
+    exploded = d.select("doc_id", "text", F.explode(lex).alias("x"))
+    pos = F.instr(F.lower("text"), F.col("x.keyword"))
+    return (
+        exploded.filter(pos > 0)
+        .select(
+            "doc_id",
+            F.col("x.risk_class").alias("risk_class"),
+            F.col("x.severity").alias("severity"),
+            F.col("x.keyword").alias("keyword"),
+            pos.cast("long").alias("hit_pos"),
+            F.substring(
+                "text",
+                F.greatest(F.lit(1), pos - 40),
+                F.length("x.keyword") + 80,
+            ).alias("context"),
+        )
+        .orderBy("doc_id", "risk_class")
+    )
+
+
+@register(
+    "keyword_paragraph_filter",
+    tags=("text", "filter", "window"),
+    doc="F1 keyword paragraph filter + char budget (ref "
+    "src/structured_extraction_v2.py:1274-1325): keep docs containing "
+    "any target keyword, then accumulate per lang in doc_id order up "
+    "to a 3000-char budget (the reference's 5000/8000-char cap).",
+    oracle="""
+        SELECT lang, doc_id, n_chars, running_chars
+        FROM (
+          SELECT lang, doc_id, n_chars,
+                 CAST(sum(n_chars) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS running_chars
+          FROM documents
+          WHERE contains(lower(text), 'spark') OR contains(lower(text), 'stream')
+        ) t
+        WHERE running_chars <= 3000
+        ORDER BY lang, doc_id
+    """,
+)
+def keyword_paragraph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(
+        F.lower("text").contains("spark") | F.lower("text").contains("stream")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("running_chars", F.sum("n_chars").over(w))
+        .filter(F.col("running_chars") <= 3000)
+        .select("lang", "doc_id", "n_chars", "running_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "title_excerpt_picker",
+    tags=("text",),
+    doc="C20/C21 title & excerpt pickers + truncation (ref "
+    "src/structured_extraction_v2.py:3253-3279,3355-3358): first "
+    "45 chars cut at a word boundary as title, first 120 chars with "
+    "ellipsis as excerpt.",
+    oracle="""
+        SELECT
+          doc_id,
+          regexp_extract(text, '^(.{10,45})\\s', 1) AS title,
+          CASE WHEN length(text) > 120
+               THEN substring(text, 1, 120) || '...'
+               ELSE text END AS excerpt
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def title_excerpt_picker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(.{10,45})\s", 1).alias("title"),
+        F.when(
+            F.length("text") > 120,
+            F.concat(F.substring("text", 1, 120), F.lit("...")),
+        )
+        .otherwise(F.col("text"))
+        .alias("excerpt"),
+    ).orderBy("doc_id")

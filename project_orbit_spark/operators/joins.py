@@ -1,0 +1,213 @@
+"""Join family: broadcast theta (substring) joins, as-of/latest-by-key,
+anti-join merge, semi-join validation.
+
+Reproduces SURVEY.md §2.3 — the reference does all of these as Python
+loops (e.g. seed↔company substring match at
+src/structured_extraction_v2.py:1010-1016); here they are declarative
+joins Catalyst can plan. The substring theta join MUST broadcast its
+small side (risk register §7.1): a non-equi condition otherwise
+degenerates to a full cartesian shuffle at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_orbit_spark.catalog import load
+from project_orbit_spark.registry import register
+
+
+def seed_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50-row seed dimension derived from customer (FIXTURES.md):
+    company_id slug + synthetic website, mirroring the reference's
+    Forbes-AI-50 seed (data/forbes_ai50_seed.json; id derivation at
+    src/scraper_v2.py:4133-4145)."""
+    c = load(spark, sf_dir, "customer")
+    slug = F.lower(F.regexp_replace("c_name", "[^a-zA-Z0-9]", ""))
+    return (
+        c.filter(F.col("c_custkey") % 30 == 0)
+        .select(
+            F.col("c_custkey").alias("seed_key"),
+            slug.alias("company_id"),
+            F.concat(F.lit("https://www."), slug, F.lit(".example.com")).alias("website"),
+        )
+    )
+
+
+@register(
+    "substring_theta_join",
+    tags=("join", "theta", "broadcast"),
+    doc="J1 seed↔company non-equi substring join (ref "
+    "src/structured_extraction_v2.py:1010-1016): seed matches a "
+    "customer when the customer's name-slug appears in the seed "
+    "website. Broadcast-nested-loop with the 50-row side broadcast.",
+    oracle="""
+        WITH seed AS (
+          SELECT
+            c_custkey AS seed_key,
+            lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g')) AS company_id,
+            'https://www.' || lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g'))
+              || '.example.com' AS website
+          FROM customer WHERE c_custkey % 30 = 0
+        )
+        SELECT
+          s.seed_key,
+          s.company_id,
+          c.c_custkey,
+          c.c_name
+        FROM seed s
+        JOIN customer c
+          ON contains(s.website, lower(regexp_replace(c.c_name, '[^a-zA-Z0-9]', '', 'g')))
+        ORDER BY s.seed_key, c.c_custkey
+    """,
+)
+def substring_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seed = seed_dim(spark, sf_dir)
+    c = load(spark, sf_dir, "customer").withColumn(
+        "_slug", F.lower(F.regexp_replace("c_name", "[^a-zA-Z0-9]", ""))
+    )
+    return (
+        F.broadcast(seed)
+        .join(c, F.col("website").contains(F.col("_slug")))
+        .select("seed_key", "company_id", "c_custkey", "c_name")
+        .orderBy("seed_key", "c_custkey")
+    )
+
+
+@register(
+    "asof_latest_order",
+    tags=("join", "asof", "window"),
+    doc="J10/W2 as-of latest-by-key (ref src/agents/tools.py:105-153, "
+    "dags/orbit_daily_update_dag.py:139-166): most recent order per "
+    "customer, deterministic tie-break on orderkey. row_number over "
+    "(custkey, orderdate desc) — a shuffle on custkey, no join.",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               round(o_totalprice, 2) AS totalprice
+        FROM (
+          SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+                 row_number() OVER (
+                   PARTITION BY c.c_custkey
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        ) t
+        WHERE rn = 1
+        ORDER BY c_custkey
+    """,
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "anti_join_no_orders",
+    tags=("join", "anti"),
+    doc="J5 preloaded⟂extracted anti-join merge semantics (ref "
+    "src/scraper_v2.py:3791-3805): customers with no 2001+ orders. "
+    "left_anti — at scale a broadcast/shuffled hash anti join.",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        ORDER BY c_custkey
+    """,
+)
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "semi_join_returned_orders",
+    tags=("join", "semi"),
+    doc="J7 events↔timeline semi-join validation semantics (ref "
+    "src/structured_extraction_v2.py:2890-2977): orders having at "
+    "least one returned lineitem. left_semi hash join.",
+    oracle="""
+        SELECT o.o_orderkey, o.o_orderstatus, round(o.o_totalprice, 2) AS totalprice
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        ORDER BY o.o_orderkey
+    """,
+)
+def semi_join_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "payload_order_counts",
+    tags=("join", "agg"),
+    doc="J8 payload-assembly shape (ref "
+    "src/structured_extraction_v2.py:3484-3494): company left-joined "
+    "to aggregated children; scalar projection of the nested arrays "
+    "(sizes + extrema) for a hash-stable oracle.",
+    oracle="""
+        SELECT
+          c.c_custkey,
+          c.c_name,
+          count(o.o_orderkey)                       AS n_orders,
+          coalesce(round(sum(o.o_totalprice), 2), 0.0) AS lifetime_value,
+          min(o.o_orderkey)                         AS first_orderkey,
+          max(o.o_orderkey)                         AS last_orderkey
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY c.c_custkey
+    """,
+)
+def payload_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.round(F.sum("o_totalprice"), 2), F.lit(0.0)).alias(
+                "lifetime_value"
+            ),
+            F.min("o_orderkey").alias("first_orderkey"),
+            F.max("o_orderkey").alias("last_orderkey"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -1,0 +1,378 @@
+"""Relational core: scan → filter → aggregate → sort, join chains,
+conditional aggregation, grouping sets, set operations.
+
+Reproduces the reference's aggregation semantics (SURVEY.md §2.4:
+funding summary A1, histogram A7, sentiment A3, entity counts A4)
+on the star schema, expressed as declarative DataFrame plans so
+Catalyst gets predicate pushdown, partial aggregation and broadcast
+join selection for free.
+
+Scale notes (100 TB): every groupBy here is a hash aggregate with
+map-side partial aggregation; dimension joins broadcast (region,
+nation, supplier, part are bounded); fact-fact joins shuffle on the
+join key and AQE handles skew/coalescing at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_orbit_spark.catalog import load
+from project_orbit_spark.registry import register
+
+
+@register(
+    "q1_pricing_summary",
+    bench=True,
+    tags=("agg", "flagship"),
+    doc="Flagship: TPC-H Q1-shaped pricing summary (A1 funding-summary "
+    "analog, ref src/structured_extraction_v2.py:1984-2001). "
+    "scan→filter→groupBy→agg→sort, whole-stage-codegen friendly.",
+    oracle="""
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          round(sum(l_quantity), 2)                                        AS sum_qty,
+          round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+          round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+          round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+          round(avg(l_quantity), 4)                                        AS avg_qty,
+          round(avg(l_extendedprice), 4)                                   AS avg_price,
+          round(avg(l_discount), 4)                                        AS avg_disc,
+          count(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    bench=True,
+    tags=("join", "agg", "topk"),
+    doc="TPC-H Q3 shape: customer⋈orders⋈lineitem, segment filter, "
+    "revenue per order, top-10 (W3 head-slice semantics, ref "
+    "src/rag_search.py:90). Broadcast-able dim side, shuffle join on "
+    "orderkey; deterministic tie-break on o_orderkey.",
+    oracle="""
+        SELECT
+          o.o_orderkey,
+          strftime(o.o_orderdate, '%Y-%m-%d')                      AS orderdate,
+          o.o_orderpriority,
+          round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)    AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+          AND l.l_shipdate  > TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_revenue_by_nation",
+    bench=True,
+    tags=("join", "agg", "broadcast"),
+    doc="TPC-H Q5 shape: region⋈nation⋈customer⋈orders⋈lineitem. "
+    "The dim chain broadcasts (reference's seed-dimension pattern, "
+    "SURVEY §2.3 J1 note); only the orders⋈lineitem join shuffles.",
+    oracle="""
+        SELECT
+          n.n_name,
+          round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+          count(*)                                              AS n_lineitems
+        FROM region r
+        JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE r.r_name IN ('AMERICA', 'ASIA')
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").filter(F.col("r_name").isin("AMERICA", "ASIA"))
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    dims = F.broadcast(r.join(n, n.n_regionkey == r.r_regionkey).join(
+        c, F.col("c_nationkey") == F.col("n_nationkey")
+    ))
+    return (
+        dims.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "dim_chain_counts",
+    tags=("join", "broadcast", "agg"),
+    doc="Broadcast dimension chain region⋈nation⋈customer with counts "
+    "and avg balance (A4 entity-summary-counts analog, ref "
+    "src/scraper_v2.py:4085-4093).",
+    oracle="""
+        SELECT
+          r.r_name,
+          n.n_name,
+          count(*)                    AS n_customers,
+          round(avg(c.c_acctbal), 4)  AS avg_acctbal
+        FROM region r
+        JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY r.r_name, n.n_name
+        ORDER BY r.r_name, n.n_name
+    """,
+)
+def dim_chain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "event_type_histogram",
+    tags=("agg",),
+    doc="A7 event-type histogram + A3 conditional 'sentiment' aggregates "
+    "(ref src/structured_extraction_v2.py:3504-3508, :3196-3207): "
+    "counts per type plus safe-divide purchase ratio.",
+    oracle="""
+        SELECT
+          event_type,
+          count(*)                AS n_events,
+          round(sum(value), 2)    AS total_value,
+          round(avg(value), 4)    AS avg_value,
+          count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def event_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "sentiment_ratio",
+    tags=("agg", "conditional"),
+    doc="A3 keyword-sentiment ratio semantics (ref "
+    "src/structured_extraction_v2.py:3196-3207): positive/(pos+neg) "
+    "with NULL on zero denominator via try_divide, per user bucket.",
+    oracle="""
+        SELECT
+          user_id % 10 AS user_bucket,
+          CAST(sum(CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END) AS BIGINT)
+            AS positive,
+          CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS negative,
+          round(
+            sum(CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END)
+            / nullif(
+                sum(CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END)
+                + sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END), 0)::DOUBLE,
+            4) AS sentiment
+        FROM events
+        GROUP BY user_id % 10
+        ORDER BY user_bucket
+    """,
+)
+def sentiment_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pos = F.sum(F.when(F.col("event_type").isin("purchase", "signup"), 1).otherwise(0))
+    neg = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            pos.alias("positive"),
+            neg.alias("negative"),
+            F.round(
+                F.try_divide(pos, F.nullif((pos + neg).cast("double"), F.lit(0.0))),
+                4,
+            ).alias("sentiment"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+@register(
+    "rollup_order_stats",
+    tags=("agg", "rollup"),
+    doc="ROLLUP over (orderstatus, orderpriority) — partial/final "
+    "grouping-sets aggregation the reference lacks but Spark gives "
+    "free (SURVEY §2.4 closing note). NULL grouping keys coalesced "
+    "to 'ALL' for stable hashing.",
+    oracle="""
+        SELECT
+          coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+          coalesce(o_orderpriority, 'ALL') AS orderpriority,
+          count(*)                         AS n_orders,
+          round(sum(o_totalprice), 2)      AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY orderstatus, orderpriority
+    """,
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+@register(
+    "nation_set_ops",
+    tags=("setops",),
+    doc="O4/O5 set-operation semantics (ref src/rag_pipeline.py:203-213 "
+    "missing-section diff): nationkeys with customers INTERSECT/"
+    "EXCEPT nationkeys with suppliers, tagged and unioned.",
+    oracle="""
+        SELECT 'both' AS side, n_nationkey FROM (
+          SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+          INTERSECT
+          SELECT DISTINCT s_nationkey FROM supplier
+        )
+        UNION ALL
+        SELECT 'customer_only' AS side, n_nationkey FROM (
+          SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+          EXCEPT
+          SELECT DISTINCT s_nationkey FROM supplier
+        )
+        ORDER BY side, n_nationkey
+    """,
+)
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    ).distinct()
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    ).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("side"), "n_nationkey")
+    conly = c.exceptAll(s).select(F.lit("customer_only").alias("side"), "n_nationkey")
+    return both.unionByName(conly).orderBy("side", "n_nationkey")
+
+
+@register(
+    "mktsegment_share",
+    tags=("agg", "window"),
+    doc="Share-of-total via window over aggregate (A4+W-family): "
+    "customer count and balance share per market segment.",
+    oracle="""
+        SELECT
+          c_mktsegment,
+          count(*) AS n_customers,
+          round(sum(c_acctbal), 2) AS seg_balance,
+          round(sum(c_acctbal) / sum(sum(c_acctbal)) OVER (), 6) AS balance_share
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def mktsegment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    agg = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("c_acctbal").alias("_seg_balance"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        F.round("_seg_balance", 2).alias("seg_balance"),
+        F.round(F.col("_seg_balance") / F.sum("_seg_balance").over(w), 6).alias(
+            "balance_share"
+        ),
+    ).orderBy("c_mktsegment")
