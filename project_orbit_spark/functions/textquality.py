@@ -1,1 +1,196 @@
-"""Text quality / language-ID / fingerprinting — filled in batch 2."""
+"""Text analysis for a training-data pipeline: quality scoring,
+language-ID heuristics, document fingerprinting.
+
+Extends the reference's text predicates (SURVEY.md §2.2 F10 page-error
+heuristics, F11 min-length gates; §2.8 E8 sentiment-lite) into the
+scored, filterable form a 100 TB corpus-curation pipeline needs.
+All pure Spark SQL expressions — codegen-eligible, zero shuffles
+except the final ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_orbit_spark.catalog import load
+from project_orbit_spark.registry import register
+
+# Stopword markers per language — the n-gram/stopword-ratio heuristic
+# family used for cheap language ID (the corpus text is synthetic, so
+# the English list carries the real signal; the scoring machinery is
+# what matters).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "y"),
+    "fr": ("le", "la", "les", "et"),
+}
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Composite document quality in [0, 1]: length signal + stopword
+    ratio + alpha ratio (shape of the reference's error-page and
+    min-length gates, src/scraper_v2.py:1093-1129)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n_toks = F.size(toks)
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    ) / F.nullif(n_toks, F.lit(0)).cast("double")
+    len_score = F.least(n_chars.cast("double") / 500.0, F.lit(1.0))
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+        / F.nullif(F.length(text), F.lit(0)).cast("double")
+    )
+    return 0.4 * len_score + 0.3 * F.least(stop_ratio * 4, F.lit(1.0)) + 0.3 * alpha_ratio
+
+
+@register(
+    "doc_quality_scores",
+    bench=True,
+    tags=("text", "quality"),
+    doc="Training-data quality scoring (extends F10/F11 page-error and "
+    "length gates, ref src/scraper_v2.py:1093-1129): length, stopword "
+    "and alpha ratios folded into one score, plus a keep/drop flag at "
+    "the 0.5 threshold.",
+    oracle="""
+        WITH scored AS (
+          SELECT doc_id, lang, n_chars,
+                 len(string_split_regex(trim(lower(text)), '\\s+')) AS n_toks,
+                 len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+                   / nullif(len(string_split_regex(trim(lower(text)), '\\s+')), 0)::DOUBLE
+                   AS stop_ratio,
+                 least(n_chars::DOUBLE / 500.0, 1.0) AS len_score,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                   / nullif(length(text), 0)::DOUBLE AS alpha_ratio
+          FROM documents
+        )
+        SELECT doc_id, lang,
+               round(0.4 * len_score + 0.3 * least(stop_ratio * 4, 1.0)
+                     + 0.3 * alpha_ratio, 4) AS quality,
+               CAST(0.4 * len_score + 0.3 * least(stop_ratio * 4, 1.0)
+                    + 0.3 * alpha_ratio >= 0.5 AS BIGINT) AS keep
+        FROM scored
+        ORDER BY doc_id
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"), F.col("n_chars"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(q, 4).alias("quality"),
+        (q >= 0.5).cast("long").alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "lang_marker_scores",
+    tags=("text", "langid"),
+    doc="Language-ID marker scoring (n-gram/stopword heuristic): score "
+    "each document against each language's marker lexicon; argmax with "
+    "tie-break = predicted language. The synthetic corpus is English-"
+    "worded, so the check validates the scoring machinery, not real "
+    "langid accuracy.",
+    oracle="""
+        WITH markers AS (
+          SELECT * FROM (VALUES
+            ('en', ['the', 'a', 'of', 'and']),
+            ('de', ['der', 'die', 'das', 'und']),
+            ('es', ['el', 'la', 'los', 'y']),
+            ('fr', ['le', 'la', 'les', 'et'])
+          ) AS t(cand_lang, marker_list)
+        ),
+        scored AS (
+          SELECT d.doc_id, d.lang AS tagged_lang, m.cand_lang,
+                 len(list_filter(string_split_regex(trim(lower(d.text)), '\\s+'),
+                                 t -> list_contains(m.marker_list, t)))::BIGINT AS hits
+          FROM documents d CROSS JOIN markers m
+        )
+        SELECT doc_id, tagged_lang, cand_lang AS predicted_lang, hits
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+          FROM scored
+        ) t
+        WHERE rn = 1
+        ORDER BY doc_id
+    """,
+)
+def lang_marker_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    markers = F.array(
+        *[
+            F.struct(
+                F.lit(lang).alias("cand_lang"),
+                F.array(*[F.lit(m) for m in ms]).alias("marker_list"),
+            )
+            for lang, ms in LANG_MARKERS.items()
+        ]
+    )
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    scored = d.select(
+        "doc_id", F.col("lang").alias("tagged_lang"), toks.alias("toks"), F.explode(markers).alias("m")
+    ).select(
+        "doc_id",
+        "tagged_lang",
+        F.col("m.cand_lang").alias("cand_lang"),
+        F.size(
+            F.filter(F.col("toks"), lambda t: F.array_contains(F.col("m.marker_list"), t))
+        )
+        .cast("long")
+        .alias("hits"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand_lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "tagged_lang", F.col("cand_lang").alias("predicted_lang"), "hits")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    tags=("text", "fingerprint"),
+    doc="Document fingerprinting (C14 extended to winnowing-lite): "
+    "normalized-content md5 plus a shingle fingerprint = lexicographic "
+    "min/max md5 over word-4-grams — a rolling-hash family that is "
+    "portable across engines (SURVEY §7.4: no Python-hash bit parity).",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS norm_md5,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, norm_md5,
+                 [md5(array_to_string(t[i:i+3], ' '))
+                  for i in range(1, greatest(len(t) - 3, 1) + 1)] AS g
+          FROM toks
+        )
+        SELECT doc_id, norm_md5,
+               list_min(g) AS min_shingle_fp,
+               list_max(g) AS max_shingle_fp,
+               len(list_distinct(g))::BIGINT AS n_distinct_shingles
+        FROM sh
+        ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 4, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, 4))))
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias("norm_md5"),
+        F.array_min(grams).alias("min_shingle_fp"),
+        F.array_max(grams).alias("max_shingle_fp"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_shingles"),
+    ).orderBy("doc_id")

@@ -42,6 +42,24 @@ def word_shingles(text_col: str | Column, n: int = 3) -> Column:
     )
 
 
+def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """Band the signature for LSH: band key = md5 of the band index +
+    its signature rows. Two docs collide in a band iff that band's
+    rows match exactly — the classic b×r tradeoff. Returns
+    array<struct<band_idx int, band_key string>>."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "#", b.cast("string"), F.concat_ws("", F.slice(sig, b * rows + 1, rows))
+                )
+            ).alias("band_key"),
+        ),
+    )
+
+
 def minhash_signature(shingles: Column, k: int = 16) -> Column:
     """MinHash over a string hash family that is portable across
     engines: h_i(s) = md5(i || '|' || s), minimum taken in lexicographic
@@ -190,5 +208,205 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
+        .orderBy("left_id", "right_id")
+    )
+
+
+@register(
+    "minhash_lsh_near_dups",
+    bench=True,
+    tags=("dedup", "lsh", "similarity"),
+    doc="MinHash+LSH near-duplicate detection (the 100 TB extension of "
+    "E4, ref exact-hash compare dags/orbit_daily_update_dag.py:188-200): "
+    "word-3-shingles → 12-hash MinHash signature (portable md5-string "
+    "family) → 4 bands × 3 rows → bucket self-join → signature-estimated "
+    "Jaccard ≥ 0.5. Near-dups injected as every-9th doc with a suffix. "
+    "One shuffle on (band, bucket); candidate pairs only within buckets.",
+    oracle="""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text || ' near duplicate suffix tail'
+          FROM documents WHERE doc_id % 9 = 0
+        ),
+        shingled AS (
+          SELECT doc_id,
+                 list_distinct([
+                   array_to_string(t[i:i+2], ' ')
+                   for i in range(1, greatest(len(t) - 2, 1) + 1)
+                 ]) AS shingles
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM corpus)
+        ),
+        signed AS (
+          SELECT doc_id,
+                 [list_min([md5(i::VARCHAR || '|' || s) for s in shingles])
+                  for i in range(0, 12)] AS sig
+          FROM shingled
+        ),
+        banded AS (
+          SELECT doc_id, b AS band_idx,
+                 md5(b::VARCHAR || '#' ||
+                     array_to_string(sig[b*3+1:b*3+3], '')) AS band_key
+          FROM signed, UNNEST(range(0, 4)) AS t(b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        )
+        SELECT c.left_id, c.right_id,
+               round(len([i for i in range(1, 13) if sa.sig[i] = sb.sig[i]])::DOUBLE
+                     / 12.0, 4) AS est_jaccard
+        FROM cand c
+        JOIN signed sa ON sa.doc_id = c.left_id
+        JOIN signed sb ON sb.doc_id = c.right_id
+        WHERE round(len([i for i in range(1, 13) if sa.sig[i] = sb.sig[i]])::DOUBLE
+                    / 12.0, 4) >= 0.5
+        ORDER BY left_id, right_id
+    """,
+)
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        d.filter(F.col("doc_id") % 9 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" near duplicate suffix tail")).alias("text"),
+        )
+    )
+    corpus = d.unionByName(near)
+    signed = corpus.select(
+        "doc_id", minhash_signature(word_shingles("text", 3), k=12).alias("sig")
+    )
+    banded = signed.select(
+        "doc_id", "sig", F.explode(lsh_band_keys(F.col("sig"), bands=4, rows=3)).alias("bk")
+    ).select("doc_id", "sig", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key"))
+
+    a = banded.select(
+        F.col("doc_id").alias("left_id"),
+        F.col("sig").alias("sig_a"),
+        "band_idx",
+        "band_key",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("right_id"),
+        F.col("sig").alias("sig_b"),
+        "band_idx",
+        "band_key",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "sig_a", "sig_b")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda s, v: s + v,
+    )
+    return (
+        cand.select(
+            "left_id",
+            "right_id",
+            F.round(matches.cast("double") / 12.0, 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("left_id", "right_id")
+    )
+
+
+@register(
+    "simhash_hamming_dups",
+    tags=("dedup", "simhash"),
+    doc="SimHash near-dup family: 16-bit simhash from token md5s "
+    "(bit i set iff the weighted sum of per-token bits is positive), "
+    "pairs at hamming distance ≤ 3 within lang blocks over a "
+    "dup-injected corpus. Portable bit derivation: token md5 hex "
+    "nibbles → bits, identical in both engines.",
+    oracle="""
+        WITH corpus AS (
+          SELECT doc_id, lang, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, lang, text || ' tail'
+          FROM documents WHERE doc_id % 11 = 0
+        ),
+        tok AS (
+          SELECT doc_id, lang,
+                 list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+          FROM corpus
+        ),
+        sh AS (
+          SELECT doc_id, lang,
+                 [CASE WHEN 2 * len([t for t in toks
+                        IF ((CAST(('0x' || substring(md5(t), 1, 8)) AS UBIGINT) >> i) & 1) = 1])
+                        >= len(toks)
+                       THEN 1 ELSE 0 END
+                  for i in range(0, 16)] AS bits
+          FROM tok
+        )
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               CAST(len([i for i in range(1, 17) if a.bits[i] != b.bits[i]]) AS BIGINT)
+                 AS hamming
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len([i for i in range(1, 17) if a.bits[i] != b.bits[i]]) <= 3
+        ORDER BY left_id, right_id
+    """,
+)
+def simhash_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    near = (
+        d.filter(F.col("doc_id") % 11 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "lang",
+            F.concat("text", F.lit(" tail")).alias("text"),
+        )
+    )
+    corpus = d.unionByName(near)
+    toks = F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+    tokdf = corpus.select("doc_id", "lang", toks.alias("toks"))
+    # bit i of simhash: majority vote of bit i of each token's 32-bit
+    # md5-prefix hash (conv hex→decimal, portable across engines)
+    sh = tokdf.select(
+        "doc_id",
+        "lang",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            # bit(i) of the 32-bit hash via floor(h / 2^i) % 2 — the
+            # shift builtins require a literal shift amount, and 2^i
+            # stays exact in float64 for i < 53
+            lambda i: F.when(
+                2
+                * F.size(
+                    F.filter(
+                        F.col("toks"),
+                        lambda t: F.floor(
+                            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("double")
+                            / F.pow(F.lit(2.0), i.cast("double"))
+                        ).cast("long")
+                        % 2
+                        == 1,
+                    )
+                )
+                >= F.size("toks"),
+                1,
+            )
+            .otherwise(0)
+            .cast("int"),
+        ).alias("bits"),
+    )
+    a = sh.select(F.col("doc_id").alias("left_id"), F.col("lang"), F.col("bits").alias("ba"))
+    b = sh.select(F.col("doc_id").alias("right_id"), F.col("lang"), F.col("bits").alias("bb"))
+    hamming = F.aggregate(
+        F.zip_with("ba", "bb", lambda x, y: (x != y).cast("int")), F.lit(0), lambda s, v: s + v
+    )
+    return (
+        a.join(b, "lang")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
         .orderBy("left_id", "right_id")
     )

