@@ -46,6 +46,9 @@ _QUERY_MODULES = (
     "project_orbit_spark.operators.dedup",
     "project_orbit_spark.functions.textbank",
     "project_orbit_spark.functions.textquality",
+    "project_orbit_spark.functions.extraction",
+    "project_orbit_spark.functions.predicates",
+    "project_orbit_spark.functions.inference",
     "project_orbit_spark.similarity.cosine",
     "project_orbit_spark.streaming.windows",
     "project_orbit_spark.streaming.incremental",

@@ -1,0 +1,122 @@
+"""Source connectors & sinks — SURVEY.md §2.1 S-family.
+
+The reference reads a JSON seed (S1), walks a local text corpus with
+path-derived keys (S7), parses RSS/Atom feeds (S4), unions
+multi-format sources with a tag column (S8), and writes partitioned
+page/entity artifacts and append-only logs (S11-S14). Re-expressed
+as declarative readers/writers: `spark.read` + `input_file_name()`
+partition derivation, `from_xml` feed parsing, `unionByName`
+tagging, and `partitionBy` sinks (column pruning then comes free —
+the reference strips raw_html by hand, SURVEY §4).
+
+These are library functions exercised by tests (they manage paths,
+not fixture tables, so they carry no DuckDB oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEED_SCHEMA = (
+    "company_name string, website string, linkedin string, "
+    "hq_city string, hq_country string, category string"
+)
+
+RSS_ITEM_SCHEMA = (
+    "item array<struct<title:string, link:string, description:string, pubDate:string>>"
+)
+
+
+def read_json_seed(spark: SparkSession, path: str) -> DataFrame:
+    """S1 seed scan (ref src/scraper_v2.py:4133-4145): JSON array of
+    company rows; company_id derived from the website host
+    (netloc minus 'www.', first dotted label)."""
+    df = spark.read.schema(SEED_SCHEMA).option("multiLine", True).json(path)
+    host = F.regexp_extract("website", r"^https?://(?:www\.)?([^/.]+)", 1)
+    return df.withColumn("company_id", F.lower(host))
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """S7 local corpus scan (ref src/handle_chunking.py:12-25,114-140):
+    recursive wholetext read; (company_id, page_type) derived from the
+    file path — the reference's directory convention as columns."""
+    df = (
+        spark.read.option("recursiveFileLookup", True)
+        .option("wholetext", True)
+        .text(path)
+    )
+    fname = F.input_file_name()
+    return df.select(
+        F.col("value").alias("text"),
+        F.regexp_extract(fname, r"/([^/]+)/[^/]+_clean\.txt$", 1).alias("company_id"),
+        F.regexp_extract(fname, r"/([^/]+)_clean\.txt$", 1).alias("page_type"),
+        fname.alias("source_path"),
+    )
+
+
+def parse_rss_items(feeds: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """S4 RSS scan (ref src/scraper_v2.py:972-1042): channel/item
+    blocks → one row per item with coalesce across tag variants.
+    Uses from_xml when available (Spark 4+), else a regex fallback
+    that handles the flat RSS-2.0 subset the reference consumes."""
+    try:
+        # from_xml binds the schema at the ROOT element (<rss>), so the
+        # channel wrapper must appear in the schema
+        parsed = feeds.withColumn(
+            "_ch",
+            F.from_xml(
+                F.col(xml_col),
+                "struct<channel: struct<item: array<struct<title:string, "
+                "link:string, description:string, pubDate:string>>>>",
+            ),
+        )
+        items = parsed.select(
+            F.col("feed_id"), F.explode("_ch.channel.item").alias("it")
+        ).select(
+            "feed_id",
+            F.col("it.title").alias("title"),
+            F.col("it.link").alias("url"),
+            F.col("it.description").alias("summary"),
+            F.col("it.pubDate").alias("published"),
+        )
+        return items
+    except Exception:  # noqa: BLE001 — from_xml unavailable: regex subset
+        item_re = r"(?s)<item>(.*?)</item>"
+        tag = lambda body, t: F.regexp_extract(body, rf"(?s)<{t}>(.*?)</{t}>", 1)
+        items = feeds.select(
+            "feed_id",
+            F.explode(F.regexp_extract_all(F.col(xml_col), F.lit(item_re), 1)).alias("body"),
+        )
+        return items.select(
+            "feed_id",
+            tag(F.col("body"), "title").alias("title"),
+            tag(F.col("body"), "link").alias("url"),
+            tag(F.col("body"), "description").alias("summary"),
+            tag(F.col("body"), "pubDate").alias("published"),
+        )
+
+
+def union_tagged_sources(**sources: DataFrame) -> DataFrame:
+    """S8 multi-format union (ref src/structured_extraction_v2.py:
+    835-1217): one tagged frame, missing columns null-filled."""
+    out = None
+    for kind, df in sources.items():
+        tagged = df.withColumn("source_kind", F.lit(kind))
+        out = tagged if out is None else out.unionByName(tagged, allowMissingColumns=True)
+    if out is None:
+        raise ValueError("no sources given")
+    return out
+
+
+def write_partitioned(df: DataFrame, path: str, *, partition_cols: list[str], mode: str = "overwrite") -> None:
+    """S11/S12/S13 artifact sinks (ref src/scraper_v2.py:3863-3894):
+    parquet partitioned by the artifact key columns — partition
+    pruning replaces the reference's per-company directory layout."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_append_log(df: DataFrame, path: str, *, dt_col: str = "dt") -> None:
+    """S14 risk-log append sink (ref src/risk_detection.py:136-140):
+    append-mode, one partition per day."""
+    df.write.mode("append").partitionBy(dt_col).parquet(path)

@@ -1,0 +1,87 @@
+"""Tests for source connectors & sinks (SURVEY §2.1 S-family) —
+these manage files, so they're exercised against tmp paths rather
+than DuckDB oracles."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from project_orbit_spark.sources.connectors import (
+    parse_rss_items,
+    read_json_seed,
+    read_text_corpus,
+    union_tagged_sources,
+    write_append_log,
+    write_partitioned,
+)
+
+
+def test_read_json_seed(spark, tmp_path):
+    seed = [
+        {"company_name": "Acme AI", "website": "https://www.acmeai.com",
+         "linkedin": "in/acme", "hq_city": "SF", "hq_country": "US", "category": "ml"},
+        {"company_name": "Beta Corp", "website": "http://betacorp.io/home",
+         "linkedin": "in/beta", "hq_city": "NY", "hq_country": "US", "category": "nlp"},
+    ]
+    p = tmp_path / "seed.json"
+    p.write_text(json.dumps(seed))
+    df = read_json_seed(spark, str(p))
+    rows = {r["company_name"]: r["company_id"] for r in df.collect()}
+    assert rows == {"Acme AI": "acmeai", "Beta Corp": "betacorp"}
+
+
+def test_read_text_corpus(spark, tmp_path):
+    d = tmp_path / "corpus" / "acme"
+    d.mkdir(parents=True)
+    (d / "jobs_clean.txt").write_text("engineering roles open")
+    (d / "news_clean.txt").write_text("acme ships product")
+    df = read_text_corpus(spark, str(tmp_path / "corpus"))
+    rows = {r["page_type"]: (r["company_id"], r["text"]) for r in df.collect()}
+    assert rows["jobs"] == ("acme", "engineering roles open")
+    assert rows["news"][1] == "acme ships product"
+
+
+def test_parse_rss_items(spark):
+    xml = (
+        "<rss><channel>"
+        "<item><title>T1</title><link>http://a/1</link>"
+        "<description>D1</description><pubDate>Mon, 01 Jan 2024</pubDate></item>"
+        "<item><title>T2</title><link>http://a/2</link>"
+        "<description>D2</description><pubDate>Tue, 02 Jan 2024</pubDate></item>"
+        "</channel></rss>"
+    )
+    feeds = spark.createDataFrame([(1, xml)], ["feed_id", "xml"])
+    items = parse_rss_items(feeds).collect()
+    assert [r["title"] for r in items] == ["T1", "T2"]
+    assert items[0]["url"] == "http://a/1"
+    assert items[1]["published"].startswith("Tue")
+
+
+def test_union_tagged_sources(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "text"])
+    b = spark.createDataFrame([(2, 3.5)], ["id", "score"])
+    out = union_tagged_sources(txt=a, scores=b)
+    assert set(out.columns) == {"id", "text", "score", "source_kind"}
+    kinds = {r["source_kind"] for r in out.collect()}
+    assert kinds == {"txt", "scores"}
+
+
+def test_partitioned_and_append_sinks(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("acme", "jobs", "body1", "2024-01-01"), ("beta", "news", "body2", "2024-01-02")],
+        ["company_id", "page_type", "body", "dt"],
+    )
+    out = str(tmp_path / "artifacts")
+    write_partitioned(df, out, partition_cols=["company_id", "page_type"])
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    # partition pruning: reading one partition touches only its files
+    one = back.filter((F.col("company_id") == "acme") & (F.col("page_type") == "jobs"))
+    assert one.count() == 1
+
+    log = str(tmp_path / "log")
+    write_append_log(df.select("company_id", "dt"), log)
+    write_append_log(df.select("company_id", "dt"), log)
+    assert spark.read.parquet(log).count() == 4
