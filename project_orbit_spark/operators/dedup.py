@@ -277,9 +277,17 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = d.unionByName(near)
-    signed = corpus.select(
-        "doc_id", minhash_signature(word_shingles("text", 3), k=12).alias("sig")
-    )
+    # Materialize shingles, then signatures, behind shuffle barriers:
+    # without them CollapseProject inlines the shingle expression into
+    # all 12 hash lambdas and the 4 exploded band keys (≈48× the
+    # work — measured 72s → 8s at sf0.1). The repartition doubles as
+    # the distribution the bucket self-join wants at scale.
+    shingled = corpus.select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    ).repartition(32, "doc_id")
+    signed = shingled.select(
+        "doc_id", minhash_signature(F.col("sh"), k=12).alias("sig")
+    ).repartition(32, "doc_id")
     banded = signed.select(
         "doc_id", "sig", F.explode(lsh_band_keys(F.col("sig"), bands=4, rows=3)).alias("bk")
     ).select("doc_id", "sig", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key"))

@@ -1,0 +1,54 @@
+"""Physical-plan regression tests (SURVEY §4): the performance
+contract — pushdown, broadcast selection, no accidental sort-merge
+joins or cartesian products — asserted from .explain, so a plan
+regression fails CI rather than silently costing 10× at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from project_orbit_spark import registry
+from project_orbit_spark.plans.audit import audit
+from tests.conftest import SF_DIR
+
+
+def facts(name, spark):
+    return audit(registry.get_query(name).fn(spark, SF_DIR))
+
+
+def test_q1_scan_is_pushed_and_pruned(spark):
+    f = facts("q1_pricing_summary", spark)
+    assert f.pushed_filters, "shipdate filter must reach the parquet scan"
+    assert f.pruned_scan
+    assert f.partial_agg, "aggregation must have a map-side partial phase"
+    assert f.n_sortmerge_joins == 0
+
+
+def test_q3_dims_broadcast(spark):
+    f = facts("q3_top_revenue_orders", spark)
+    assert f.n_broadcast_joins >= 1, "customer side must broadcast at this scale"
+    assert f.n_sortmerge_joins == 0
+
+
+def test_q5_dim_chain_broadcasts(spark):
+    f = facts("q5_revenue_by_nation", spark)
+    assert f.n_broadcast_joins >= 2, "region/nation/customer chain must broadcast"
+    assert f.n_sortmerge_joins == 0
+
+
+def test_theta_join_is_broadcast_nested_loop(spark):
+    # J1 substring join MUST broadcast its 50-row side: a non-equi
+    # condition without broadcast degenerates to a cartesian shuffle
+    f = facts("substring_theta_join", spark)
+    assert f.n_broadcast_joins >= 1
+    assert "CartesianProduct" not in f.text
+
+
+def test_lsh_join_shuffles_on_buckets_not_cartesian(spark):
+    f = facts("minhash_lsh_near_dups", spark)
+    assert "CartesianProduct" not in f.text, "LSH must join within buckets only"
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    f = facts("cosine_topk_exact", spark)
+    assert f.n_broadcast_joins >= 1, "query set must broadcast; corpus streams"
