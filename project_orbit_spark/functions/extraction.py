@@ -458,3 +458,57 @@ def coalesce_salvage_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("salvage_source"),
         (F.length(salvaged) >= 100).cast("long").alias("accepted"),
     ).orderBy("doc_id")
+
+
+@register(
+    "ratings_extraction",
+    tags=("text", "regex"),
+    doc="C9 rating/stars regexes (ref src/scraper_v2.py:2752-2786): "
+    "glassdoor-style 0-5 rating and comma-grouped star counts "
+    "(comma stripped before cast), out-of-range ratings nulled.",
+    oracle="""
+        WITH reviews AS (
+          SELECT p_partkey,
+                 'Rated ' || CAST(round((p_partkey % 50) / 10.0, 1) AS VARCHAR)
+                 || ' on glassdoor. The repo has '
+                 || CAST(p_partkey % 90 AS VARCHAR) || ','
+                 || lpad(CAST(p_partkey % 1000 AS VARCHAR), 3, '0')
+                 || ' stars on github.' AS review_text
+          FROM part WHERE p_partkey % 10 = 0
+        )
+        SELECT p_partkey,
+               CASE WHEN CAST(regexp_extract(review_text,
+                      'Rated ([0-9]+(?:\\.[0-9]+)?) on glassdoor', 1) AS DOUBLE)
+                      BETWEEN 0 AND 5
+                    THEN CAST(regexp_extract(review_text,
+                      'Rated ([0-9]+(?:\\.[0-9]+)?) on glassdoor', 1) AS DOUBLE)
+               END AS glassdoor_rating,
+               CAST(replace(regexp_extract(review_text,
+                 '([0-9,]+) stars', 1), ',', '') AS BIGINT) AS github_stars
+        FROM reviews
+        ORDER BY p_partkey
+    """,
+)
+def ratings_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    review = F.concat(
+        F.lit("Rated "),
+        F.round((F.col("p_partkey") % 50) / 10.0, 1).cast("string"),
+        F.lit(" on glassdoor. The repo has "),
+        (F.col("p_partkey") % 90).cast("string"),
+        F.lit(","),
+        F.lpad((F.col("p_partkey") % 1000).cast("string"), 3, "0"),
+        F.lit(" stars on github."),
+    )
+    reviews = p.select("p_partkey", review.alias("review_text"))
+    rating = F.regexp_extract(
+        "review_text", r"Rated ([0-9]+(?:\.[0-9]+)?) on glassdoor", 1
+    ).cast("double")
+    stars = F.regexp_replace(
+        F.regexp_extract("review_text", r"([0-9,]+) stars", 1), ",", ""
+    ).cast("long")
+    return reviews.select(
+        "p_partkey",
+        F.when(rating.between(0, 5), rating).alias("glassdoor_rating"),
+        stars.alias("github_stars"),
+    ).orderBy("p_partkey")

@@ -367,3 +367,100 @@ def title_excerpt_picker(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("excerpt"),
     ).orderBy("doc_id")
+
+
+@register(
+    "chunk_vector_ids",
+    tags=("text", "chunker", "hash"),
+    doc="S9/C14/J4 chunk → vector-id pipeline (ref id scheme "
+    "{company}_{page}_{i}_{hash%10000} at src/handle_chunking.py:"
+    "159-181, md5 default id src/services/embeddings.py:190): chunks "
+    "with md5 content ids, a composite provenance id whose hash "
+    "suffix derives portably from md5 hex (SURVEY §7.4: no Python-"
+    "hash bit parity), and provenance columns carried — no shuffle.",
+    oracle="""
+        WITH chunks AS (
+          SELECT doc_id, source, i - 1 AS chunk_idx,
+                 substring(text, (i - 1) * 200 + 1, 200) AS chunk_text
+          FROM documents,
+               UNNEST(range(1, greatest(CAST(ceil(length(text) / 200.0) AS BIGINT), 1) + 1))
+                 AS t(i)
+        )
+        SELECT doc_id, chunk_idx,
+               md5(chunk_text) AS content_id,
+               source || '_' || CAST(doc_id AS VARCHAR) || '_'
+                 || CAST(chunk_idx AS VARCHAR) || '_'
+                 || CAST(CAST(('0x' || substring(md5(chunk_text), 1, 8)) AS UBIGINT)
+                         % 10000 AS VARCHAR) AS vector_id
+        FROM chunks
+        ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_vector_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id", "source", F.explode(chunk_text(F.col("text"), 200)).alias("c")
+    ).select(
+        "doc_id",
+        "source",
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+    hash_suffix = (
+        F.conv(F.substring(F.md5("chunk_text"), 1, 8), 16, 10).cast("long") % 10000
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("content_id"),
+        F.concat_ws(
+            "_",
+            "source",
+            F.col("doc_id").cast("string"),
+            F.col("chunk_idx").cast("string"),
+            hash_suffix.cast("string"),
+        ).alias("vector_id"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "page_stats_arrays",
+    tags=("text", "arrays"),
+    doc="A5 per-page statistics via array functions, zero shuffle "
+    "(ref src/scraper_v2.py:1165-1172): token totals, 'internal/"
+    "external' split by a token predicate, distinct count, longest "
+    "token — size/filter/array_max over the split array.",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               CAST(len(list_filter(t, x -> starts_with(x, 's'))) AS BIGINT) AS s_tokens,
+               CAST(len(list_filter(t, x -> NOT starts_with(x, 's'))) AS BIGINT)
+                 AS other_tokens,
+               CAST(len(list_distinct(t)) AS BIGINT) AS distinct_tokens,
+               list_max(list_transform(t, x -> length(x))) AS longest_token
+        FROM toks
+        ORDER BY doc_id
+    """,
+)
+def page_stats_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    stats = d.select("doc_id", t.alias("t"))
+    return stats.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.filter(F.col("t"), lambda x: x.startswith("s"))).cast("long").alias(
+            "s_tokens"
+        ),
+        F.size(F.filter(F.col("t"), lambda x: ~x.startswith("s"))).cast("long").alias(
+            "other_tokens"
+        ),
+        F.size(F.array_distinct("t")).cast("long").alias("distinct_tokens"),
+        F.array_max(F.transform(F.col("t"), lambda x: F.length(x)))
+        .cast("long")
+        .alias("longest_token"),
+    ).orderBy("doc_id")

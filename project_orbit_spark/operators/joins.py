@@ -211,3 +211,90 @@ def payload_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "name_lookup_first_match",
+    tags=("join", "lookup"),
+    doc="J2 name→id lookup (ref src/api.py:242-274): case-insensitive "
+    "equality on company name, FIRST match wins (deterministic via "
+    "lowest custkey). Query names derived by upper-casing a sample.",
+    oracle="""
+        WITH lookups AS (
+          SELECT upper(c_name) AS query_name FROM customer WHERE c_custkey % 25 = 0
+        )
+        SELECT query_name, c_custkey AS resolved_id, c_name AS resolved_name
+        FROM (
+          SELECT l.query_name, c.c_custkey, c.c_name,
+                 row_number() OVER (
+                   PARTITION BY l.query_name ORDER BY c.c_custkey) AS rn
+          FROM lookups l
+          JOIN customer c ON lower(c.c_name) = lower(l.query_name)
+        ) t
+        WHERE rn = 1
+        ORDER BY query_name
+    """,
+)
+def name_lookup_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    lookups = c.filter(F.col("c_custkey") % 25 == 0).select(
+        F.upper("c_name").alias("query_name")
+    )
+    joined = F.broadcast(lookups).join(
+        c, F.lower(c.c_name) == F.lower(F.col("query_name"))
+    )
+    w = Window.partitionBy("query_name").orderBy("c_custkey")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_name",
+            F.col("c_custkey").alias("resolved_id"),
+            F.col("c_name").alias("resolved_name"),
+        )
+        .orderBy("query_name")
+    )
+
+
+@register(
+    "funding_summary_max_by",
+    tags=("agg", "maxby"),
+    doc="A1 funding summary (ref src/structured_extraction_v2.py:"
+    "1984-2001): total raised (NULL when zero orders) plus latest "
+    "round's attribute via max_by over a composite (epoch*1e6+key) "
+    "ordering key — the exact latest-round-carrying primitive.",
+    oracle="""
+        SELECT c.c_custkey,
+               round(sum(o.o_totalprice), 2) AS total_raised,
+               arg_max(o.o_orderpriority,
+                       datediff('day', DATE '1970-01-01', o.o_orderdate) * 1000000
+                         + o.o_orderkey) AS latest_priority,
+               arg_max(o.o_orderkey,
+                       datediff('day', DATE '1970-01-01', o.o_orderdate) * 1000000
+                         + o.o_orderkey) AS latest_orderkey
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+        ORDER BY c.c_custkey
+    """,
+)
+def funding_summary_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    # timezone-free composite ordering key: days-since-epoch ×1e6 + key
+    # (orderkey < 1e6 at fixture scales; ties on date break by key)
+    order_rank = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        * 1000000
+        + F.col("o_orderkey")
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_raised"),
+            F.max_by("o_orderpriority", order_rank).alias("latest_priority"),
+            F.max_by("o_orderkey", order_rank).alias("latest_orderkey"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -37,9 +37,9 @@ from project_orbit_spark.registry import register
           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-          round(avg(l_quantity), 4)                                        AS avg_qty,
-          round(avg(l_extendedprice), 4)                                   AS avg_price,
-          round(avg(l_discount), 4)                                        AS avg_disc,
+          round(round(sum(l_quantity), 2) / count(*), 6)                   AS avg_qty,
+          round(round(sum(l_extendedprice), 2) / count(*), 6)              AS avg_price,
+          round(round(sum(l_discount), 4) / count(*), 6)                   AS avg_disc,
           count(*)                                                         AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -58,9 +58,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # round(sum)/count, not avg(): the inputs are 2dp-quantized,
+            # so avg() lands exactly on round boundaries where FP
+            # summation-order noise (which varies per run) flips digits
+            F.round(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(F.round(F.sum("l_discount"), 4) / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -177,7 +180,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
           r.r_name,
           n.n_name,
           count(*)                    AS n_customers,
-          round(avg(c.c_acctbal), 4)  AS avg_acctbal
+          round(round(sum(c.c_acctbal), 2) / count(*), 6)  AS avg_acctbal
         FROM region r
         JOIN nation n   ON n.n_regionkey = r.r_regionkey
         JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -195,7 +198,7 @@ def dim_chain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            F.round(F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1)), 6).alias("avg_acctbal"),
         )
         .orderBy("r_name", "n_name")
     )
@@ -212,7 +215,7 @@ def dim_chain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
           event_type,
           count(*)                AS n_events,
           round(sum(value), 2)    AS total_value,
-          round(avg(value), 4)    AS avg_value,
+          round(round(sum(value), 2) / count(*), 6)    AS avg_value,
           count(DISTINCT user_id) AS n_users
         FROM events
         GROUP BY event_type
@@ -226,7 +229,7 @@ def event_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6).alias("avg_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("event_type")
@@ -376,3 +379,78 @@ def mktsegment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_share"
         ),
     ).orderBy("c_mktsegment")
+
+
+@register(
+    "cube_order_stats",
+    tags=("agg", "cube"),
+    doc="CUBE over (orderstatus, year) — full grouping-sets lattice "
+    "(SURVEY §2.4 closing note: free in Spark, absent in the "
+    "reference). NULLs coalesced for stable hashing.",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+               coalesce(CAST(order_year AS VARCHAR), 'ALL') AS order_year,
+               count(*) AS n_orders,
+               round(round(sum(o_totalprice), 2) / count(*), 6) AS avg_price
+        FROM (
+          SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                 o_totalprice
+          FROM orders
+        )
+        GROUP BY CUBE (o_orderstatus, order_year)
+        ORDER BY orderstatus, order_year
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_totalprice",
+    )
+    return (
+        o.cube("o_orderstatus", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1)), 6).alias("avg_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce(F.col("order_year").cast("string"), F.lit("ALL")).alias(
+                "order_year"
+            ),
+            "n_orders",
+            "avg_price",
+        )
+        .orderBy("orderstatus", "order_year")
+    )
+
+
+@register(
+    "multi_distinct_aggregates",
+    tags=("agg", "distinct"),
+    doc="Multiple DISTINCT aggregates in one pass (Catalyst's expand-"
+    "based distinct-agg rewrite): per event_type, distinct users, "
+    "distinct days, and a plain sum — three different distinct keys.",
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+               count(DISTINCT CAST(floor(value) AS INT) % 100) AS n_value_buckets,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def multi_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(F.date_format("ts", "yyyy-MM-dd")).alias("n_days"),
+            F.countDistinct(F.floor("value").cast("int") % 100).alias("n_value_buckets"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,156 @@
+"""RAG retrieval semantics — SURVEY.md §2 F2/W1/E3: company-filtered
+top-k with fall-back-to-unfiltered, and query enhancement.
+
+The reference over-fetches top_k×2, filters by company substring,
+and falls back to the unfiltered hits when the filter empties the
+result (src/rag_pipeline.py:45-75). The engine pushes the filter
+below the rank (strictly better — SURVEY §4) and expresses the
+fallback as a two-branch union gated on the filtered match count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_orbit_spark.registry import register
+from project_orbit_spark.similarity.cosine import as_double, cosine
+
+K = 5
+
+
+@register(
+    "filtered_topk_with_fallback",
+    tags=("similarity", "retrieval"),
+    doc="F2 company-filter + fallback retrieval (ref src/rag_pipeline"
+    ".py:51-75): top-k within the query's own cluster (the 'company "
+    "filter'), but queries whose cluster yields < k candidates under "
+    "a selectivity predicate fall back to the unfiltered corpus — "
+    "branch chosen per query, tagged in the output.",
+    oracle="""
+        WITH emb AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        q AS (SELECT vec_id AS qid, label AS qlabel, emb AS qe FROM emb WHERE vec_id < 8),
+        filtered AS (
+          SELECT q.qid, e.vec_id AS cid,
+                 list_cosine_similarity(q.qe, e.emb) AS score
+          FROM q JOIN emb e
+            ON e.label = q.qlabel AND e.vec_id % 7 = 0 AND e.vec_id != q.qid
+        ),
+        counts AS (
+          SELECT q.qid, coalesce(f.n, 0) AS n_filtered
+          FROM q LEFT JOIN (SELECT qid, count(*) AS n FROM filtered GROUP BY qid) f
+            USING (qid)
+        ),
+        unfiltered AS (
+          SELECT q.qid, e.vec_id AS cid,
+                 list_cosine_similarity(q.qe, e.emb) AS score
+          FROM q JOIN emb e ON e.vec_id != q.qid
+        ),
+        chosen AS (
+          SELECT f.qid, f.cid, f.score, 'filtered' AS branch
+          FROM filtered f JOIN counts c USING (qid) WHERE c.n_filtered >= 5
+          UNION ALL
+          SELECT u.qid, u.cid, u.score, 'fallback' AS branch
+          FROM unfiltered u JOIN counts c USING (qid) WHERE c.n_filtered < 5
+        )
+        SELECT qid, cid, round(score, 6) AS score, branch, rank
+        FROM (
+          SELECT qid, cid, score, branch,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+          FROM chosen
+        ) t
+        WHERE rank <= 5
+        ORDER BY qid, rank
+    """,
+)
+def filtered_topk_with_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.catalog import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"), F.col("emb").alias("qe")
+    )
+    corpus = e.select(F.col("vec_id").alias("cid"), F.col("label").alias("clabel"), F.col("emb").alias("ce"))
+    score = cosine(F.col("qe"), F.col("ce"))
+    filtered = (
+        F.broadcast(q)
+        .join(
+            corpus,
+            (F.col("clabel") == F.col("qlabel"))
+            & (F.col("cid") % 7 == 0)
+            & (F.col("cid") != F.col("qid")),
+        )
+        .select("qid", "cid", score.alias("score"))
+    )
+    counts = q.join(
+        filtered.groupBy("qid").agg(F.count(F.lit(1)).alias("n_filtered")), "qid", "left"
+    ).select("qid", F.coalesce("n_filtered", F.lit(0)).alias("n_filtered"))
+    unfiltered = (
+        F.broadcast(q)
+        .join(corpus, F.col("cid") != F.col("qid"))
+        .select("qid", "cid", score.alias("score"))
+    )
+    chosen = (
+        filtered.join(counts.filter(F.col("n_filtered") >= K), "qid", "left_semi")
+        .withColumn("branch", F.lit("filtered"))
+        .unionByName(
+            unfiltered.join(
+                counts.filter(F.col("n_filtered") < K), "qid", "left_semi"
+            ).withColumn("branch", F.lit("fallback"))
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        chosen.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= K)
+        .select("qid", "cid", F.round("score", 6).alias("score"), "branch", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+@register(
+    "query_enhancement_concat",
+    tags=("retrieval", "text"),
+    doc="E3 query enhancement (ref src/rag_search.py:42, src/agents/"
+    "tools.py:219): prepend company context to the query text before "
+    "embedding; emits the enhanced text + its stub embedding head "
+    "(deterministic md5-byte provider, same as E1).",
+    oracle="""
+        SELECT c_custkey,
+               lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g'))
+                 || ' funding history and latest round' AS enhanced_query,
+               round(CAST(('0x' || substring(md5(
+                 lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g'))
+                 || ' funding history and latest round'), 1, 2)) AS UBIGINT) / 256.0, 6)
+                 AS d0
+        FROM customer
+        WHERE c_custkey % 100 = 0
+        ORDER BY c_custkey
+    """,
+)
+def query_enhancement_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.catalog import load
+    from project_orbit_spark.functions.inference import embed_stage
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 100 == 0)
+    enhanced = c.select(
+        F.col("c_custkey"),
+        F.concat(
+            F.lower(F.regexp_replace("c_name", "[^a-zA-Z0-9]", "")),
+            F.lit(" funding history and latest round"),
+        ).alias("enhanced_query"),
+    )
+    emb = embed_stage(enhanced, text_col="enhanced_query", id_col="c_custkey")
+    return (
+        enhanced.join(emb.select(F.col("c_custkey"), F.col("embedding")), "c_custkey")
+        .select(
+            "c_custkey",
+            "enhanced_query",
+            F.round(F.element_at("embedding", 1), 6).alias("d0"),
+        )
+        .orderBy("c_custkey")
+    )
