@@ -298,3 +298,58 @@ def funding_summary_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "fuzzy_translate_join",
+    tags=("join", "theta"),
+    doc="J3 fuzzy blog-post↔metadata join (ref src/structured_"
+    "extraction_v2.py:966-975): post slug with '-' separators matched "
+    "into page URLs with '_' separators via translate-then-contains — "
+    "a broadcast-nested-loop theta join on normalized keys.",
+    oracle="""
+        WITH posts AS (
+          SELECT c_custkey AS post_key,
+                 'post-' || CAST(c_custkey AS VARCHAR) || '-launch' AS post_id
+          FROM customer WHERE c_custkey % 40 = 0
+        ),
+        pages AS (
+          SELECT c_custkey AS page_key,
+                 'https://x.com/blog/post_' || CAST(c_custkey AS VARCHAR)
+                 || '_launch?ref=rss' AS page_url
+          FROM customer WHERE c_custkey % 20 = 0
+        )
+        SELECT p.post_key, p.post_id, g.page_key, g.page_url
+        FROM posts p
+        JOIN pages g
+          ON contains(replace(g.page_url, '-', '_'), replace(p.post_id, '-', '_'))
+        ORDER BY p.post_key, g.page_key
+    """,
+)
+def fuzzy_translate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    posts = c.filter(F.col("c_custkey") % 40 == 0).select(
+        F.col("c_custkey").alias("post_key"),
+        F.concat(
+            F.lit("post-"), F.col("c_custkey").cast("string"), F.lit("-launch")
+        ).alias("post_id"),
+    )
+    pages = c.filter(F.col("c_custkey") % 20 == 0).select(
+        F.col("c_custkey").alias("page_key"),
+        F.concat(
+            F.lit("https://x.com/blog/post_"),
+            F.col("c_custkey").cast("string"),
+            F.lit("_launch?ref=rss"),
+        ).alias("page_url"),
+    )
+    return (
+        F.broadcast(posts)
+        .join(
+            pages,
+            F.translate("page_url", "-", "_").contains(
+                F.translate("post_id", "-", "_")
+            ),
+        )
+        .select("post_key", "post_id", "page_key", "page_url")
+        .orderBy("post_key", "page_key")
+    )

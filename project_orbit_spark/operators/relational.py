@@ -454,3 +454,36 @@ def multi_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "pivot_daily_event_matrix",
+    tags=("agg", "pivot"),
+    doc="A10 metrics-counter matrix (ref src/agents/metrics.py:29-147) "
+    "as a pivot: days × event types, one counter column per type "
+    "(Spark pivot ≡ conditional-sum oracle).",
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events
+        GROUP BY strftime(ts, '%Y-%m-%d')
+        ORDER BY day
+    """,
+)
+def pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent combos; metrics semantics want 0
+    return pivoted.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+          for t in ["click", "error", "purchase", "signup", "view"]],
+    ).orderBy("day")

@@ -1,0 +1,82 @@
+"""Skew mitigation: salted joins — SURVEY.md §4 physical-execution
+notes ("skewed keys hurt; salting or AQE skew-join").
+
+AQE splits skewed *shuffle* partitions automatically, but a join
+where one key dominates still funnels that key through one task pair.
+Salting rewrites `fact ⋈ dim ON k` as
+`fact(+salt) ⋈ dim(×salts) ON (k, salt)` — the hot key fans out over
+n_salts tasks. Results are identical to the unsalted join, which is
+exactly what the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_orbit_spark.catalog import load
+from project_orbit_spark.registry import register
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with the fact side salted deterministically (hash of the
+    whole fact row's key + a row-stable column is unnecessary — any
+    per-row spread works; xxhash64 of all columns keeps it
+    deterministic) and the dim side replicated n_salts times."""
+    fact_s = fact.withColumn("_salt", F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)))
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    out = fact_s.join(dim_s, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+@register(
+    "salted_skew_join",
+    tags=("join", "skew"),
+    doc="Salted join over an artificially skewed key (half of all "
+    "orders funneled onto one hot key): fact side salted by xxhash64, "
+    "dim side replicated ×8, join on (key, salt). The oracle is the "
+    "PLAIN join — salting must be semantically invisible.",
+    oracle="""
+        WITH skewed AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_custkey % 10 < 5 THEN 0 ELSE o_custkey END AS skew_key,
+                 o_totalprice
+          FROM orders
+        ),
+        dim AS (
+          SELECT c_custkey AS skew_key, c_mktsegment FROM customer
+        )
+        SELECT d.c_mktsegment AS mktsegment,
+               count(*) AS n_rows,
+               round(sum(s.o_totalprice), 2) AS total_price
+        FROM skewed s JOIN dim d USING (skew_key)
+        GROUP BY d.c_mktsegment
+        ORDER BY mktsegment
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 10 < 5, 0).otherwise(F.col("o_custkey")).alias("skew_key"),
+        "o_totalprice",
+    )
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("skew_key"), "c_mktsegment"
+    )
+    joined = salted_join(o, dim, "skew_key", n_salts=8)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("mktsegment")
+    )

@@ -120,3 +120,61 @@ def write_append_log(df: DataFrame, path: str, *, dt_col: str = "dt") -> None:
     """S14 risk-log append sink (ref src/risk_detection.py:136-140):
     append-mode, one partition per day."""
     df.write.mode("append").partitionBy(dt_col).parquet(path)
+
+
+def read_json_bronze(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Bronze-layer JSON reader (SURVEY §1.3: raw layer is schemaless
+    dict-of-anything with defensive checks): PERMISSIVE mode with
+    _corrupt_record captured, so bad rows survive into quarantine
+    instead of failing the batch (ref skip-and-continue at
+    src/structured_extraction_v2.py:2300-2302)."""
+    full_schema = schema + ", _corrupt_record string"
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined) — ST5 dead-letter routing. Cache the input
+    first when both halves are consumed (PERMISSIVE parsing is
+    per-pass)."""
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad
+
+
+def upsert_parquet(spark: SparkSession, state_path: str, batch: DataFrame, key: str) -> None:
+    """MERGE-style upsert into a parquet state table (ST1's sink half;
+    with a lake format this is a one-line MERGE — parquet needs
+    read + anti-join + union + atomic-ish rewrite)."""
+    import os
+
+    if any(
+        f.endswith(".parquet") for f in (os.listdir(state_path) if os.path.isdir(state_path) else [])
+    ) or os.path.isdir(state_path) and os.listdir(state_path):
+        current = spark.read.parquet(state_path)
+        kept = current.join(batch, key, "left_anti")
+        merged = kept.unionByName(batch)
+    else:
+        merged = batch
+    tmp = state_path.rstrip("/") + "__staged"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(state_path)
+
+
+def stream_upsert_foreachbatch(
+    spark: SparkSession, stream_df: DataFrame, state_path: str, key: str
+):
+    """ST1 streaming form (ref incremental DAG semantics dags/orbit_
+    daily_update_dag.py:106-216): foreachBatch applying the upsert —
+    run with .trigger(availableNow=True) for the batch-incremental
+    cron execution (ST3)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:  # noqa: ARG001
+        upsert_parquet(spark, state_path, batch_df, key)
+
+    return stream_df.writeStream.foreachBatch(apply)

@@ -85,3 +85,32 @@ def test_partitioned_and_append_sinks(spark, tmp_path):
     write_append_log(df.select("company_id", "dt"), log)
     write_append_log(df.select("company_id", "dt"), log)
     assert spark.read.parquet(log).count() == 4
+
+
+def test_bronze_quarantine(spark, tmp_path):
+    from project_orbit_spark.sources.connectors import read_json_bronze, split_quarantine
+
+    p = tmp_path / "raw.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{broken json!!\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "not_an_int", "name": "bad type"}\n'
+    )
+    df = read_json_bronze(spark, str(p), "id long, name string").cache()
+    good, bad = split_quarantine(df)
+    good_rows = {r["id"] for r in good.collect()}
+    assert good_rows == {1, 2}
+    assert bad.count() == 2  # malformed line + type-mismatch line
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    from project_orbit_spark.sources.connectors import upsert_parquet
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    upsert_parquet(spark, state, b1, "k")
+    b2 = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    upsert_parquet(spark, state, b2, "k")
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(state).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
