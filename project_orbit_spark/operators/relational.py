@@ -487,3 +487,101 @@ def pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
           for t in ["click", "error", "purchase", "signup", "view"]],
     ).orderBy("day")
+
+
+@register(
+    "order_value_percentiles",
+    tags=("agg", "percentile"),
+    doc="Exact interpolated percentiles per order status (Spark "
+    "percentile() ≡ DuckDB quantile_cont — same linear interpolation; "
+    "at 100 TB swap for percentile_approx and accept sketch error).",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(round(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE) AS p50,
+               CAST(round(quantile_cont(o_totalprice, 0.9), 2) AS DOUBLE) AS p90,
+               CAST(round(quantile_cont(o_totalprice, 0.99), 2) AS DOUBLE) AS p99
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "above_segment_avg_customers",
+    tags=("window", "subquery"),
+    doc="Correlated-scalar-subquery shape via window (customers whose "
+    "balance beats their segment average) — one shuffle instead of a "
+    "per-row subquery re-scan.",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               round(c_acctbal, 2) AS acctbal,
+               round(seg_avg, 4) AS seg_avg
+        FROM (
+          SELECT c_custkey, c_mktsegment, c_acctbal,
+                 round(sum(c_acctbal) OVER (PARTITION BY c_mktsegment), 2)
+                   / count(*) OVER (PARTITION BY c_mktsegment) AS seg_avg
+          FROM customer
+        ) t
+        WHERE c_acctbal > seg_avg
+        ORDER BY c_custkey
+    """,
+)
+def above_segment_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    seg_avg = F.round(F.sum("c_acctbal").over(w), 2) / F.count(F.lit(1)).over(w)
+    return (
+        c.withColumn("seg_avg", seg_avg)
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round("seg_avg", 4).alias("seg_avg"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "json_props_extraction",
+    tags=("json",),
+    doc="C15 embedded-JSON extraction (ref src/scraper_v2.py:156-174): "
+    "from_json with schema over the events props column + "
+    "get_json_object path access, aggregated per extracted key bucket.",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               count(*) AS n_events,
+               CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events
+        GROUP BY CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+        ORDER BY k_bucket
+    """,
+)
+def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k long"))
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )

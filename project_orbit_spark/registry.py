@@ -50,10 +50,12 @@ _QUERY_MODULES = (
     "project_orbit_spark.functions.extraction",
     "project_orbit_spark.functions.predicates",
     "project_orbit_spark.functions.inference",
+    "project_orbit_spark.functions.html_extract",
     "project_orbit_spark.similarity.cosine",
     "project_orbit_spark.similarity.retrieval",
     "project_orbit_spark.streaming.windows",
     "project_orbit_spark.streaming.incremental",
+    "project_orbit_spark.streaming.stateful",
     "project_orbit_spark.multimodal.binary_ops",
     "project_orbit_spark.gold.payload",
 )

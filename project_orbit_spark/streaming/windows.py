@@ -56,8 +56,12 @@ def stream_tumbling_counts(
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string"
     )
+    # target the events file specifically — a bare directory glob would
+    # sweep in every other table's parquet (their rows surface as
+    # null-keyed ghost groups)
     stream = (
         spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     )
