@@ -48,6 +48,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros yields an LTZ timestamp rendered through the
+        # session timezone; pin it to UTC so window/date strings match
+        # the (timezone-naive) parquet values in any driver session
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         return df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))

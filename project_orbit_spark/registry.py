@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "project_orbit_spark.functions.html_extract",
     "project_orbit_spark.similarity.cosine",
     "project_orbit_spark.similarity.retrieval",
+    "project_orbit_spark.similarity.lsh",
     "project_orbit_spark.streaming.windows",
     "project_orbit_spark.streaming.incremental",
     "project_orbit_spark.streaming.stateful",

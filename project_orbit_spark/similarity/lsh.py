@@ -1,0 +1,130 @@
+"""Random-hyperplane (cosine) LSH — the LSH-bucketed ANN variant from
+the brief, fully deterministic and oracle-checkable.
+
+Hyperplanes are pseudo-random but engine-portable: component
+h[p][d] = (md5_u32(p, d) / 2^32) - 0.5, derived identically in Spark
+and DuckDB. A vector's bucket is the sign-bit string of its dot
+products with the planes; candidates share a bucket, so search cost
+is corpus/2^planes per query instead of the full corpus.
+
+Scale path: one shuffle on bucket; per-bucket candidate sets stay
+small and the hyperplane count tunes the recall/cost tradeoff (more
+planes → smaller buckets, lower recall; classic SimHash-for-cosine).
+
+Honesty note (measured on the fixture corpus): the synthetic vectors
+are near-random, so hyperplane signs barely correlate with top-k
+membership — recall@5 vs brute force is ~0/25 at 6 planes and ~1/25
+at 3. That is correct LSH behavior on data without strong
+neighborhood structure, not a bug; on this corpus the IVF variant
+(ann_ivf_topk), which exploits the real cluster labels, is the
+better approximate path. The operator remains exactly reproducible
+(same algorithm in the oracle) and the plane count is the tuning
+knob a clustered corpus would use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_orbit_spark.registry import register
+from project_orbit_spark.similarity.cosine import as_double, cosine
+
+N_PLANES = 3
+
+
+def _plane_component(p: int, d: Column) -> Column:
+    """Portable pseudo-random hyperplane component in [-0.5, 0.5)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(str(p)), d.cast("string"))), 1, 8), 16, 10
+    ).cast("double")
+    return h / F.lit(4294967296.0) - 0.5
+
+
+def lsh_bucket(emb: Column, n_planes: int = N_PLANES) -> Column:
+    """Sign-bit bucket string of the vector against n_planes
+    hyperplanes; dot products accumulate sequentially in float64."""
+    bits = []
+    for p in range(n_planes):
+        dot_p = F.aggregate(
+            F.transform(
+                emb,
+                lambda x, i: x * _plane_component(p, i),  # noqa: B023 — p bound per iteration below
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        bits.append(F.when(dot_p >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def _duck_bucket(vec: str, n_planes: int = N_PLANES) -> str:
+    """Same bucket derivation in DuckDB SQL over column ``vec``."""
+    bits = []
+    for p in range(n_planes):
+        dot_p = (
+            "list_sum([{v}[d + 1] * "
+            "((CAST(('0x' || substring(md5('{p}|' || CAST(d AS VARCHAR)), 1, 8)) AS UBIGINT)"
+            " / 4294967296.0) - 0.5) for d in range(0, len({v}))])"
+        ).format(v=vec, p=p)
+        bits.append(f"CASE WHEN {dot_p} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+@register(
+    "lsh_hyperplane_topk",
+    tags=("similarity", "ann", "lsh"),
+    doc="Cosine-LSH ANN (random-hyperplane bucketing, the brief's "
+    "'LSH-bucketed variant'): 3 portable md5-derived hyperplanes "
+    "bucket the corpus; each query searches only its own bucket, "
+    "exact cosine + top-5 within it. Same algorithm in the oracle, "
+    "so the approximation is hash-checked deterministically. See "
+    "module docstring for the measured recall tradeoff on this corpus.",
+    oracle=f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        bucketed AS (
+          SELECT vec_id, emb, {_duck_bucket("emb")} AS bucket
+          FROM emb
+        ),
+        q AS (SELECT vec_id AS qid, emb AS qe, bucket FROM bucketed WHERE vec_id < 8)
+        SELECT qid, bucket, cid, round(score, 6) AS score, rank
+        FROM (
+          SELECT q.qid, q.bucket, c.vec_id AS cid,
+                 list_cosine_similarity(q.qe, c.emb) AS score,
+                 row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(q.qe, c.emb) DESC, c.vec_id) AS rank
+          FROM q JOIN bucketed c
+            ON c.bucket = q.bucket AND c.vec_id != q.qid
+        ) t
+        WHERE rank <= 5
+        ORDER BY qid, rank
+    """,
+)
+def lsh_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.catalog import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    # materialize buckets behind a barrier: the bucket expression is
+    # n_planes × O(dim) md5 dots and must not be re-inlined per branch
+    bucketed = e.select("vec_id", "emb", lsh_bucket(F.col("emb")).alias("bucket")).repartition(
+        32, "bucket"
+    )
+    q = bucketed.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe"), "bucket"
+    )
+    c = bucketed.select(F.col("vec_id").alias("cid"), F.col("emb").alias("ce"), "bucket")
+    scored = F.broadcast(q).join(c, ["bucket"]).filter(F.col("cid") != F.col("qid")).select(
+        "qid", "bucket", "cid", cosine(F.col("qe"), F.col("ce")).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "bucket", "cid", F.round("score", 6).alias("score"), "rank")
+        .orderBy("qid", "rank")
+    )
