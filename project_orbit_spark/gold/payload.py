@@ -38,6 +38,7 @@ def assemble_payload(customer: DataFrame, orders: DataFrame) -> DataFrame:
 
 @register(
     "payload_assembly_nested",
+    bench=True,
     tags=("gold", "nested"),
     doc="J8 payload assembly (ref src/structured_extraction_v2.py:"
     "3484-3494): nested order arrays per customer, then scalar "

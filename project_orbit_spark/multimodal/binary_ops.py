@@ -92,6 +92,7 @@ def make_feature_extractor():
 
 @register(
     "multimodal_features",
+    bench=True,
     tags=("multimodal", "pandas_udf"),
     doc="Multimodal feature extraction: binary assets derived from "
     "documents, processed via mapInPandas (Arrow batches) into "

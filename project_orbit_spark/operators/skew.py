@@ -39,6 +39,7 @@ def salted_join(
 
 @register(
     "salted_skew_join",
+    bench=True,
     tags=("join", "skew"),
     doc="Salted join over an artificially skewed key (half of all "
     "orders funneled onto one hot key): fact side salted by xxhash64, "

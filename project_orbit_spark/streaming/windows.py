@@ -136,6 +136,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "session_windows_30m",
+    bench=True,
     tags=("streaming", "session"),
     doc="Session windows with a 30-minute gap per user (Spark native "
     "session_window; oracle = gaps-and-islands with lag). A new "
