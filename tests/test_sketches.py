@@ -1,0 +1,64 @@
+"""Error-bound tests for sketch aggregates: rows-only queries still
+get quantitative verification — approximation error vs the exact
+answer, not hash equality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_orbit_spark.catalog import load
+from project_orbit_spark.operators.sketches import (
+    approx_distinct_sketch,
+    approx_percentile_sketch,
+)
+from tests.conftest import SF_DIR
+
+
+def test_hll_within_3rsd_of_exact(spark):
+    """Every HLL column bounded vs its exact twin. approx_count_distinct
+    defaults to rsd=0.05 (a 1-sigma relative deviation) — assert 3×rsd
+    so the bound is honest at any scale factor, plus an absolute floor
+    for tiny cardinalities."""
+    approx = {
+        r["event_type"]: (r["approx_users"], r["approx_days"], r["approx_prop_values"])
+        for r in approx_distinct_sketch(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: (r["nu"], r["nd"], r["np"])
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("nu"),
+            F.countDistinct(F.date_format("ts", "yyyy-MM-dd")).alias("nd"),
+            F.countDistinct(F.get_json_object("props", "$.k")).alias("np"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        for got, want in zip(approx[k], exact[k]):
+            assert want > 0, (k, exact[k])
+            assert abs(got - want) <= max(2, 3 * 0.05 * want), (k, got, want)
+
+
+def test_approx_percentiles_near_exact(spark):
+    approx = {
+        r["o_orderstatus"]: (r["ap50"], r["ap90"], r["ap99"])
+        for r in approx_percentile_sketch(spark, SF_DIR).collect()
+    }
+    exact_rows = (
+        load(spark, SF_DIR, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+            F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    )
+    # percentile_approx returns an actual data value nearest the rank;
+    # allow 2% relative slack vs the interpolated exact value
+    for r in exact_rows:
+        a = approx[r["o_orderstatus"]]
+        for got, want in zip(a, (r["p50"], r["p90"], r["p99"])):
+            assert abs(got - want) <= 0.02 * abs(want) + 1e-6, (r["o_orderstatus"], got, want)
