@@ -64,3 +64,46 @@ def test_stateful_running_totals_stream_matches_batch(spark):
         for r in stateful_running_user_totals(spark, SF_DIR).collect()
     }
     assert got == batch
+
+
+@pytest.mark.timeout(240)
+def test_stream_upsert_foreachbatch_idempotent(spark, tmp_path):
+    """ST1 streaming sink: foreachBatch upsert lands every event once;
+    re-running the stream from scratch (same data, fresh checkpoint)
+    leaves the state unchanged — the MERGE-idempotence that makes
+    incremental reruns safe."""
+    from pyspark.sql import functions as F
+
+    from project_orbit_spark.sources.connectors import stream_upsert_foreachbatch
+
+    state = str(tmp_path / "state")
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(SF_DIR)
+            .select("event_id", "user_id", "event_type")
+        )
+        q = (
+            stream_upsert_foreachbatch(spark, stream, state, "event_id")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(state).count()
+    run_once()  # second full pass: upsert, not append
+    again = spark.read.parquet(state)
+    assert again.count() == first
+    expected = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_id").distinct().count()
+    )
+    assert first == expected
+    assert again.select(F.countDistinct("event_id")).collect()[0][0] == expected
