@@ -136,3 +136,48 @@ def order_gap_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "rolling_30d_revenue",
+    tags=("window", "range-frame"),
+    doc="Rolling 30-day revenue per customer — RANGE BETWEEN INTERVAL "
+    "frame (time-based, not row-based: the frame holds every order in "
+    "the trailing 30 days regardless of count). Complements the "
+    "ROWS-frame queries; sampled to 1-in-5 customers.",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+                 AS rolling_30d,
+               CAST(count(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS n_in_window
+        FROM orders
+        WHERE o_custkey % 5 = 0
+        ORDER BY o_custkey, o_orderkey
+    """,
+)
+def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 5 == 0)
+    # RANGE frame over seconds-since-epoch: 30 days = 2,592,000 s.
+    # (Spark's rangeBetween needs a numeric ordering key; DuckDB takes
+    # the INTERVAL form directly — same frame semantics.)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 24 * 3600, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_30d"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_in_window"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

@@ -71,8 +71,10 @@ def brute_force_topk(
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keeps the raw float column alongside the double view: centroids()
+    # explodes the RAW column (see its docstring for why)
     return load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("emb")
+        "vec_id", "label", "embedding", as_double("embedding").alias("emb")
     )
 
 
@@ -167,9 +169,17 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def centroids(emb: DataFrame) -> DataFrame:
     """Per-label centroid vectors, each dimension rounded to 6dp so
     cross-engine / cross-run float summation order is irrelevant.
-    Explode → partial-aggregated avg per (label, dim) → reassemble."""
+    Explode → partial-aggregated avg per (label, dim) → reassemble.
+
+    The cast-to-double happens AFTER the explode: exploding the
+    derived ``emb`` column would let Generate re-inline the array
+    transform and re-evaluate the O(dim) cast per output row
+    (O(dim²) per vector — the CollapseProject trap again)."""
+    src = emb.select("label", F.posexplode("embedding").alias("dim", "fval")) if (
+        "embedding" in emb.columns
+    ) else emb.select("label", F.posexplode("emb").alias("dim", "fval"))
     return (
-        emb.select("label", F.posexplode("emb").alias("dim", "val"))
+        src.select("label", "dim", F.col("fval").cast("double").alias("val"))
         .groupBy("label", "dim")
         .agg(F.round(F.avg("val"), 6).alias("cval"))
         .groupBy("label")
