@@ -427,3 +427,73 @@ def simhash_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .orderBy("left_id", "right_id")
     )
+
+
+@register(
+    "levenshtein_name_dedup",
+    tags=("dedup", "fuzzy"),
+    doc="Edit-distance near-dup names (fuzzy complement of A8's exact "
+    "keys): pseudonymous handles derived from md5 (TPC-H names are "
+    "sequential digits — any fixed-prefix block over them is either "
+    "constant or digit-collision noise), typo'd variants injected "
+    "(last char substituted), pairs at levenshtein ≤ 2 within an "
+    "8-char-prefix block. Hash-derived names make blocks distribute "
+    "(no single hot key) and keep random pairs far above the "
+    "threshold, so matches are the actual typos.",
+    oracle="""
+        WITH names AS (
+          SELECT c_custkey AS id,
+                 'cust-' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS name
+          FROM customer WHERE c_custkey % 15 = 0
+          UNION ALL
+          SELECT c_custkey + 100000 AS id,
+                 'cust-' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 11) || 'X' AS name
+          FROM customer WHERE c_custkey % 45 = 0
+        )
+        SELECT left_id, right_id, edit_distance
+        FROM (
+          SELECT a.id AS left_id, b.id AS right_id,
+                 CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance
+          FROM names a
+          JOIN names b
+            ON substring(a.name, 1, 8) = substring(b.name, 1, 8) AND a.id < b.id
+        ) t
+        WHERE edit_distance <= 2
+        ORDER BY left_id, right_id
+    """,
+)
+def levenshtein_name_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    handle = F.concat(
+        F.lit("cust-"), F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12)
+    )
+    typo = F.concat(
+        F.lit("cust-"),
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 11),
+        F.lit("X"),
+    )
+    base = c.filter(F.col("c_custkey") % 15 == 0).select(
+        F.col("c_custkey").alias("id"), handle.alias("name")
+    )
+    typos = c.filter(F.col("c_custkey") % 45 == 0).select(
+        (F.col("c_custkey") + 100000).alias("id"), typo.alias("name")
+    )
+    names = base.unionByName(typos)
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.name").substr(1, 8) == F.col("b.name").substr(1, 8))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("left_id"),
+            F.col("b.id").alias("right_id"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).cast("long").alias(
+                "edit_distance"
+            ),
+        )
+        .filter(F.col("edit_distance") <= 2)
+        .orderBy("left_id", "right_id")
+    )

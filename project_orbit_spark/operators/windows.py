@@ -181,3 +181,31 @@ def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "rank_family_quartiles",
+    tags=("window", "rank"),
+    doc="Rank-function family completeness: ntile quartiles, "
+    "percent_rank and cume_dist over customer balances per segment "
+    "(deterministic tie-break on custkey baked into the ordering).",
+    oracle="""
+        SELECT c_mktsegment, c_custkey,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_mktsegment, c_custkey
+    """,
+)
+def rank_family_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_mktsegment", "c_custkey")
