@@ -189,3 +189,41 @@ def llm_extract_funding_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round_name",
         "valid",
     ).orderBy("press_id")
+
+
+def with_retries(
+    fn: Callable,
+    max_retries: int = 5,
+    base_delay: float = 0.2,
+    max_delay: float = 30.0,
+    sleep: Callable[[float], None] | None = None,
+):
+    """E1 retry policy (ref exp backoff src/services/embeddings.py:
+    40-104; constants documented in BASELINE.md): exponential backoff
+    with jitter around a provider call. Wrap the provider INSIDE the
+    Arrow closure so retries happen executor-side per batch;
+    spark.task.maxFailures remains the outer loop.
+
+    ``sleep`` is injectable for tests; jitter derives from the attempt
+    count (deterministic — no wall-clock randomness in the engine).
+    """
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+
+    def call(*args, **kwargs):
+        last_exc: Exception | None = None
+        for attempt in range(max_retries + 1):
+            try:
+                return fn(*args, **kwargs)
+            except Exception as exc:  # noqa: BLE001 — provider errors are opaque
+                last_exc = exc
+                if attempt == max_retries:
+                    break
+                delay = min(base_delay * (2**attempt), max_delay)
+                # deterministic jitter in [0, delay/4) from the attempt
+                jitter = (attempt * 2654435761 % 1000) / 1000.0 * delay / 4
+                do_sleep(delay + jitter)
+        raise last_exc  # type: ignore[misc]
+
+    return call

@@ -42,3 +42,37 @@ def test_library_primitives(spark):
         slugify(F.col("s")).alias("v")
     ).collect()
     assert s[0]["v"] == "hello_world_2024_launch"
+
+
+def test_retry_wrapper_backs_off_then_succeeds():
+    from project_orbit_spark.functions.inference import with_retries
+
+    calls = {"n": 0}
+    delays: list[float] = []
+
+    def flaky(x):
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise ConnectionError("transient")
+        return x * 2
+
+    wrapped = with_retries(flaky, max_retries=5, base_delay=0.2, sleep=delays.append)
+    assert wrapped(21) == 42
+    assert calls["n"] == 4
+    # exponential schedule: base*2^k plus bounded jitter
+    assert len(delays) == 3
+    for k, d in enumerate(delays):
+        assert 0.2 * 2**k <= d <= 0.2 * 2**k * 1.25 + 1e-9
+
+
+def test_retry_wrapper_exhausts_and_raises():
+    import pytest as _pytest
+
+    from project_orbit_spark.functions.inference import with_retries
+
+    def always_fails():
+        raise TimeoutError("down")
+
+    wrapped = with_retries(always_fails, max_retries=2, sleep=lambda _d: None)
+    with _pytest.raises(TimeoutError):
+        wrapped()
