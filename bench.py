@@ -34,30 +34,38 @@ def main() -> None:
     # Warm the JVM + parquet footers once so timings measure the plan,
     # not first-touch JIT/IO (the driver's numbers then reflect steady
     # state, as a long-lived cluster would).
-    warm = next(iter(bench.values()))
-    warm.fn(spark, sf_dir).count()
+    try:
+        warm = next(iter(bench.values()))
+        warm.fn(spark, sf_dir).count()
+    except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
+        print(f"# warm-up failed: {type(exc).__name__}: {exc}", file=sys.stderr)
 
     total = 0.0
+    failures: list[str] = []
     for name, q in sorted(bench.items()):
         t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        n = len(df.collect())
+        try:
+            df = q.fn(spark, sf_dir)
+            n = len(df.collect())
+        except Exception as exc:  # noqa: BLE001 — one bad query must not kill the bench line
+            failures.append(name)
+            print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
+            continue
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_query_set_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failures:
+        payload["failed"] = failures
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
