@@ -187,16 +187,22 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "money_roundtrip",
     tags=("text", "regex"),
     doc="C2 money parser (ref src/scraper_v2.py:2835-2864): format "
-    "order totals as '$X.XK/M' strings then parse back to dollars — "
-    "exercises the regex + multiplier ladder deterministically.",
+    "order totals as '$X.XXK' strings then parse back to dollars — "
+    "exercises the regex + multiplier ladder deterministically. The "
+    "string derives from INTEGER arithmetic on floor(dollars): "
+    "float round() at a formatting boundary (e.g. 77.195) resolves "
+    "ties differently in Spark (decimal-string HALF_UP) vs DuckDB "
+    "(binary), so no float rounding may touch the planted string.",
     oracle="""
         WITH labeled AS (
           SELECT o_orderkey,
-                 CASE WHEN o_totalprice >= 1000000
-                      THEN '$' || CAST(round(o_totalprice / 1000000, 2) AS VARCHAR) || 'M'
-                      ELSE '$' || CAST(round(o_totalprice / 1000, 2) AS VARCHAR) || 'K'
-                 END AS money_str
-          FROM orders WHERE o_orderkey % 100 = 0
+                 '$' || CAST(whole // 1000 AS VARCHAR) || '.'
+                     || lpad(CAST((whole % 1000) // 10 AS VARCHAR), 2, '0') || 'K'
+                   AS money_str
+          FROM (
+            SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS whole
+            FROM orders WHERE o_orderkey % 100 = 0
+          )
         )
         SELECT o_orderkey, money_str,
                round(
@@ -210,19 +216,13 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def money_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
-    money_str = F.when(
-        F.col("o_totalprice") >= 1e6,
-        F.concat(
-            F.lit("$"),
-            F.round(F.col("o_totalprice") / 1e6, 2).cast("string"),
-            F.lit("M"),
-        ),
-    ).otherwise(
-        F.concat(
-            F.lit("$"),
-            F.round(F.col("o_totalprice") / 1e3, 2).cast("string"),
-            F.lit("K"),
-        )
+    whole = F.floor("o_totalprice").cast("long")
+    money_str = F.concat(
+        F.lit("$"),
+        F.floor(whole / 1000).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad(F.floor((whole % 1000) / 10).cast("long").cast("string"), 2, "0"),
+        F.lit("K"),
     )
     labeled = o.select("o_orderkey", money_str.alias("money_str"))
     return labeled.select(

@@ -67,8 +67,8 @@ def quality_score(text: Column, n_chars: Column) -> Column:
           FROM documents
         )
         SELECT doc_id, lang,
-               round(0.4 * len_score + 0.3 * least(stop_ratio * 4, 1.0)
-                     + 0.3 * alpha_ratio, 4) AS quality,
+               floor((0.4 * len_score + 0.3 * least(stop_ratio * 4, 1.0)
+                     + 0.3 * alpha_ratio) * 10000) / 10000 AS quality,
                CAST(0.4 * len_score + 0.3 * least(stop_ratio * 4, 1.0)
                     + 0.3 * alpha_ratio >= 0.5 AS BIGINT) AS keep
         FROM scored
@@ -78,10 +78,14 @@ def quality_score(text: Column, n_chars: Column) -> Column:
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     q = quality_score(F.col("text"), F.col("n_chars"))
+    # floor-quantize rather than round: Spark's round() resolves ties
+    # via the double's shortest DECIMAL string (HALF_UP) while DuckDB
+    # rounds on the binary value, so string-representable ties like
+    # .31525 flip between engines; floor has no tie path.
     return d.select(
         "doc_id",
         "lang",
-        F.round(q, 4).alias("quality"),
+        (F.floor(q * 10000) / 10000).alias("quality"),
         (q >= 0.5).cast("long").alias("keep"),
     ).orderBy("doc_id")
 
