@@ -353,3 +353,87 @@ def fuzzy_translate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("post_key", "post_id", "page_key", "page_url")
         .orderBy("post_key", "page_key")
     )
+
+
+@register(
+    "asof_event_join",
+    tags=("join", "asof", "timeseries"),
+    doc="True time-series ASOF join (generalizes J10 beyond latest-by-"
+    "key): for every purchase event, the user's most recent signup at "
+    "or before it. Spark face = the distributed ASOF pattern (tagged "
+    "union + last-ignorenulls carry-forward window — one shuffle on "
+    "user, no join node at all); oracle = DuckDB's native ASOF JOIN. "
+    "The right side is deduped per (user, ts) first so tie handling "
+    "is pinned in both engines.",
+    oracle="""
+        WITH purchases AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        signups AS (
+          SELECT user_id, ts, max(event_id) AS event_id
+          FROM events WHERE event_type = 'signup'
+          GROUP BY user_id, ts
+        )
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               s.event_id AS signup_id,
+               CAST(floor(epoch(p.ts)) - floor(epoch(s.ts)) AS BIGINT) AS gap_seconds
+        FROM purchases p
+        ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY purchase_id
+    """,
+)
+def asof_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.catalog import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    # tagged union: signup rows sort BEFORE purchase rows at equal ts
+    # (is_signup desc), so "at or before" includes same-instant signups
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("signup_id"),
+        F.lit(0).alias("is_signup"),
+    ).unionByName(
+        signups.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.col("event_id").alias("signup_id"),
+            F.lit(1).alias("is_signup"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("is_signup"), F.asc("signup_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_signup_id", F.last("signup_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "last_signup_ts",
+        F.last(F.when(F.col("is_signup") == 1, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter(F.col("purchase_id").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.col("last_signup_id").alias("signup_id"),
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("last_signup_ts")
+            ).alias("gap_seconds"),
+        )
+        .orderBy("purchase_id")
+    )
