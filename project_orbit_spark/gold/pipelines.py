@@ -118,10 +118,17 @@ def rag_index_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_idx",
         cosine(F.col("qe"), F.col("embedding")).alias("score"),
     )
+    # Distributed top-k: orderBy().limit() plans as TakeOrderedAndProject
+    # (per-partition heap + driver merge of 10-row heads) instead of
+    # funnelling every scored chunk through one task for a global
+    # row_number window. The rank window that remains runs over the
+    # already-collected 10 rows — a no-op at any scale.
+    top = scored.orderBy(
+        F.desc("score"), F.asc("doc_id"), F.asc("chunk_idx")
+    ).limit(10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"), F.asc("chunk_idx"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("doc_id", "chunk_idx", F.round("score", 6).alias("score"), "rank")
         .orderBy("rank")
     )

@@ -340,8 +340,14 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash"),
     doc="SimHash near-dup family: 16-bit simhash from token md5s "
     "(bit i set iff the weighted sum of per-token bits is positive), "
-    "pairs at hamming distance ≤ 3 within lang blocks over a "
-    "dup-injected corpus. Portable bit derivation: token md5 hex "
+    "pairs at hamming distance ≤ 3 over a dup-injected corpus. "
+    "Candidates come from 4×4-bit pigeonhole bands within (lang, "
+    "band_idx, band_value) buckets — hamming ≤ 3 can touch at most 3 "
+    "of 4 bands, so every qualifying pair shares ≥1 exact band and "
+    "banding is lossless: the result set (and oracle) is identical to "
+    "all-pairs, but the join is bucket-local instead of O(n²) per "
+    "lang block. At 100 TB the same shape widens to a 64-bit simhash "
+    "with 4×16-bit bands. Portable bit derivation: token md5 hex "
     "nibbles → bits, identical in both engines.",
     oracle="""
         WITH corpus AS (
@@ -384,46 +390,91 @@ def simhash_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.unionByName(near)
     toks = F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
-    tokdf = corpus.select("doc_id", "lang", toks.alias("toks"))
-    # bit i of simhash: majority vote of bit i of each token's 32-bit
-    # md5-prefix hash (conv hex→decimal, portable across engines)
-    sh = tokdf.select(
+    # per-token 32-bit hash (md5 hex prefix → decimal) computed ONCE;
+    # the repartition is a CollapseProject barrier — without it the
+    # md5+conv expression re-inlines into all 16 bit-vote lambdas
+    # (16× the hash work, same hazard as the MinHash path above)
+    hashed = corpus.select(
+        "doc_id",
+        "lang",
+        F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("double"),
+        ).alias("th"),
+    ).repartition(32, "doc_id")
+    # bit i of simhash: majority vote of bit i across token hashes.
+    # bit(i) via floor(h / 2^i) % 2 — the shift builtins require a
+    # literal shift amount, and 2^i stays exact in float64 for i < 53
+    sh = hashed.select(
         "doc_id",
         "lang",
         F.transform(
             F.sequence(F.lit(0), F.lit(15)),
-            # bit(i) of the 32-bit hash via floor(h / 2^i) % 2 — the
-            # shift builtins require a literal shift amount, and 2^i
-            # stays exact in float64 for i < 53
             lambda i: F.when(
                 2
                 * F.size(
                     F.filter(
-                        F.col("toks"),
-                        lambda t: F.floor(
-                            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("double")
-                            / F.pow(F.lit(2.0), i.cast("double"))
-                        ).cast("long")
+                        F.col("th"),
+                        lambda h: F.floor(h / F.pow(F.lit(2.0), i.cast("double"))).cast(
+                            "long"
+                        )
                         % 2
                         == 1,
                     )
                 )
-                >= F.size("toks"),
+                >= F.size("th"),
                 1,
             )
             .otherwise(0)
             .cast("int"),
         ).alias("bits"),
     )
-    a = sh.select(F.col("doc_id").alias("left_id"), F.col("lang"), F.col("bits").alias("ba"))
-    b = sh.select(F.col("doc_id").alias("right_id"), F.col("lang"), F.col("bits").alias("bb"))
+    # pigeonhole banding: 4 bands × 4 bits; band value packed to an int
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda bidx: F.struct(
+            bidx.cast("int").alias("band_idx"),
+            F.aggregate(
+                F.slice(F.col("bits"), bidx * 4 + 1, 4),
+                F.lit(0),
+                lambda s, v: s * 2 + v,
+            ).alias("band_val"),
+        ),
+    )
+    banded = sh.select(
+        "doc_id", "lang", "bits", F.explode(band_keys).alias("bk")
+    ).select(
+        "doc_id",
+        "lang",
+        "bits",
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_val").alias("band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("left_id"),
+        "lang",
+        "band_idx",
+        "band_val",
+        F.col("bits").alias("ba"),
+    )
+    b = banded.select(
+        F.col("doc_id").alias("right_id"),
+        "lang",
+        "band_idx",
+        "band_val",
+        F.col("bits").alias("bb"),
+    )
+    cand = (
+        a.join(b, ["lang", "band_idx", "band_val"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "ba", "bb")
+        .dropDuplicates(["left_id", "right_id"])
+    )
     hamming = F.aggregate(
         F.zip_with("ba", "bb", lambda x, y: (x != y).cast("int")), F.lit(0), lambda s, v: s + v
     )
     return (
-        a.join(b, "lang")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", hamming.cast("long").alias("hamming"))
+        cand.select("left_id", "right_id", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= 3)
         .orderBy("left_id", "right_id")
     )

@@ -52,3 +52,16 @@ def test_lsh_join_shuffles_on_buckets_not_cartesian(spark):
 def test_cosine_topk_broadcasts_queries(spark):
     f = facts("cosine_topk_exact", spark)
     assert f.n_broadcast_joins >= 1, "query set must broadcast; corpus streams"
+
+
+def test_rag_topk_is_distributed_take_ordered(spark):
+    # The global rank must be a per-partition heap + driver merge
+    # (TakeOrderedAndProject), never a single-partition window sort
+    f = facts("rag_index_and_search", spark)
+    assert "TakeOrderedAndProject" in f.text
+
+
+def test_simhash_join_is_banded_not_cartesian(spark):
+    f = facts("simhash_hamming_dups", spark)
+    assert "CartesianProduct" not in f.text
+    assert "band_val" in f.text, "pair join must be keyed on pigeonhole bands"
