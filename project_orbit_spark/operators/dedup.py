@@ -167,56 +167,83 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     tags=("dedup", "similarity"),
     doc="n-gram Jaccard near-dup scoring (scale path of E4): exact "
-    "token-set Jaccard between low-id docs of the same lang, "
-    "keeping pairs with similarity ≥ 0.5. Blocked by lang to bound "
-    "the pair space (the blocking pattern that survives 100 TB); "
-    "the library primitive word_shingles(n) generalizes to n-grams.",
+    "3-word-shingle Jaccard ≥ 0.5 over the FULL corpus, candidates "
+    "generated by PPJoin-style prefix filtering — shingles ordered by "
+    "ascending document frequency, a pair must share ≥1 shingle among "
+    "each side's floor((1-t)·|set|)+1 rarest, plus the |A|/|B| ∈ "
+    "[t, 1/t] length filter. Both filters are lossless for Jaccard ≥ "
+    "t, so the oracle deliberately uses a DIFFERENT algorithm "
+    "(all-pairs within lang) — a lossy blocking bug would hash-"
+    "mismatch. Rare-first ordering keeps prefix-token buckets small "
+    "under Zipfian skew (the property that matters at 100 TB).",
     oracle="""
         WITH shingled AS (
           SELECT doc_id, lang,
-                 list_distinct(toks) AS shingles
-          FROM (
-            SELECT doc_id, lang,
-                   string_split_regex(trim(lower(text)), '\\s+') AS toks
-            FROM documents WHERE doc_id < 60
-          )
+                 list_distinct([array_to_string(t[i:i+2], ' ')
+                                for i in range(1, greatest(len(t) - 2, 1) + 1)])
+                   AS shingles
+          FROM (SELECT doc_id, lang,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents)
         )
-        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-               round(
-                 len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-                 len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE,
-               4) AS jaccard
-        FROM shingled a
-        JOIN shingled b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE round(
-                len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-                len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE,
-              4) >= 0.5
+        SELECT left_id, right_id, jaccard FROM (
+          SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                 round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                       len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE,
+                 4) AS jaccard
+          FROM shingled a
+          JOIN shingled b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        ) t
+        WHERE jaccard >= 0.5
         ORDER BY left_id, right_id
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = 0.5
     d = (
         load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 60)
-        .select("doc_id", "lang", word_shingles("text", 1).alias("shingles"))
+        .select("doc_id", "lang", word_shingles("text", 3).alias("sh"))
+        .repartition(32, "doc_id")  # barrier: shingle once, not per consumer
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
-    jac = inter.cast("double") / union.cast("double")
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    ex = d.select("doc_id", "lang", F.explode("sh").alias("tok"))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc shingles re-ordered rarest-first (global df, then lexicographic)
+    ordered = (
+        ex.join(dfreq, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("st"))
         .select(
-            F.col("a.doc_id").alias("left_id"),
-            F.col("b.doc_id").alias("right_id"),
-            F.round(jac, 4).alias("jaccard"),
+            "doc_id",
+            "lang",
+            F.transform("st", lambda s: s["tok"]).alias("sh"),
+            F.size("st").alias("sz"),
         )
-        .filter(F.col("jaccard") >= 0.5)
+    )
+    pref_len = (F.floor(F.lit(1.0 - t) * F.col("sz")) + 1).cast("int")
+    pref = ordered.select(
+        "doc_id", "lang", "sz", F.explode(F.slice("sh", F.lit(1), pref_len)).alias("tok")
+    )
+    a = pref.select(F.col("doc_id").alias("left_id"), "lang", F.col("sz").alias("sz_a"), "tok")
+    b = pref.select(F.col("doc_id").alias("right_id"), "lang", F.col("sz").alias("sz_b"), "tok")
+    cand = (
+        a.join(b, ["lang", "tok"])
+        .filter(
+            (F.col("left_id") < F.col("right_id"))
+            & (F.least("sz_a", "sz_b") >= F.lit(t) * F.greatest("sz_a", "sz_b"))
+        )
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    sa = ordered.select(F.col("doc_id").alias("left_id"), F.col("sh").alias("sh_a"))
+    sb = ordered.select(F.col("doc_id").alias("right_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    return (
+        cand.join(sa, "left_id")
+        .join(sb, "right_id")
+        .select("left_id", "right_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
         .orderBy("left_id", "right_id")
     )
 
