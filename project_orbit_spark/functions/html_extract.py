@@ -149,3 +149,559 @@ def html_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", html_page(F.col("doc_id"), F.col("text"), F.col("source")).alias("html")
     )
     return pages.mapInPandas(make_html_extractor(), EXTRACT_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C16 full metadata family: OG / Twitter / canonical / author / robots / lang
+
+
+def _meta_page(doc_id: int, lang: str, source: str, text: str) -> str:
+    """Deterministic metadata-rich page (ref src/scraper_v2.py:120-179
+    OG loop, :353-410 meta walk): canonical link, og:*, twitter:*,
+    author/keywords/robots metas, html[lang]."""
+    t20 = text[:20]
+    robots = "index,follow" if doc_id % 2 == 0 else "noindex"
+    return (
+        f'<html lang="{lang}"><head><title>{t20}</title>'
+        f'<link rel="canonical" href="https://site.example/{source}/{doc_id}">'
+        f'<meta property="og:title" content="OG {t20}">'
+        f'<meta property="og:image" content="https://img.example/{doc_id}.jpg">'
+        f'<meta name="twitter:card" content="summary">'
+        f'<meta name="twitter:title" content="TW {doc_id}">'
+        f'<meta name="author" content="author-{doc_id % 7}">'
+        f'<meta name="keywords" content="k{doc_id % 3},k{doc_id % 5},shared">'
+        f'<meta name="robots" content="{robots}">'
+        "</head><body><p>x</p></body></html>"
+    )
+
+
+META_SCHEMA = (
+    "doc_id long, lang_attr string, canonical string, og_title string, "
+    "og_image string, twitter_card string, twitter_title string, "
+    "author string, robots string, n_keywords long"
+)
+
+
+def make_meta_extractor():
+    """C16 metadata walk (ref src/scraper_v2.py:145-156 og:*, :150-155
+    twitter:*, :353-410 name/property dispatch, canonical, html[lang])
+    as an event-driven stdlib parse — og:*/twitter:* collected as open
+    namespaces, not hardcoded fields."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+        from html.parser import HTMLParser
+
+        class MetaParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.og: dict[str, str] = {}
+                self.tw: dict[str, str] = {}
+                self.meta: dict[str, str] = {}
+                self.canonical = ""
+                self.lang = ""
+
+            def handle_starttag(self, tag, attrs):
+                a = dict(attrs)
+                if tag == "html":
+                    self.lang = a.get("lang", "") or self.lang
+                elif tag == "meta":
+                    name = a.get("name", "") or a.get("property", "") or a.get(
+                        "http-equiv", ""
+                    )
+                    content = a.get("content", "")
+                    if name.startswith("og:"):
+                        self.og[name[3:]] = content
+                    elif name.startswith("twitter:"):
+                        self.tw[name[8:]] = content
+                    elif name:
+                        self.meta[name.lower()] = content
+                elif tag == "link" and a.get("rel") == "canonical":
+                    self.canonical = a.get("href", "")
+
+        def parse_one(html: str) -> dict:
+            p = MetaParser()
+            p.feed(html)
+            kws = [k.strip() for k in p.meta.get("keywords", "").split(",") if k.strip()]
+            return {
+                "lang_attr": p.lang,
+                "canonical": p.canonical,
+                "og_title": p.og.get("title", ""),
+                "og_image": p.og.get("image", ""),
+                "twitter_card": p.tw.get("card", ""),
+                "twitter_title": p.tw.get("title", ""),
+                "author": p.meta.get("author", ""),
+                "robots": p.meta.get("robots", ""),
+                "n_keywords": len(kws),
+            }
+
+        for pdf in batches:
+            out = _pd.DataFrame(list(pdf["html"].map(parse_one)))
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out["n_keywords"] = out["n_keywords"].astype("int64")
+            yield out
+
+    return extract
+
+
+@register(
+    "html_meta_inventory",
+    tags=("html", "pandas_udf"),
+    doc="C16 full metadata inventory (ref src/scraper_v2.py:120-179 "
+    "OG/Twitter loops, :353-410 meta-name dispatch + canonical + "
+    "html[lang]): open-namespace og:*/twitter:* collection, author/"
+    "keywords/robots metas, canonical link — event-driven stdlib "
+    "parse over metadata-rich templated pages; oracle re-derives each "
+    "field from the template inputs.",
+    oracle="""
+        SELECT doc_id,
+               lang AS lang_attr,
+               'https://site.example/' || source || '/' || CAST(doc_id AS VARCHAR)
+                 AS canonical,
+               'OG ' || substring(text, 1, 20) AS og_title,
+               'https://img.example/' || CAST(doc_id AS VARCHAR) || '.jpg' AS og_image,
+               'summary' AS twitter_card,
+               'TW ' || CAST(doc_id AS VARCHAR) AS twitter_title,
+               'author-' || CAST(doc_id % 7 AS VARCHAR) AS author,
+               CASE WHEN doc_id % 2 = 0 THEN 'index,follow' ELSE 'noindex' END
+                 AS robots,
+               CAST(3 AS BIGINT) AS n_keywords
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def html_meta_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+
+    def template_then_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        inner = make_meta_extractor()
+
+        def paged():
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "html": [
+                            _meta_page(r.doc_id, r.lang, r.source, r.text)
+                            for r in pdf.itertuples()
+                        ],
+                    }
+                )
+
+        yield from inner(paged())
+
+    return d.mapInPandas(template_then_parse, META_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C18 job-card extraction: table listings + link-pattern heuristics
+
+
+def _careers_page(doc_id: int) -> str:
+    """Careers page: a job table (Title/Location/Department headers,
+    doc_id%4 rows, per-row apply link) plus, for every 5th doc, a
+    loose job link outside the table (ref's link-pattern stage)."""
+    n = doc_id % 4
+    rows = "".join(
+        f'<tr><td>Engineer {doc_id}-{i}</td><td>City{i}</td>'
+        f'<td>Dept{(doc_id + i) % 3}</td>'
+        f'<td><a href="/job/{doc_id}/{i}">apply</a></td></tr>'
+        for i in range(n)
+    )
+    tail = (
+        f'<a href="/job/x-{doc_id}">Senior Engineer Opening {doc_id}</a>'
+        if doc_id % 5 == 0
+        else ""
+    )
+    return (
+        "<html><body><h1>Careers</h1>"
+        "<table><tr><th>Title</th><th>Location</th><th>Department</th>"
+        f"<th>Apply</th></tr>{rows}</table>{tail}</body></html>"
+    )
+
+
+JOBS_SCHEMA = (
+    "doc_id long, title string, location string, department string, "
+    "href string, src string"
+)
+
+_JOB_HEADERS = {"title", "position", "role", "location", "department"}
+
+
+def make_job_extractor():
+    """C18 job-card extraction (ref src/scraper_v2.py:586-637): stage
+    5 — tables whose th headers name job fields, one job per data row
+    with the row's apply href; stage 6 — anchors outside tables whose
+    href matches /job/ and whose text is title-length (10..150)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+        from html.parser import HTMLParser
+
+        class JobParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.jobs: list[dict] = []
+                self._table_depth = 0
+                self._rows: list[tuple[list[str], str | None, bool]] = []
+                self._cells: list[str] = []
+                self._cell: list[str] | None = None
+                self._row_href: str | None = None
+                self._row_has_th = False
+                self._is_job_table = False
+                self._a_href: str | None = None
+                self._a_text: list[str] = []
+
+            # real-world tables omit closing </td>/</tr>; browsers imply
+            # closure at the next cell/row/table boundary, so flush there
+            def _flush_cell(self):
+                if self._cell is not None:
+                    self._cells.append("".join(self._cell).strip())
+                self._cell = None
+
+            def _flush_row(self):
+                self._flush_cell()
+                if self._row_has_th:
+                    headers = {c.lower() for c in self._cells}
+                    self._is_job_table = bool(headers & _JOB_HEADERS)
+                elif self._is_job_table and len(self._cells) >= 2:
+                    self.jobs.append(
+                        {
+                            "title": self._cells[0],
+                            "location": self._cells[1] if len(self._cells) > 1 else None,
+                            "department": self._cells[2] if len(self._cells) > 2 else None,
+                            "href": self._row_href,
+                            "src": "table",
+                        }
+                    )
+                self._cells, self._row_href = [], None
+                self._row_has_th = False
+
+            def handle_starttag(self, tag, attrs):
+                a = dict(attrs)
+                if tag == "table":
+                    self._table_depth += 1
+                    self._is_job_table = False
+                elif self._table_depth:
+                    if tag == "tr":
+                        self._flush_row()
+                    elif tag in ("td", "th"):
+                        self._flush_cell()
+                        self._cell = []
+                        self._row_has_th = self._row_has_th or tag == "th"
+                    elif tag == "a" and "href" in a:
+                        self._row_href = a["href"]
+                elif tag == "a" and "href" in a:
+                    self._a_href, self._a_text = a["href"], []
+
+            def handle_endtag(self, tag):
+                if tag == "table":
+                    self._flush_row()
+                    self._table_depth = max(0, self._table_depth - 1)
+                elif self._table_depth and tag in ("td", "th"):
+                    self._flush_cell()
+                elif self._table_depth and tag == "tr":
+                    self._flush_row()
+                elif tag == "a" and self._a_href is not None:
+                    text = "".join(self._a_text).strip()
+                    if "/job/" in self._a_href and 10 < len(text) < 150:
+                        self.jobs.append(
+                            {
+                                "title": text,
+                                "location": None,
+                                "department": None,
+                                "href": self._a_href,
+                                "src": "link_pattern",
+                            }
+                        )
+                    self._a_href = None
+
+            def handle_data(self, data):
+                if self._cell is not None:
+                    self._cell.append(data)
+                elif self._a_href is not None:
+                    self._a_text.append(data)
+
+        def parse_one(html: str) -> list[dict]:
+            p = JobParser()
+            p.feed(html)
+            return p.jobs
+
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples():
+                jobs = parse_one(r.html)
+                if jobs:
+                    f = _pd.DataFrame(jobs)
+                    f.insert(0, "doc_id", r.doc_id)
+                    frames.append(f)
+            if frames:
+                yield _pd.concat(frames, ignore_index=True)
+
+    return extract
+
+
+@register(
+    "html_job_cards",
+    tags=("html", "pandas_udf"),
+    doc="C18 job-card extraction (ref src/scraper_v2.py:586-637): "
+    "header-sniffed table listings (stage 5) + /job/-href link "
+    "heuristics outside tables (stage 6), one output row per job. "
+    "Oracle regenerates both families from the template arithmetic "
+    "(doc_id%4 table rows, every-5th loose link).",
+    oracle="""
+        WITH tbl AS (
+          SELECT doc_id,
+                 'Engineer ' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+                   AS title,
+                 'City' || CAST(i AS VARCHAR) AS location,
+                 'Dept' || CAST((doc_id + i) % 3 AS VARCHAR) AS department,
+                 '/job/' || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+                   AS href,
+                 'table' AS src
+          FROM documents, UNNEST(range(0, doc_id % 4)) AS t(i)
+        ),
+        links AS (
+          SELECT doc_id,
+                 'Senior Engineer Opening ' || CAST(doc_id AS VARCHAR) AS title,
+                 CAST(NULL AS VARCHAR) AS location,
+                 CAST(NULL AS VARCHAR) AS department,
+                 '/job/x-' || CAST(doc_id AS VARCHAR) AS href,
+                 'link_pattern' AS src
+          FROM documents WHERE doc_id % 5 = 0
+        )
+        SELECT * FROM (SELECT * FROM tbl UNION ALL SELECT * FROM links) u
+        ORDER BY doc_id, src, href
+    """,
+)
+def html_job_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def template_then_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        inner = make_job_extractor()
+
+        def paged():
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "html": pdf["doc_id"].map(_careers_page),
+                    }
+                )
+
+        yield from inner(paged())
+
+    return d.mapInPandas(template_then_parse, JOBS_SCHEMA).orderBy("doc_id", "src", "href")
+
+
+# ---------------------------------------------------------------------------
+# C19 article extraction: JSON-LD → OpenGraph → title-tag cascade
+
+
+def _article_page(doc_id: int, text: str) -> str:
+    """Article page exercising the extraction cascade by doc_id%3:
+    0 → JSON-LD NewsArticle (headline/author/datePublished) present
+        alongside OG tags and a <title> (JSON-LD must win);
+    1 → OG tags + author meta + <time datetime> (OG must win);
+    2 → bare <title> only (last-resort fallback)."""
+    v = doc_id % 3
+    head = [f"<title>{'T ' if v < 2 else 'Plain Title '}{doc_id}</title>"]
+    if v == 0:
+        head.append(
+            '<script type="application/ld+json">'
+            '{"@type": "NewsArticle", "headline": "JL Title %d", '
+            '"author": {"name": "Jane %d"}, '
+            '"datePublished": "2024-0%d-01"}'
+            "</script>" % (doc_id, doc_id % 5, 1 + doc_id % 9)
+        )
+    if v < 2:
+        head.append(f'<meta property="og:title" content="OG Title {doc_id}">')
+        head.append(f'<meta property="og:description" content="OG Desc {doc_id}">')
+    if v == 1:
+        head.append(f'<meta name="author" content="Meta Author {doc_id % 5}">')
+        body_date = f'<time datetime="2024-11-0{1 + doc_id % 9}">then</time>'
+    else:
+        body_date = ""
+    return (
+        "<html><head>" + "".join(head) + "</head><body>"
+        f"{body_date}<article><p>{text}</p></article></body></html>"
+    )
+
+
+ARTICLE_SCHEMA = (
+    "doc_id long, title string, author string, date_published string, "
+    "excerpt string, word_count long, reading_time long, title_src string"
+)
+
+
+def make_article_extractor():
+    """C19 article extraction (ref src/scraper_v2.py:740-865): the
+    JSON-LD Article → OpenGraph → meta/title-tag cascade for
+    title/author/date/excerpt, content from the <article> element,
+    word count and ~200wpm reading time."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+
+        import pandas as _pd
+        from html.parser import HTMLParser
+
+        class ArticleParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.title_tag = ""
+                self.og: dict[str, str] = {}
+                self.meta: dict[str, str] = {}
+                self.jsonld: list[dict] = []
+                self.time_dt = ""
+                self.article_parts: list[str] = []
+                self._in_title = False
+                self._in_jsonld = False
+                self._article_depth = 0
+
+            def handle_starttag(self, tag, attrs):
+                a = dict(attrs)
+                if tag == "title":
+                    self._in_title = True
+                elif tag == "script" and a.get("type") == "application/ld+json":
+                    self._in_jsonld = True
+                elif tag == "meta":
+                    name = a.get("name", "") or a.get("property", "")
+                    if name.startswith("og:"):
+                        self.og[name[3:]] = a.get("content", "")
+                    elif name:
+                        self.meta[name.lower()] = a.get("content", "")
+                elif tag == "time" and "datetime" in a:
+                    self.time_dt = self.time_dt or a["datetime"]
+                elif tag == "article":
+                    self._article_depth += 1
+
+            def handle_endtag(self, tag):
+                if tag == "title":
+                    self._in_title = False
+                elif tag == "script":
+                    self._in_jsonld = False
+                elif tag == "article":
+                    self._article_depth = max(0, self._article_depth - 1)
+
+            def handle_data(self, data):
+                if self._in_title:
+                    self.title_tag += data
+                elif self._in_jsonld:
+                    try:
+                        obj = _json.loads(data)
+                    except ValueError:
+                        obj = None
+                    if isinstance(obj, dict):
+                        self.jsonld.append(obj)
+                    elif isinstance(obj, list):
+                        self.jsonld.extend(o for o in obj if isinstance(o, dict))
+                elif self._article_depth:
+                    self.article_parts.append(data)
+
+        def parse_one(html: str) -> dict:
+            p = ArticleParser()
+            p.feed(html)
+            title = author = date = excerpt = ""
+            title_src = ""
+            for item in p.jsonld:
+                if item.get("@type") in ("Article", "BlogPosting", "NewsArticle"):
+                    title = item.get("headline") or item.get("name") or ""
+                    au = item.get("author")
+                    author = au.get("name", "") if isinstance(au, dict) else (au or "")
+                    date = item.get("datePublished", "")
+                    excerpt = item.get("description", "")
+                    title_src = "json_ld" if title else ""
+            if not title and p.og.get("title"):
+                title, title_src = p.og["title"], "opengraph"
+            if not title:
+                title, title_src = p.title_tag.strip(), "title_tag"
+            if not excerpt:
+                excerpt = p.og.get("description", "") or p.meta.get("description", "")
+            if not author:
+                author = p.meta.get("author", "")
+            if not date:
+                date = p.time_dt or p.meta.get("article:published_time", "")
+            content = " ".join(s for s in (t.strip() for t in p.article_parts) if s)
+            wc = len(content.split())
+            return {
+                "title": title,
+                "author": author,
+                "date_published": date,
+                "excerpt": excerpt,
+                "word_count": wc,
+                "reading_time": max(1, wc // 200),
+                "title_src": title_src,
+            }
+
+        for pdf in batches:
+            out = _pd.DataFrame(list(pdf["html"].map(parse_one)))
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out["word_count"] = out["word_count"].astype("int64")
+            out["reading_time"] = out["reading_time"].astype("int64")
+            yield out
+
+    return extract
+
+
+@register(
+    "html_article_extract",
+    tags=("html", "pandas_udf"),
+    doc="C19 article extraction (ref src/scraper_v2.py:740-865): "
+    "JSON-LD NewsArticle → OpenGraph → title-tag cascade (templated "
+    "pages rotate which tier is authoritative via doc_id%3, so every "
+    "fallback path is exercised), content from <article>, word count "
+    "+ 200wpm reading time. Oracle reproduces the cascade with CASE "
+    "arithmetic over the template inputs.",
+    oracle="""
+        SELECT doc_id,
+               CASE doc_id % 3
+                 WHEN 0 THEN 'JL Title ' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN 'OG Title ' || CAST(doc_id AS VARCHAR)
+                 ELSE 'Plain Title ' || CAST(doc_id AS VARCHAR) END AS title,
+               CASE doc_id % 3
+                 WHEN 0 THEN 'Jane ' || CAST(doc_id % 5 AS VARCHAR)
+                 WHEN 1 THEN 'Meta Author ' || CAST(doc_id % 5 AS VARCHAR)
+                 ELSE '' END AS author,
+               CASE doc_id % 3
+                 WHEN 0 THEN '2024-0' || CAST(1 + doc_id % 9 AS VARCHAR) || '-01'
+                 WHEN 1 THEN '2024-11-0' || CAST(1 + doc_id % 9 AS VARCHAR)
+                 ELSE '' END AS date_published,
+               CASE WHEN doc_id % 3 IN (0, 1)
+                 THEN 'OG Desc ' || CAST(doc_id AS VARCHAR) ELSE '' END AS excerpt,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS word_count,
+               CAST(greatest(1, len(string_split_regex(trim(text), '\\s+')) // 200)
+                 AS BIGINT) AS reading_time,
+               CASE doc_id % 3 WHEN 0 THEN 'json_ld'
+                 WHEN 1 THEN 'opengraph' ELSE 'title_tag' END AS title_src
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def html_article_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def template_then_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        inner = make_article_extractor()
+
+        def paged():
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "html": [
+                            _article_page(r.doc_id, r.text) for r in pdf.itertuples()
+                        ],
+                    }
+                )
+
+        yield from inner(paged())
+
+    return d.mapInPandas(template_then_parse, ARTICLE_SCHEMA).orderBy("doc_id")

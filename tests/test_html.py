@@ -1,0 +1,155 @@
+"""Messy-HTML edge cases for the C16/C18/C19 extractor family —
+the parsers are exercised directly on handcrafted pages (uppercase
+tags, unclosed elements, missing attributes, malformed JSON-LD),
+independent of the templated-corpus oracle path."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from project_orbit_spark.functions.html_extract import (
+    make_article_extractor,
+    make_job_extractor,
+    make_meta_extractor,
+)
+
+
+def run(extractor, html: str) -> pd.DataFrame:
+    batches = iter([pd.DataFrame({"doc_id": [1], "html": [html]})])
+    return pd.concat(list(extractor(batches)), ignore_index=True)
+
+
+def run_all(extractor, htmls: list[str]) -> pd.DataFrame:
+    batches = iter(
+        [pd.DataFrame({"doc_id": list(range(len(htmls))), "html": htmls})]
+    )
+    out = list(extractor(batches))
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(columns=["doc_id"])
+    )
+
+
+class TestMetaExtractor:
+    def test_uppercase_tags_and_attrs(self):
+        # html.parser lowercases tag/attr NAMES; values keep case
+        html = (
+            '<HTML LANG="en-US"><HEAD>'
+            '<META PROPERTY="og:title" CONTENT="Big Story">'
+            '<LINK REL="canonical" HREF="https://ex.com/a">'
+            "</HEAD></HTML>"
+        )
+        row = run(make_meta_extractor(), html).iloc[0]
+        assert row["lang_attr"] == "en-US"
+        assert row["og_title"] == "Big Story"
+        assert row["canonical"] == "https://ex.com/a"
+
+    def test_missing_content_attrs_default_empty(self):
+        html = '<html><head><meta name="author"><meta property="og:image"></head></html>'
+        row = run(make_meta_extractor(), html).iloc[0]
+        assert row["author"] == ""
+        assert row["og_image"] == ""
+        assert row["n_keywords"] == 0
+
+    def test_keywords_whitespace_and_empties_dropped(self):
+        html = '<meta name="keywords" content=" a , ,b,, c ">'
+        assert run(make_meta_extractor(), html).iloc[0]["n_keywords"] == 3
+
+    def test_last_meta_wins_and_unclosed_head(self):
+        html = (
+            '<html lang="fr"><head><meta name="robots" content="index">'
+            '<meta name="robots" content="noindex"><body>unclosed head'
+        )
+        row = run(make_meta_extractor(), html).iloc[0]
+        assert row["robots"] == "noindex"
+        assert row["lang_attr"] == "fr"
+
+
+class TestJobExtractor:
+    def test_table_without_job_headers_ignored(self):
+        html = (
+            "<table><tr><th>Qty</th><th>Price</th></tr>"
+            "<tr><td>3</td><td>9.99</td></tr></table>"
+        )
+        assert run_all(make_job_extractor(), [html]).empty
+
+    def test_unclosed_rows_and_mixed_case(self):
+        html = (
+            "<TABLE><TR><TH>Title</TH><TH>Location</TH>"
+            "<TR><TD>Dev</TD><TD>Berlin</TD>"
+            "<TR><TD>SRE</TD><TD>Lyon</TD></TABLE>"
+        )
+        out = run(make_job_extractor(), html)
+        assert list(out["title"]) == ["Dev", "SRE"]
+        assert list(out["location"]) == ["Berlin", "Lyon"]
+
+    def test_link_jobs_require_len_gate_and_job_href(self):
+        html = (
+            '<a href="/job/1">short</a>'  # too short
+            '<a href="/about">Senior Platform Engineer</a>'  # wrong href
+            '<a href="/job/2">Senior Platform Engineer</a>'  # valid
+        )
+        out = run(make_job_extractor(), html)
+        assert len(out) == 1
+        assert out.iloc[0]["href"] == "/job/2"
+        assert out.iloc[0]["src"] == "link_pattern"
+
+    def test_apply_links_inside_tables_not_double_counted(self):
+        html = (
+            "<table><tr><th>Title</th><th>Location</th></tr>"
+            '<tr><td>Lead Data Engineer Role</td><td>Oslo</td>'
+            '<td><a href="/job/9/0">apply</a></td></tr></table>'
+        )
+        out = run(make_job_extractor(), html)
+        assert len(out) == 1  # table row only; its <a> is not a link-job too
+        assert out.iloc[0]["src"] == "table"
+        assert out.iloc[0]["href"] == "/job/9/0"
+
+
+class TestArticleExtractor:
+    def test_jsonld_beats_og_beats_title(self):
+        html = (
+            '<script type="application/ld+json">'
+            '{"@type": "Article", "headline": "JL"}</script>'
+            '<meta property="og:title" content="OG"><title>TT</title>'
+        )
+        assert run(make_article_extractor(), html).iloc[0]["title"] == "JL"
+
+    def test_malformed_jsonld_falls_back_to_og(self):
+        html = (
+            '<script type="application/ld+json">{not json]</script>'
+            '<meta property="og:title" content="OG"><title>TT</title>'
+        )
+        row = run(make_article_extractor(), html).iloc[0]
+        assert row["title"] == "OG"
+        assert row["title_src"] == "opengraph"
+
+    def test_jsonld_author_as_plain_string(self):
+        html = (
+            '<script type="application/ld+json">'
+            '{"@type": "NewsArticle", "headline": "H", "author": "Ann"}</script>'
+        )
+        assert run(make_article_extractor(), html).iloc[0]["author"] == "Ann"
+
+    def test_wrong_type_jsonld_ignored(self):
+        html = (
+            '<script type="application/ld+json">'
+            '{"@type": "Organization", "name": "Acme"}</script><title>TT</title>'
+        )
+        row = run(make_article_extractor(), html).iloc[0]
+        assert row["title"] == "TT"
+        assert row["title_src"] == "title_tag"
+
+    def test_word_count_and_reading_time_floor(self):
+        words = " ".join(["w"] * 401)
+        html = f"<article><p>{words}</p></article><title>T</title>"
+        row = run(make_article_extractor(), html).iloc[0]
+        assert row["word_count"] == 401
+        assert row["reading_time"] == 2
+
+    def test_empty_article_reading_time_min_one(self):
+        html = "<title>T</title>"
+        row = run(make_article_extractor(), html).iloc[0]
+        assert row["word_count"] == 0
+        assert row["reading_time"] == 1
