@@ -55,46 +55,100 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+ATOM_FEED_SCHEMA = (
+    "struct<entry: array<struct<title:string, link:struct<_href:string>, "
+    "summary:string, content:string, published:string, updated:string, "
+    "author:struct<name:string>>>>"
+)
+
+
 def parse_rss_items(feeds: DataFrame, xml_col: str = "xml") -> DataFrame:
-    """S4 RSS scan (ref src/scraper_v2.py:972-1042): channel/item
-    blocks → one row per item with coalesce across tag variants.
-    Uses from_xml when available (Spark 4+), else a regex fallback
-    that handles the flat RSS-2.0 subset the reference consumes."""
+    """S4 feed scan, both dialects (ref src/scraper_v2.py:972-1042
+    RSS item loop; src/news_extractor.py:60-89 feedparser-normalized
+    entries): per-row dialect detection (<feed> root ⇒ Atom, else
+    RSS 2.0 channel/item), one output row per item/entry with the
+    reference's coalesce order across tag variants — summary|content
+    for the excerpt, published|updated for the date, link text (RSS)
+    vs link@href (Atom). Uses from_xml when available (Spark 4+),
+    else a regex fallback for the same subsets."""
+    xml = F.col(xml_col)
+    is_atom = xml.rlike(r"<feed[\s>]")
     try:
-        # from_xml binds the schema at the ROOT element (<rss>), so the
-        # channel wrapper must appear in the schema
-        parsed = feeds.withColumn(
-            "_ch",
-            F.from_xml(
-                F.col(xml_col),
-                "struct<channel: struct<item: array<struct<title:string, "
-                "link:string, description:string, pubDate:string>>>>",
-            ),
+        # from_xml binds the schema at the ROOT element (<rss>/<feed>),
+        # so the wrapper elements must appear in the schema
+        rss = (
+            feeds.filter(~is_atom)
+            .withColumn(
+                "_ch",
+                F.from_xml(
+                    xml,
+                    "struct<channel: struct<item: array<struct<title:string, "
+                    "link:string, description:string, pubDate:string, "
+                    "author:string>>>>",
+                ),
+            )
+            .select(F.col("feed_id"), F.explode("_ch.channel.item").alias("it"))
+            .select(
+                "feed_id",
+                F.col("it.title").alias("title"),
+                F.col("it.link").alias("url"),
+                F.col("it.description").alias("summary"),
+                F.col("it.pubDate").alias("published"),
+                F.col("it.author").alias("author"),
+            )
         )
-        items = parsed.select(
-            F.col("feed_id"), F.explode("_ch.channel.item").alias("it")
-        ).select(
-            "feed_id",
-            F.col("it.title").alias("title"),
-            F.col("it.link").alias("url"),
-            F.col("it.description").alias("summary"),
-            F.col("it.pubDate").alias("published"),
+        atom = (
+            feeds.filter(is_atom)
+            .withColumn("_fd", F.from_xml(xml, ATOM_FEED_SCHEMA))
+            .select(F.col("feed_id"), F.explode("_fd.entry").alias("it"))
+            .select(
+                "feed_id",
+                F.col("it.title").alias("title"),
+                F.col("it.link._href").alias("url"),
+                F.coalesce("it.summary", "it.content").alias("summary"),
+                F.coalesce("it.published", "it.updated").alias("published"),
+                F.col("it.author.name").alias("author"),
+            )
         )
-        return items
+        return rss.unionByName(atom)
     except Exception:  # noqa: BLE001 — from_xml unavailable: regex subset
-        item_re = r"(?s)<item>(.*?)</item>"
-        tag = lambda body, t: F.regexp_extract(body, rf"(?s)<{t}>(.*?)</{t}>", 1)
-        items = feeds.select(
+        tag = lambda body, t: F.regexp_extract(body, rf"(?s)<{t}[^>]*>(.*?)</{t}>", 1)
+        opt = lambda c: F.when(c != "", c)  # '' → null so coalesce works
+        rss = feeds.filter(~is_atom).select(
             "feed_id",
-            F.explode(F.regexp_extract_all(F.col(xml_col), F.lit(item_re), 1)).alias("body"),
+            F.explode(
+                F.regexp_extract_all(xml, F.lit(r"(?s)<item>(.*?)</item>"), 1)
+            ).alias("body"),
         )
-        return items.select(
+        rss = rss.select(
             "feed_id",
             tag(F.col("body"), "title").alias("title"),
             tag(F.col("body"), "link").alias("url"),
             tag(F.col("body"), "description").alias("summary"),
             tag(F.col("body"), "pubDate").alias("published"),
+            tag(F.col("body"), "author").alias("author"),
         )
+        atom = feeds.filter(is_atom).select(
+            "feed_id",
+            F.explode(
+                F.regexp_extract_all(xml, F.lit(r"(?s)<entry>(.*?)</entry>"), 1)
+            ).alias("body"),
+        )
+        atom = atom.select(
+            "feed_id",
+            tag(F.col("body"), "title").alias("title"),
+            F.regexp_extract(F.col("body"), r'<link[^>]*href="([^"]*)"', 1).alias("url"),
+            F.coalesce(
+                opt(tag(F.col("body"), "summary")), opt(tag(F.col("body"), "content"))
+            ).alias("summary"),
+            F.coalesce(
+                opt(tag(F.col("body"), "published")), opt(tag(F.col("body"), "updated"))
+            ).alias("published"),
+            F.regexp_extract(
+                F.col("body"), r"(?s)<author[^>]*>.*?<name>(.*?)</name>", 1
+            ).alias("author"),
+        )
+        return rss.unionByName(atom)
 
 
 def union_tagged_sources(**sources: DataFrame) -> DataFrame:

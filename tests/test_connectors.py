@@ -59,6 +59,45 @@ def test_parse_rss_items(spark):
     assert items[1]["published"].startswith("Tue")
 
 
+def test_parse_atom_entries(spark):
+    xml = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        "<title>Blog</title>"
+        "<entry><title>A1</title>"
+        '<link rel="alternate" href="http://b/1"/>'
+        "<summary>S1</summary><published>2024-01-05T00:00:00Z</published>"
+        "<author><name>Ann</name></author></entry>"
+        "<entry><title>A2</title>"
+        '<link href="http://b/2"/>'
+        "<content>C2</content><updated>2024-01-06T00:00:00Z</updated></entry>"
+        "</feed>"
+    )
+    feeds = spark.createDataFrame([(2, xml)], ["feed_id", "xml"])
+    items = parse_rss_items(feeds).orderBy("title").collect()
+    assert [r["title"] for r in items] == ["A1", "A2"]
+    assert items[0]["url"] == "http://b/1"
+    assert items[0]["author"] == "Ann"
+    # coalesce across tag variants: summary|content, published|updated
+    assert items[1]["summary"] == "C2"
+    assert items[1]["published"].startswith("2024-01-06")
+
+
+def test_mixed_feed_dialects_one_frame(spark):
+    rss = (
+        "<rss><channel><item><title>R</title><link>http://a/r</link>"
+        "<description>D</description><pubDate>Mon, 01 Jan 2024</pubDate>"
+        "</item></channel></rss>"
+    )
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom"><entry><title>A</title>'
+        '<link href="http://b/a"/><summary>S</summary>'
+        "<updated>2024-02-01T00:00:00Z</updated></entry></feed>"
+    )
+    feeds = spark.createDataFrame([(1, rss), (2, atom)], ["feed_id", "xml"])
+    items = parse_rss_items(feeds).orderBy("title").collect()
+    assert [(r["feed_id"], r["title"]) for r in items] == [(2, "A"), (1, "R")]
+
+
 def test_union_tagged_sources(spark):
     a = spark.createDataFrame([(1, "x")], ["id", "text"])
     b = spark.createDataFrame([(2, 3.5)], ["id", "score"])
