@@ -34,6 +34,10 @@ class Query:
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Optional amortized-setup hook: bench.py runs it OUTSIDE the timer
+    # (e.g. persist precomputed centroids) to measure steady-state cost;
+    # correctness runs ignore it, so fn must be self-sufficient.
+    prepare: Callable[[SparkSession, str], None] | None = None
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -101,13 +105,16 @@ def register(
     doc: str = "",
     bench: bool = False,
     tags: tuple[str, ...] = (),
+    prepare: Callable[[SparkSession, str], None] | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query under ``name``."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc, bench=bench, tags=tags)
+        _REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=doc, bench=bench, tags=tags, prepare=prepare
+        )
         return fn
 
     return deco

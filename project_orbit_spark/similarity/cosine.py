@@ -256,16 +256,7 @@ def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_topk",
-    bench=True,
-    tags=("similarity", "ann"),
-    doc="IVF-style approximate top-k (the 100 TB path for E2): route "
-    "each query to its nearest centroid, then exact cosine only "
-    "within that bucket (nprobe=1). Same algorithm declared in SQL, "
-    "so the oracle reproduces the approximation deterministically; "
-    "recall vs brute force is a tested property, not hash-checked.",
-    oracle=f"""
+_IVF_ORACLE = f"""
         WITH {_DUCK_EMB},
         {_DUCK_CENTROIDS},
         q AS (SELECT vec_id AS qid, emb AS qe FROM emb WHERE vec_id < 5),
@@ -290,11 +281,13 @@ def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         WHERE rank <= 5
         ORDER BY qid, rank
-    """,
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
-    cent = centroids(e)
+    """
+
+
+def ivf_topk(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """IVF core against a caller-supplied centroid table: route each
+    query to its nearest centroid (broadcast routing), exact cosine
+    within that bucket only (nprobe=1)."""
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("emb").alias("qe"))
     routed_w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("bucket"))
     routed = (
@@ -316,3 +309,52 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "bucket", "cid", F.round("score", 6).alias("score"), "rank")
         .orderBy("qid", "rank")
     )
+
+
+@register(
+    "ann_ivf_topk",
+    bench=True,
+    tags=("similarity", "ann"),
+    doc="IVF-style approximate top-k (the 100 TB path for E2): route "
+    "each query to its nearest centroid, then exact cosine only "
+    "within that bucket (nprobe=1). Same algorithm declared in SQL, "
+    "so the oracle reproduces the approximation deterministically; "
+    "recall vs brute force is a tested property, not hash-checked. "
+    "Centroids are derived inline here (cold path); the _warm twin "
+    "measures the amortized cost with a persisted centroid table.",
+    oracle=_IVF_ORACLE,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return ivf_topk(e, centroids(e))
+
+
+_CENTROID_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def warm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precompute + persist the per-label centroid table once per
+    (session, sf_dir) — at 100 TB centroids are a stored index
+    artifact refreshed offline, not something each query re-derives
+    from the full corpus (a posexplode of every vector)."""
+    key = (id(spark), sf_dir)
+    if key not in _CENTROID_CACHE:
+        c = centroids(_emb(spark, sf_dir)).persist()
+        c.count()
+        _CENTROID_CACHE[key] = c
+    return _CENTROID_CACHE[key]
+
+
+@register(
+    "ann_ivf_topk_warm",
+    bench=True,
+    tags=("similarity", "ann"),
+    doc="ann_ivf_topk with the centroid table persisted ahead of time "
+    "(registry prepare hook → bench.py runs it outside the timer): "
+    "measures the steady-state IVF probe cost alone. Same output, "
+    "same oracle as the cold twin.",
+    oracle=_IVF_ORACLE,
+    prepare=lambda spark, sf_dir: warm_centroids(spark, sf_dir) and None,
+)
+def ann_ivf_topk_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(_emb(spark, sf_dir), warm_centroids(spark, sf_dir))
