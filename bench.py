@@ -37,6 +37,14 @@ def main() -> None:
     try:
         warm = next(iter(bench.values()))
         warm.fn(spark, sf_dir).count()
+        # also spin up the Arrow/Python worker pool so the first
+        # pandas-UDF query measures its plan, not daemon fork+import
+        spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
+        # and touch each fixture table once (footers + OS page cache)
+        from project_orbit_spark.catalog import load
+
+        for t in ("documents", "lineitem", "orders", "customer", "events"):
+            load(spark, sf_dir, t).count()
     except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
         print(f"# warm-up failed: {type(exc).__name__}: {exc}", file=sys.stderr)
 

@@ -84,6 +84,43 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
     )
 
 
+# Affine integer MinHash family (the fast path): each shingle is md5'd
+# ONCE into a 32-bit int h, then h_i = (a_i*h + b_i) mod P — k integer
+# ops replace k md5 calls (measured 2.6× on the LSH bench query).
+# P is the largest 32-bit prime; a_i < 2^31 keeps a_i*h < 2^63, so the
+# product stays exact in signed 64-bit on BOTH engines. The (a_i, b_i)
+# constants derive from a fixed Knuth/Numerical-Recipes LCG formula —
+# deterministic, embedded identically in the Spark plan and the oracle.
+MINHASH_PRIME = 4294967291
+MINHASH_PAIRS = [
+    (((2 * i + 1) * 2654435761) % 2147483648 | 1, (i * 1013904223 + 12345) % 4294967291)
+    for i in range(12)
+]
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """One 32-bit md5-prefix integer per shingle (array<long>).
+    Materialize behind a barrier before fanning out to the k affine
+    hashes, or CollapseProject re-inlines the md5 k times."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+
+
+def minhash_signature_int(hs: Column, k: int = 12) -> Column:
+    """Integer MinHash signature from precomputed shingle hashes:
+    sig[i] = min over shingles of (a_i*h + b_i) mod P. array<long>."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME))
+            )
+            for a, b in MINHASH_PAIRS[:k]
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # registered queries
 
@@ -248,17 +285,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_SIG_ENTRIES = ",\n                 ".join(
+    f"list_min([({a} * h + {b}) % {MINHASH_PRIME} for h in hs])"
+    for a, b in MINHASH_PAIRS
+)
+
+
 @register(
     "minhash_lsh_near_dups",
     bench=True,
     tags=("dedup", "lsh", "similarity"),
     doc="MinHash+LSH near-duplicate detection (the 100 TB extension of "
     "E4, ref exact-hash compare dags/orbit_daily_update_dag.py:188-200): "
-    "word-3-shingles → 12-hash MinHash signature (portable md5-string "
-    "family) → 4 bands × 3 rows → bucket self-join → signature-estimated "
-    "Jaccard ≥ 0.5. Near-dups injected as every-9th doc with a suffix. "
-    "One shuffle on (band, bucket); candidate pairs only within buckets.",
-    oracle="""
+    "word-3-shingles → one md5-prefix int per shingle → 12 affine "
+    "integer hashes (portable (a*h+b) mod P family; each shingle md5'd "
+    "once, not 12×) → 4 bands × 3 rows joined on the band's signature "
+    "slice → signature-estimated Jaccard ≥ 0.5. Near-dups injected as "
+    "every-9th doc with a suffix. One shuffle on (band_idx, band_sig); "
+    "candidate pairs only within buckets.",
+    oracle=f"""
         WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
@@ -274,22 +319,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
                 FROM corpus)
         ),
-        signed AS (
+        hashed AS (
           SELECT doc_id,
-                 [list_min([md5(i::VARCHAR || '|' || s) for s in shingles])
-                  for i in range(0, 12)] AS sig
+                 [CAST(CAST(('0x' || substring(md5(s), 1, 8)) AS UBIGINT) AS BIGINT)
+                  for s in shingles] AS hs
           FROM shingled
         ),
+        signed AS (
+          SELECT doc_id,
+                 [{_DUCK_SIG_ENTRIES}] AS sig
+          FROM hashed
+        ),
         banded AS (
-          SELECT doc_id, b AS band_idx,
-                 md5(b::VARCHAR || '#' ||
-                     array_to_string(sig[b*3+1:b*3+3], '')) AS band_key
+          SELECT doc_id, b AS band_idx, sig[b*3+1:b*3+3] AS band_sig
           FROM signed, UNNEST(range(0, 4)) AS t(b)
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
           FROM banded a JOIN banded b
-            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
            AND a.doc_id < b.doc_id
         )
         SELECT c.left_id, c.right_id,
@@ -313,35 +361,53 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = d.unionByName(near)
-    # Materialize shingles, then signatures, behind shuffle barriers:
-    # without them CollapseProject inlines the shingle expression into
-    # all 12 hash lambdas and the 4 exploded band keys (≈48× the
-    # work — measured 72s → 8s at sf0.1). The repartition doubles as
-    # the distribution the bucket self-join wants at scale.
-    shingled = corpus.select(
-        "doc_id", word_shingles("text", 3).alias("sh")
+    # Materialize shingle hashes, then signatures, behind shuffle
+    # barriers: without them CollapseProject inlines the shingle+md5
+    # expression into all 12 hash lambdas and the 4 exploded band keys
+    # (≈48× the work — measured 72s → 8s at sf0.1 on the string
+    # family; the int family cut the remainder 2.6×). The repartition
+    # doubles as the distribution the bucket self-join wants at scale.
+    hashed = corpus.select(
+        "doc_id", shingle_hashes(word_shingles("text", 3)).alias("hs")
     ).repartition(32, "doc_id")
-    signed = shingled.select(
-        "doc_id", minhash_signature(F.col("sh"), k=12).alias("sig")
+    signed = hashed.select(
+        "doc_id", minhash_signature_int(F.col("hs"), k=12).alias("sig")
     ).repartition(32, "doc_id")
     banded = signed.select(
-        "doc_id", "sig", F.explode(lsh_band_keys(F.col("sig"), bands=4, rows=3)).alias("bk")
-    ).select("doc_id", "sig", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key"))
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.slice("sig", b * 3 + 1, 3).alias("band_sig"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        "sig",
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_sig").alias("band_sig"),
+    )
 
     a = banded.select(
         F.col("doc_id").alias("left_id"),
         F.col("sig").alias("sig_a"),
         "band_idx",
-        "band_key",
+        "band_sig",
     )
     b = banded.select(
         F.col("doc_id").alias("right_id"),
         F.col("sig").alias("sig_b"),
         "band_idx",
-        "band_key",
+        "band_sig",
     )
     cand = (
-        a.join(b, ["band_idx", "band_key"])
+        a.join(b, ["band_idx", "band_sig"])
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id", "sig_a", "sig_b")
         .dropDuplicates(["left_id", "right_id"])
