@@ -1,0 +1,344 @@
+"""Training-corpus curation operators — the pipeline stages between a
+raw 100 TB crawl and a training run that the reference's platform
+(corpus ingest + dedup + embedding, SURVEY.md §3.1) stops short of:
+deterministic splits, stratified sampling, sequence packing,
+benchmark-contamination checks, PII scrubbing, and repetition scoring
+(the Gopher/C4-style quality rules).
+
+All derivations are hash- or window-based Spark SQL expressions —
+no Python in the hot path, no sampling nondeterminism (split/sample
+membership is a pure function of the row, so re-runs and backfills
+agree), and every operator carries a DuckDB oracle.
+
+Scale notes: splits/sampling/PII/repetition are embarrassingly
+parallel scans. Packing is one shuffle per stratum (window by lang).
+Contamination is a broadcast semi-join when the benchmark set is
+small — the usual case — and a shuffle join otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_orbit_spark.catalog import load
+from project_orbit_spark.operators.dedup import word_shingles
+from project_orbit_spark.registry import register
+
+
+def hash_bucket(key: Column, salt: str = "", buckets: int = 100) -> Column:
+    """Deterministic engine-portable bucket in [0, buckets): 32-bit
+    md5-prefix int of (salt || key) mod buckets. The md5 basis (not
+    Spark's hash()/xxhash64) keeps membership reproducible in any
+    engine, so a split made here can be re-derived by the oracle —
+    or by a later non-Spark consumer — bit-for-bit."""
+    salted = F.concat(F.lit(salt), key.cast("string"))
+    return (F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long") % buckets).alias(
+        "bucket"
+    )
+
+
+def _duck_bucket(key_sql: str, salt: str = "") -> str:
+    return (
+        f"CAST(CAST(('0x' || substring(md5('{salt}' || {key_sql}), 1, 8)) AS UBIGINT) "
+        "AS BIGINT) % 100"
+    )
+
+
+@register(
+    "train_val_test_split",
+    tags=("corpus", "sampling"),
+    doc="Deterministic 80/10/10 train/val/test assignment by hashed "
+    "doc_id — membership is a pure function of the row (stable under "
+    "re-runs, backfills, and engine changes), never rand()-based.",
+    oracle=f"""
+        SELECT doc_id,
+               {_duck_bucket("CAST(doc_id AS VARCHAR)")} AS bucket,
+               CASE WHEN {_duck_bucket("CAST(doc_id AS VARCHAR)")} < 80 THEN 'train'
+                    WHEN {_duck_bucket("CAST(doc_id AS VARCHAR)")} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        bucket,
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "stratified_sample_langs",
+    tags=("corpus", "sampling"),
+    doc="Deterministic stratified downsampling: per-language keep "
+    "rates (en 10%, others 30% — the rebalance a crawl-dominant "
+    "language needs) via salted hash buckets, so the sample is "
+    "reproducible row-for-row, unlike df.sampleBy's seeded RNG which "
+    "is implementation-defined across engines/versions.",
+    oracle=f"""
+        SELECT doc_id, lang,
+               {_duck_bucket("CAST(doc_id AS VARCHAR)", salt="strat|")} AS bucket
+        FROM documents
+        WHERE {_duck_bucket("CAST(doc_id AS VARCHAR)", salt="strat|")}
+              < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+        ORDER BY doc_id
+    """,
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"), salt="strat|")
+    rate = F.when(F.col("lang") == "en", 10).otherwise(30)
+    return (
+        d.select("doc_id", "lang", bucket)
+        .filter(F.col("bucket") < rate)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pack_sequences_budget",
+    tags=("corpus", "window"),
+    doc="Sequence packing with concat-and-chop semantics (documents "
+    "concatenated per language stratum in doc_id order, then chopped "
+    "into 512-token windows — the standard LLM pretraining layout): "
+    "pack_id and intra-pack offset derive from an exclusive running "
+    "token sum, one window shuffle per stratum, no stateful loop.",
+    oracle="""
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor(cum_excl / 512) AS BIGINT) AS pack_id,
+               CAST(cum_excl % 512 AS BIGINT) AS start_offset
+        FROM (
+          SELECT doc_id, lang, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+          FROM (
+            SELECT doc_id, lang,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                     AS n_tokens
+            FROM documents
+          )
+        )
+        ORDER BY lang, doc_id
+    """,
+)
+def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(cum_excl / 512).cast("long").alias("pack_id"),
+        (cum_excl % 512).cast("long").alias("start_offset"),
+    ).orderBy("lang", "doc_id")
+
+
+@register(
+    "benchmark_contamination",
+    tags=("corpus", "dedup"),
+    doc="Benchmark-contamination check: every-97th doc stands in for "
+    "a held-out eval set; corpus docs sharing any 8-word shingle with "
+    "it are flagged with their shared-shingle count. Contamination is "
+    "injected (every 13th corpus doc gets benchmark doc 0's leading "
+    "12 tokens appended → exactly 5 shared 8-grams) because the "
+    "synthetic corpus has no natural cross-doc 8-gram repeats — a "
+    "0-row result would leave the oracle vacuous. The benchmark "
+    "shingle set is small by construction, so the join broadcasts at "
+    "scale; corpus shingles stream past it.",
+    oracle="""
+        WITH snip AS (
+          SELECT array_to_string(
+                   string_split_regex(trim(lower(text)), '\\s+')[1:12], ' ') AS s
+          FROM documents WHERE doc_id = 0
+        ),
+        corpus AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 AND doc_id % 97 <> 0
+                      THEN text || ' ' || (SELECT s FROM snip)
+                      ELSE text END AS text
+          FROM documents
+        ),
+        shingled AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(t[i:i+7], ' ')
+                                for i in range(1, greatest(len(t) - 7, 1) + 1)])
+                   AS shingles
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM corpus)
+        ),
+        bench AS (
+          SELECT DISTINCT unnest(shingles) AS g FROM shingled WHERE doc_id % 97 = 0
+        ),
+        corp AS (
+          SELECT doc_id, unnest(shingles) AS g FROM shingled WHERE doc_id % 97 <> 0
+        )
+        SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared
+        FROM corp c JOIN bench b ON c.g = b.g
+        GROUP BY c.doc_id
+        ORDER BY doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    snip = docs.filter(F.col("doc_id") == 0).select(
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.lower("text")), r"\s+"), 1, 12)
+        ).alias("snippet")
+    )
+    contaminated = docs.crossJoin(F.broadcast(snip)).select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 97 != 0),
+            F.concat("text", F.lit(" "), "snippet"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    d = contaminated.select("doc_id", word_shingles("text", 8).alias("sh"))
+    ex = d.select("doc_id", F.explode("sh").alias("g"))
+    bench = ex.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    corp = ex.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corp.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").cast("long").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+_EMAIL_RE = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "pii_scrub_text",
+    tags=("corpus", "text"),
+    doc="PII scrubbing: deterministic email/phone injections (every "
+    "4th / 5th doc) redacted to [EMAIL]/[PHONE] tokens with per-doc "
+    "match counts — regexp_replace/extract_all only, codegen-"
+    "eligible, zero shuffle.",
+    oracle=f"""
+        WITH synth AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 4 = 0
+                      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                      ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                      THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+               substring(
+                 regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                                '{_PHONE_RE}', '[PHONE]', 'g'),
+                 greatest(1, length(regexp_replace(
+                   regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{_PHONE_RE}', '[PHONE]', 'g')) - 79), 80) AS scrubbed_tail
+        FROM synth
+        ORDER BY doc_id
+    """,
+)
+def pii_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(synth, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    # 80-char tail so the redaction sites (appended at the end) are
+    # value-checked, not just counted
+    tail = scrubbed.substr(
+        F.greatest(F.lit(1), F.length(scrubbed) - 79), F.lit(80)
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(synth, F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(synth, F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        tail.alias("scrubbed_tail"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "max_bigram_repetition",
+    tags=("corpus", "text"),
+    doc="Gopher-style repetition scoring: per doc, the most frequent "
+    "word bigram's share of all bigrams (non-distinct). High ratios "
+    "mark boilerplate/spam for the quality filter. One explode + two "
+    "hash aggregates, map-side partials throughout.",
+    oracle="""
+        WITH grams AS (
+          SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                 for i in range(1, len(t))]) AS g
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents)
+        ),
+        counted AS (
+          SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(max(c) AS BIGINT) AS max_count,
+               round(max(c)::DOUBLE / sum(c)::DOUBLE, 4) AS repetition_ratio
+        FROM counted
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def max_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    sz = F.size(toks)
+    # non-distinct bigrams: zip the token list with its 1-shift
+    bigrams = F.transform(
+        F.arrays_zip(
+            F.slice(toks, 1, F.greatest(sz - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(sz - 1, F.lit(0))),
+        ),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    )
+    grams = d.select("doc_id", F.explode(bigrams).alias("g"))
+    counted = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counted.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").cast("long").alias("max_count"),
+            F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 4).alias(
+                "repetition_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "project_orbit_spark.operators.dedup",
     "project_orbit_spark.operators.skew",
     "project_orbit_spark.operators.sketches",
+    "project_orbit_spark.operators.corpus",
     "project_orbit_spark.functions.textbank",
     "project_orbit_spark.functions.textquality",
     "project_orbit_spark.functions.extraction",
