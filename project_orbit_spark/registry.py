@@ -139,10 +139,27 @@ def get_query(name: str) -> Query:
     return _REGISTRY[name]
 
 
+# Queries whose implementation changed after their last driver
+# verification (or flagship compositions) — they outrank other
+# unverified queries for the driver's first-N correctness sample.
+_DRIVER_PRIORITY = (
+    "rag_index_and_search",       # r2: TakeOrderedAndProject top-k
+    "minhash_lsh_near_dups",      # r2: affine integer hash family
+    "simhash_hamming_dups",       # r2: pigeonhole band candidates
+    "ngram_jaccard_pairs",        # r2: prefix-filter blocking, cap removed
+    "company_gold_profile",       # flagship §3.1 composition
+)
+
+
 def _driver_order(names: list[str]) -> list[str]:
-    """Not-yet-driver-verified queries first (registration order kept
-    within each group) so a first-N driver sample maximizes new coverage."""
-    return sorted(names, key=lambda n: (n in _DRIVER_VERIFIED_R01,))
+    """Changed/flagship queries first, then not-yet-driver-verified
+    (registration order kept within each group), then the r1-verified
+    remainder — so a first-N driver sample maximizes fresh coverage."""
+    prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+    return sorted(
+        names,
+        key=lambda n: (0, prio[n]) if n in prio else (1, int(n in _DRIVER_VERIFIED_R01)),
+    )
 
 
 def query_map() -> dict[str, QueryFn]:
