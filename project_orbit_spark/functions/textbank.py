@@ -183,6 +183,46 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# GPT-2-style pre-tokenizer, ASCII subset: a leading-space word, a
+# leading-space number run, a leading-space punctuation run, or bare
+# whitespace — the segmentation BPE merges start from. Same leftmost
+# alternation semantics in Java regex (Spark) and RE2 (DuckDB).
+BPE_PRETOKEN_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
+@register(
+    "bpe_token_estimate",
+    tags=("text", "tokens"),
+    doc="BPE-ish token counting (the training-cost estimator a corpus "
+    "pipeline budgets with): GPT-2-style pre-tokenizer regex match "
+    "count as the upper segmentation, chars/4 as the classic lower "
+    "heuristic, and their ratio. Pure regexp_extract_all — codegen, "
+    "zero shuffle.",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{BPE_PRETOKEN_RE}')) AS BIGINT)
+                 AS bpe_pretokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS chars_div4,
+               round(len(regexp_extract_all(text, '{BPE_PRETOKEN_RE}'))::DOUBLE
+                     / nullif(ceil(length(text) / 4.0), 0), 4) AS pretoken_ratio
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pre = F.size(F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), 0))
+    c4 = F.ceil(F.length("text") / 4.0)
+    return d.select(
+        "doc_id",
+        pre.cast("long").alias("bpe_pretokens"),
+        c4.cast("long").alias("chars_div4"),
+        F.round(pre.cast("double") / F.nullif(c4, F.lit(0)).cast("double"), 4).alias(
+            "pretoken_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
 @register(
     "money_roundtrip",
     tags=("text", "regex"),

@@ -346,6 +346,67 @@ def warm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_nprobe2",
+    tags=("similarity", "ann"),
+    doc="IVF top-k with nprobe=2 (the recall knob the 100 TB path "
+    "actually turns): each query unions its TWO nearest centroid "
+    "buckets before the exact cosine — recall rises toward brute "
+    "force at ~2× the probe cost, still never a global scan. Routing "
+    "stays a broadcast of the centroid table.",
+    oracle=f"""
+        WITH {_DUCK_EMB},
+        {_DUCK_CENTROIDS},
+        q AS (SELECT vec_id AS qid, emb AS qe FROM emb WHERE vec_id < 5),
+        routed AS (
+          SELECT qid, qe, bucket FROM (
+            SELECT q.qid, q.qe, c.label AS bucket,
+                   row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY list_distance(q.qe, c.cvec), c.label) AS rn
+            FROM q CROSS JOIN centroids c
+          ) WHERE rn <= 2
+        )
+        SELECT qid, bucket, cid, round(score, 6) AS score, rank
+        FROM (
+          SELECT r.qid, r.bucket, e.vec_id AS cid,
+                 list_cosine_similarity(r.qe, e.emb) AS score,
+                 row_number() OVER (
+                   PARTITION BY r.qid
+                   ORDER BY list_cosine_similarity(r.qe, e.emb) DESC, e.vec_id) AS rank
+          FROM routed r JOIN emb e
+            ON e.label = r.bucket AND e.vec_id != r.qid
+        ) t
+        WHERE rank <= 5
+        ORDER BY qid, rank
+    """,
+)
+def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    cent = centroids(e)
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("emb").alias("qe"))
+    routed_w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("bucket"))
+    routed = (
+        q.crossJoin(F.broadcast(cent.withColumnRenamed("label", "bucket")))
+        .withColumn("dist", euclidean(F.col("qe"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(routed_w))
+        .filter(F.col("rn") <= 2)
+        .select("qid", "qe", "bucket")
+    )
+    scored = F.broadcast(routed).join(
+        e, (e.label == F.col("bucket")) & (e.vec_id != F.col("qid"))
+    ).select(
+        "qid", "bucket", F.col("vec_id").alias("cid"), cosine(F.col("qe"), F.col("emb")).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "bucket", "cid", F.round("score", 6).alias("score"), "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+@register(
     "ann_ivf_topk_warm",
     bench=True,
     tags=("similarity", "ann"),

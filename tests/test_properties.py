@@ -111,3 +111,71 @@ def test_minhash_estimates_jaccard(spark, texts):
     ).collect()
     for r in pairs:
         assert abs(r["est_j"] - r["true_j"]) <= 0.45
+
+
+def test_ivf_nprobe_recall_monotone(spark):
+    """Widening the probe set can only help: nprobe=2 recall vs the
+    exact brute-force top-k is >= nprobe=1 recall, and nprobe=2
+    results are a superset-quality improvement, not a reshuffle."""
+    from project_orbit_spark import registry
+    from tests.conftest import SF_DIR
+
+    exact = {
+        (r.qid, r.cid)
+        for r in registry.get_query("cosine_topk_exact").fn(spark, SF_DIR).collect()
+    }
+    n1 = {
+        (r.qid, r.cid)
+        for r in registry.get_query("ann_ivf_topk").fn(spark, SF_DIR).collect()
+    }
+    n2 = {
+        (r.qid, r.cid)
+        for r in registry.get_query("ann_ivf_nprobe2").fn(spark, SF_DIR).collect()
+    }
+    assert len(n2 & exact) >= len(n1 & exact)
+
+
+def test_affine_minhash_matches_string_family_estimates(spark):
+    """The fast affine-integer MinHash family estimates the same
+    Jaccard as the md5-string reference family within sampling noise
+    (both k=12 -> sigma ~0.14; allow 3.5 sigma)."""
+    from project_orbit_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_int,
+        shingle_hashes,
+        word_shingles,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "totally different words here with no overlap at all",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "t"])
+    sh = df.select(
+        "id",
+        minhash_signature(word_shingles("t", 2), k=12).alias("sig_str"),
+        minhash_signature_int(shingle_hashes(word_shingles("t", 2)), k=12).alias("sig_int"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+
+    def est(col_a, col_b):
+        return (
+            F.aggregate(
+                F.zip_with(col_a, col_b, lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda s, v: s + v,
+            ).cast("double")
+            / 12.0
+        )
+
+    rows = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            est(F.col("a.sig_str"), F.col("b.sig_str")).alias("e_str"),
+            est(F.col("a.sig_int"), F.col("b.sig_int")).alias("e_int"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r["e_str"] - r["e_int"]) <= 0.5
