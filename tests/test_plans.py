@@ -65,3 +65,11 @@ def test_simhash_join_is_banded_not_cartesian(spark):
     f = facts("simhash_hamming_dups", spark)
     assert "CartesianProduct" not in f.text
     assert "band_val" in f.text, "pair join must be keyed on pigeonhole bands"
+
+
+def test_interval_join_keys_on_user_not_cartesian(spark):
+    # the range condition must ride an equi-key shuffle, never a
+    # broadcast-nested-loop over the full event stream
+    f = facts("interval_join_click_view", spark)
+    assert "CartesianProduct" not in f.text
+    assert f.n_sortmerge_joins + f.text.count("ShuffledHashJoin") >= 1

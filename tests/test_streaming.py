@@ -107,3 +107,35 @@ def test_stream_upsert_foreachbatch_idempotent(spark, tmp_path):
     )
     assert first == expected
     assert again.select(F.countDistinct("event_id")).collect()[0][0] == expected
+
+
+@pytest.mark.timeout(240)
+def test_stream_interval_join_matches_batch_inner(spark):
+    from project_orbit_spark.streaming.joins import (
+        _JOIN_COND,
+        _click_view_sides,
+        stream_click_view_join,
+    )
+    from pyspark.sql import functions as F
+
+    stream_df = stream_click_view_join(spark, SF_DIR)
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("interval_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["click_id"], r["view_id"])
+        for r in spark.sql("select click_id, view_id from interval_smoke").collect()
+    }
+    clicks, views = _click_view_sides(load(spark, SF_DIR, "events"))
+    batch = {
+        (r["click_id"], r["view_id"])
+        for r in clicks.join(views, F.expr(_JOIN_COND)).collect()
+    }
+    assert got == batch
+    assert len(got) > 0
