@@ -68,8 +68,15 @@ def test_simhash_join_is_banded_not_cartesian(spark):
 
 
 def test_interval_join_keys_on_user_not_cartesian(spark):
-    # the range condition must ride an equi-key shuffle, never a
-    # broadcast-nested-loop over the full event stream
+    # the range condition must ride an equi-keyed join (hash or SMJ —
+    # AQE picks broadcast at fixture scale, shuffle at 100 TB), never
+    # a nested loop over the full event stream
     f = facts("interval_join_click_view", spark)
     assert "CartesianProduct" not in f.text
-    assert f.n_sortmerge_joins + f.text.count("ShuffledHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" not in f.text
+    equi_joins = (
+        f.text.count("BroadcastHashJoin")
+        + f.text.count("ShuffledHashJoin")
+        + f.n_sortmerge_joins
+    )
+    assert equi_joins >= 1
