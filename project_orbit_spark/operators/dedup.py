@@ -290,21 +290,11 @@ _DUCK_SIG_ENTRIES = ",\n                 ".join(
     for a, b in MINHASH_PAIRS
 )
 
-
-@register(
-    "minhash_lsh_near_dups",
-    bench=True,
-    tags=("dedup", "lsh", "similarity"),
-    doc="MinHash+LSH near-duplicate detection (the 100 TB extension of "
-    "E4, ref exact-hash compare dags/orbit_daily_update_dag.py:188-200): "
-    "word-3-shingles → one md5-prefix int per shingle → 12 affine "
-    "integer hashes (portable (a*h+b) mod P family; each shingle md5'd "
-    "once, not 12×) → 4 bands × 3 rows joined on the band's signature "
-    "slice → signature-estimated Jaccard ≥ 0.5. Near-dups injected as "
-    "every-9th doc with a suffix. One shuffle on (band_idx, band_sig); "
-    "candidate pairs only within buckets.",
-    oracle=f"""
-        WITH corpus AS (
+# Shared oracle CTE ending in `pairs(left_id, right_id, est_jaccard)`:
+# the MinHash pair query selects from it directly; the cluster query
+# layers a recursive connected-components CTE on top of the same
+# candidate definition, so both stay in lockstep if the family changes.
+_MINHASH_PAIRS_CTE = f"""corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
           SELECT doc_id + 100000 AS doc_id, text || ' near duplicate suffix tail'
@@ -339,15 +329,36 @@ _DUCK_SIG_ENTRIES = ",\n                 ".join(
           FROM banded a JOIN banded b
             ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
            AND a.doc_id < b.doc_id
-        )
-        SELECT c.left_id, c.right_id,
-               round(len([i for i in range(1, 13) if sa.sig[i] = sb.sig[i]])::DOUBLE
-                     / 12.0, 4) AS est_jaccard
-        FROM cand c
-        JOIN signed sa ON sa.doc_id = c.left_id
-        JOIN signed sb ON sb.doc_id = c.right_id
-        WHERE round(len([i for i in range(1, 13) if sa.sig[i] = sb.sig[i]])::DOUBLE
-                    / 12.0, 4) >= 0.5
+        ),
+        pairs AS (
+          SELECT left_id, right_id, est_jaccard
+          FROM (
+            SELECT c.left_id, c.right_id,
+                   round(len([i for i in range(1, 13) if sa.sig[i] = sb.sig[i]])::DOUBLE
+                         / 12.0, 4) AS est_jaccard
+            FROM cand c
+            JOIN signed sa ON sa.doc_id = c.left_id
+            JOIN signed sb ON sb.doc_id = c.right_id
+          )
+          WHERE est_jaccard >= 0.5
+        )"""
+
+
+@register(
+    "minhash_lsh_near_dups",
+    bench=True,
+    tags=("dedup", "lsh", "similarity"),
+    doc="MinHash+LSH near-duplicate detection (the 100 TB extension of "
+    "E4, ref exact-hash compare dags/orbit_daily_update_dag.py:188-200): "
+    "word-3-shingles → one md5-prefix int per shingle → 12 affine "
+    "integer hashes (portable (a*h+b) mod P family; each shingle md5'd "
+    "once, not 12×) → 4 bands × 3 rows joined on the band's signature "
+    "slice → signature-estimated Jaccard ≥ 0.5. Near-dups injected as "
+    "every-9th doc with a suffix. One shuffle on (band_idx, band_sig); "
+    "candidate pairs only within buckets.",
+    oracle=f"""
+        WITH {_MINHASH_PAIRS_CTE}
+        SELECT left_id, right_id, est_jaccard FROM pairs
         ORDER BY left_id, right_id
     """,
 )
@@ -646,3 +657,48 @@ def levenshtein_name_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_distance") <= 2)
         .orderBy("left_id", "right_id")
     )
+
+
+@register(
+    "dup_cluster_labels",
+    tags=("dedup", "graph", "lsh"),
+    doc="Near-dup PAIRS collapsed to CLUSTERS: transitive closure of "
+    "the MinHash-LSH pair relation via iterative min-label propagation "
+    "(operators/graph.py). The step the reference never needs (its "
+    "dedup is exact-hash GROUP BY, dags/orbit_daily_update_dag.py:"
+    "188-200) but any near-dup curation pipeline does: keep one doc "
+    "per cluster, not per pair. Oracle reproduces the closure with a "
+    "recursive CTE over the same pair CTE.",
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+        edges AS (
+          SELECT left_id AS src, right_id AS dst FROM pairs
+          UNION
+          SELECT right_id AS src, left_id AS dst FROM pairs
+        ),
+        reach(node, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        labels AS (
+          SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+        ),
+        sizes AS (
+          SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
+        )
+        SELECT l.doc_id, l.cluster_id, s.cluster_size
+        FROM labels l JOIN sizes s USING (cluster_id)
+        ORDER BY doc_id
+    """,
+)
+def dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.operators.graph import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    pairs = minhash_lsh_near_dups(spark, sf_dir)
+    edges = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    labels = connected_components(edges)
+    return cluster_representatives(labels).orderBy("doc_id")

@@ -1,0 +1,46 @@
+"""Connected-components unit tests (operators/graph.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_orbit_spark.operators.graph import (
+    cluster_representatives,
+    connected_components,
+)
+
+
+def _labels(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_two_components(spark):
+    got = _labels(spark, [(1, 2), (2, 3), (5, 6)])
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_long_chain_needs_multiple_rounds(spark):
+    # diameter 9 — exercises the iteration loop well past round 1
+    chain = [(i, i + 1) for i in range(10, 19)]
+    got = _labels(spark, chain)
+    assert set(got.values()) == {10}
+    assert len(got) == 10
+
+
+def test_direction_and_duplicates_ignored(spark):
+    got = _labels(spark, [(2, 1), (1, 2), (2, 3), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_representatives_shape(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "src long, dst long")
+    reps = cluster_representatives(connected_components(df))
+    rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in reps.collect()}
+    assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 5: (5, 2), 6: (5, 2)}
+
+
+def test_max_iter_guard(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(20, 26)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_iter=1)
