@@ -154,3 +154,97 @@ def query_enhancement_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval — BM25 over an inverted-index-shaped plan.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+_BM25_TERMS = ["vector", "stream", "merge", "window", "filter"]
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Sparck Jones; the +1-inside-ln
+    IDF so scores stay positive even for terms in >half the corpus).
+
+    Scale shape: the term filter sits BELOW the (doc, term) aggregate,
+    so only query-term postings ever shuffle — the moral equivalent of
+    probing an inverted index instead of scanning it. Document
+    frequencies and corpus stats are tiny aggregates broadcast to the
+    scoring join; the final top-k is orderBy+limit (TakeOrdered — no
+    single-partition window). Complements embedding retrieval
+    (cosine_topk_exact / ann_ivf_topk): the reference retrieves by
+    embedding only (src/rag_pipeline.py:45-75), but any production RAG
+    stack pairs it with lexical BM25 for hybrid recall.
+    """
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    ).select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("dl")
+    ).agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (BM25_K1 + 1) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
+    )
+
+
+@register(
+    "bm25_keyword_topk",
+    tags=("retrieval", "text"),
+    doc="BM25 lexical top-20 over documents for a fixed 5-term query "
+    "(k1=1.2, b=0.75, ln((N-df+0.5)/(df+0.5)+1) IDF). Inverted-index "
+    "plan shape: postings filtered to query terms before any shuffle; "
+    "df/corpus stats broadcast; TakeOrdered top-k.",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, len(t) AS dl, unnest(t) AS term
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents)
+        ),
+        tf AS (
+          SELECT doc_id, dl, term, count(*) AS tf
+          FROM toks
+          WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+          GROUP BY doc_id, dl, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        stats AS (
+          SELECT count(*) AS n_docs,
+                 avg(len(string_split_regex(trim(lower(text)), '\\s+'))) AS avgdl
+          FROM documents
+        ),
+        scored AS (
+          SELECT t.doc_id,
+                 round(sum(
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                   * t.tf * ({BM25_K1} + 1)
+                   / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * t.dl / s.avgdl))
+                 ), 4) AS bm25
+          FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+          GROUP BY t.doc_id
+        )
+        SELECT doc_id, bm25 FROM scored
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20
+    """,
+)
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, _BM25_TERMS, k=20)

@@ -80,3 +80,15 @@ def test_interval_join_keys_on_user_not_cartesian(spark):
         + f.n_sortmerge_joins
     )
     assert equi_joins >= 1
+
+
+def test_bm25_is_pushed_down_broadcast_take_ordered(spark):
+    # postings must be filtered to query terms BEFORE any exchange
+    # (inverted-index probe, not corpus scan-and-shuffle); df/stats
+    # joins broadcast; final top-k is a distributed TakeOrdered
+    f = facts("bm25_keyword_topk", spark)
+    assert "TakeOrderedAndProject" in f.text
+    assert f.n_broadcast_joins >= 1
+    assert "SortMergeJoin" not in f.text
+    first_exchange = f.text.find("Exchange")
+    assert "IN (vector" in f.text[first_exchange:], "term filter must be below the shuffle"
