@@ -136,3 +136,92 @@ def changed_docs_reprocess_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# At-least-once replay dedup (streaming dropDuplicatesWithinWatermark)
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def replay_corpus(events: DataFrame) -> DataFrame:
+    """events ∪ an exact re-emission of every 11th event — the
+    duplicate profile of at-least-once delivery (a replayed Kafka
+    offset range / retried producer batch)."""
+    return events.unionByName(events.filter(F.col("event_id") % 11 == 0))
+
+
+def dedup_replayed(ev: DataFrame, streaming: bool = False, watermark: str = "1 hour") -> DataFrame:
+    """One row per event_id from a replayed feed.
+
+    Batch face: plain dropDuplicates (replays are exact copies, so
+    the kept row is unique regardless of which copy wins). Stream
+    face: dropDuplicatesWithinWatermark — Spark keeps per-key state
+    only for the watermark horizon, so state is bounded by (arrival
+    rate × horizon), not by stream lifetime; an unbounded-key
+    dropDuplicates would OOM a 100 TB/day feed.
+    """
+    dd = (
+        ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+        if streaming
+        else ev.dropDuplicates(["event_id"])
+    )
+    return dd.select(
+        "event_id",
+        F.date_format("ts", TS_FMT).alias("ts_s"),
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
+def stream_dedup_replayed(spark: SparkSession, sf_dir: str, watermark: str = "1 hour") -> DataFrame:
+    """Streaming face: readStream over the events parquet, self-union
+    as the replay, watermarked dedup. Run with availableNow for the
+    incremental-batch execution mode."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def one_stream() -> DataFrame:
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        )
+
+    replayed = one_stream().unionByName(
+        one_stream().filter(F.col("event_id") % 11 == 0)
+    )
+    return dedup_replayed(replayed, streaming=True, watermark=watermark)
+
+
+@register(
+    "replay_dedup_events",
+    tags=("streaming", "dedup", "incremental"),
+    doc="At-least-once replay dedup: events with every 11th event "
+    "re-emitted, collapsed back to one row per event_id. Batch face "
+    "of the streaming dropDuplicatesWithinWatermark operator "
+    "(stream face: stream_dedup_replayed, state bounded by the "
+    "1-hour watermark; AvailableNow parity test in "
+    "tests/test_streaming.py).",
+    oracle="""
+        WITH corpus AS (
+          SELECT * FROM events
+          UNION ALL
+          SELECT * FROM events WHERE event_id % 11 = 0
+        )
+        SELECT DISTINCT event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               user_id, event_type,
+               round(value, 2) AS value
+        FROM corpus
+        ORDER BY event_id
+    """,
+)
+def replay_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return dedup_replayed(replay_corpus(ev)).orderBy("event_id")

@@ -139,3 +139,33 @@ def test_stream_interval_join_matches_batch_inner(spark):
     }
     assert got == batch
     assert len(got) > 0
+
+
+@pytest.mark.timeout(240)
+def test_stream_dedup_within_watermark_matches_batch(spark):
+    from project_orbit_spark.streaming.incremental import (
+        dedup_replayed,
+        replay_corpus,
+        stream_dedup_replayed,
+    )
+
+    stream_df = stream_dedup_replayed(spark, SF_DIR)
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("dedup_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["ts_s"], r["user_id"], r["event_type"], r["value"])
+        for r in spark.sql("select * from dedup_smoke").collect()
+    }
+    batch = {
+        (r["event_id"], r["ts_s"], r["user_id"], r["event_type"], r["value"])
+        for r in dedup_replayed(replay_corpus(load(spark, SF_DIR, "events"))).collect()
+    }
+    assert got == batch
+    assert len(got) > 0
