@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "project_orbit_spark.operators.skew",
     "project_orbit_spark.operators.sketches",
     "project_orbit_spark.operators.corpus",
+    "project_orbit_spark.operators.bloom",
     "project_orbit_spark.functions.textbank",
     "project_orbit_spark.functions.textquality",
     "project_orbit_spark.functions.extraction",

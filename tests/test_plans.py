@@ -92,3 +92,14 @@ def test_bm25_is_pushed_down_broadcast_take_ordered(spark):
     assert "SortMergeJoin" not in f.text
     first_exchange = f.text.find("Exchange")
     assert "IN (vector" in f.text[first_exchange:], "term filter must be below the shuffle"
+
+
+def test_bloom_prune_sits_below_the_join(spark):
+    # the bitset membership filter must apply to the lineitem scan
+    # side before the equi-join (semi-join reduction), and the 8 KB
+    # bitset rides a broadcast, never a shuffle
+    f = facts("bloom_pruned_join", spark)
+    assert "CartesianProduct" not in f.text
+    assert f.n_broadcast_joins >= 1
+    join_at = f.text.find("Join")
+    assert "bitset" in f.text[join_at:], "bloom filter must be on the scan side below the join"
