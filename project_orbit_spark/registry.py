@@ -150,6 +150,10 @@ _DRIVER_PRIORITY = (
     "simhash_hamming_dups",       # r2: pigeonhole band candidates
     "ngram_jaccard_pairs",        # r2: prefix-filter blocking, cap removed
     "company_gold_profile",       # flagship §3.1 composition
+    "dup_cluster_labels",         # r2: connected-components clustering
+    "bm25_keyword_topk",          # r2: lexical retrieval
+    "replay_dedup_events",        # r2: streaming-dedup batch face
+    "bloom_pruned_join",          # r2: bloom semi-join reduction
 )
 
 
