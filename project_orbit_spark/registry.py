@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "project_orbit_spark.operators.sketches",
     "project_orbit_spark.operators.corpus",
     "project_orbit_spark.operators.bloom",
+    "project_orbit_spark.operators.profiling",
     "project_orbit_spark.functions.textbank",
     "project_orbit_spark.functions.textquality",
     "project_orbit_spark.functions.extraction",
