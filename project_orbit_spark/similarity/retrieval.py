@@ -203,15 +203,10 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20) -> DataFrame:
     )
 
 
-@register(
-    "bm25_keyword_topk",
-    tags=("retrieval", "text"),
-    doc="BM25 lexical top-20 over documents for a fixed 5-term query "
-    "(k1=1.2, b=0.75, ln((N-df+0.5)/(df+0.5)+1) IDF). Inverted-index "
-    "plan shape: postings filtered to query terms before any shuffle; "
-    "df/corpus stats broadcast; TakeOrdered top-k.",
-    oracle=f"""
-        WITH toks AS (
+# Shared oracle CTE ending in `scored(doc_id, bm25)`; the BM25 query
+# selects from it directly, the hybrid-RRF query layers rank fusion on
+# top of the same scoring definition.
+_BM25_SCORED_CTE = f"""toks AS (
           SELECT doc_id, len(t) AS dl, unnest(t) AS term
           FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
                 FROM documents)
@@ -237,7 +232,18 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20) -> DataFrame:
                  ), 4) AS bm25
           FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
           GROUP BY t.doc_id
-        )
+        )"""
+
+
+@register(
+    "bm25_keyword_topk",
+    tags=("retrieval", "text"),
+    doc="BM25 lexical top-20 over documents for a fixed 5-term query "
+    "(k1=1.2, b=0.75, ln((N-df+0.5)/(df+0.5)+1) IDF). Inverted-index "
+    "plan shape: postings filtered to query terms before any shuffle; "
+    "df/corpus stats broadcast; TakeOrdered top-k.",
+    oracle=f"""
+        WITH {_BM25_SCORED_CTE}
         SELECT doc_id, bm25 FROM scored
         ORDER BY bm25 DESC, doc_id
         LIMIT 20
@@ -248,3 +254,97 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal-rank fusion of lexical + embedding lists.
+
+RRF_K = 60
+_HYBRID_DEPTH = 50
+
+
+@register(
+    "hybrid_rrf_topk",
+    tags=("retrieval", "similarity", "text"),
+    doc="Hybrid retrieval: BM25 top-50 and cosine top-50 (query = "
+    "vec_id 0's embedding; fixture aligns vec_id 1:1 with doc_id) "
+    "fused by reciprocal-rank fusion (k=60, Cormack/Clarke/Buettcher "
+    "SIGIR'09), top-20 by fused score. Each candidate list is a "
+    "distributed TakeOrdered; ranks are assigned on the 50-row "
+    "results (bounded by construction), so no global window ever "
+    "sees the corpus. Ranks sort on round(score,6)/round(bm25,4) so "
+    "both engines rank identical values.",
+    oracle=f"""
+        WITH {_BM25_SCORED_CTE},
+        bm_top AS (
+          SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+          FROM scored
+          ORDER BY bm25 DESC, doc_id
+          LIMIT {_HYBRID_DEPTH}
+        ),
+        emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (SELECT emb AS qe FROM emb WHERE vec_id = 0),
+        cos_scored AS (
+          SELECT e.vec_id AS doc_id,
+                 round(list_cosine_similarity(q.qe, e.emb), 6) AS score
+          FROM emb e CROSS JOIN q
+        ),
+        cos_top AS (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          FROM cos_scored
+          ORDER BY score DESC, doc_id
+          LIMIT {_HYBRID_DEPTH}
+        ),
+        fused AS (
+          SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+                 round(COALESCE(1.0 / ({RRF_K} + b.r), 0)
+                       + COALESCE(1.0 / ({RRF_K} + c.r), 0), 6) AS rrf_score,
+                 (CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS n_lists
+          FROM bm_top b FULL OUTER JOIN cos_top c ON b.doc_id = c.doc_id
+        )
+        SELECT doc_id, rrf_score, n_lists FROM fused
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT 20
+    """,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bm_top = bm25_topk(docs, _BM25_TERMS, k=_HYBRID_DEPTH)
+    w_bm = Window.orderBy(F.desc("bm25"), "doc_id")
+    bm_r = bm_top.select("doc_id", F.row_number().over(w_bm).alias("r_bm"))
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
+    cos_top = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("emb"), F.col("qe")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_HYBRID_DEPTH)
+    )
+    w_cos = Window.orderBy(F.desc("score"), "doc_id")
+    cos_r = cos_top.select("doc_id", F.row_number().over(w_cos).alias("r_cos"))
+
+    fused = (
+        bm_r.join(cos_r, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("r_bm")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("r_cos")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+            (
+                F.col("r_bm").isNotNull().cast("int")
+                + F.col("r_cos").isNotNull().cast("int")
+            ).alias("n_lists"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)
