@@ -97,6 +97,7 @@ def _register_query() -> None:
 
     @register(
         "bloom_pruned_join",
+        bench=True,
         tags=("join", "bloom", "scale"),
         doc="Bloom-semi-join reduction: lineitem pruned through an 8 KB "
         "broadcast bitset of urgent-high-value order keys before the "

@@ -81,3 +81,45 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mktsegment")
     )
+
+
+@register(
+    "key_skew_profile",
+    tags=("profiling", "skew", "aggregate"),
+    doc="Join-key skew diagnostic: per-key row share and a hot-key "
+    "flag (share > 4x the uniform share) for lineitem's suppkey — "
+    "the pre-flight that decides between a plain shuffle join, AQE "
+    "skew splitting, and salting (salted_skew_join is the "
+    "mitigation this detects the need for). Two map-side-partial "
+    "aggregates, no wide state.",
+    oracle="""
+        WITH per_key AS (
+          SELECT l_suppkey AS key, count(*) AS n
+          FROM lineitem GROUP BY l_suppkey
+        ),
+        tot AS (SELECT sum(n) AS total, count(*) AS n_keys FROM per_key)
+        SELECT p.key, p.n,
+               round(p.n * 100.0 / t.total, 4) AS pct_of_rows,
+               CAST(p.n * t.n_keys > 4 * t.total AS BOOLEAN) AS hot
+        FROM per_key p CROSS JOIN tot t
+        ORDER BY p.n DESC, p.key
+        LIMIT 25
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("key"))
+    per_key = li.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_key.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        per_key.join(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") * 100.0 / F.col("total"), 4).alias("pct_of_rows"),
+            (F.col("n") * F.col("n_keys") > 4 * F.col("total")).alias("hot"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(25)
+    )

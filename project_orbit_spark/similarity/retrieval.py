@@ -265,6 +265,7 @@ _HYBRID_DEPTH = 50
 
 @register(
     "hybrid_rrf_topk",
+    bench=True,
     tags=("retrieval", "similarity", "text"),
     doc="Hybrid retrieval: BM25 top-50 and cosine top-50 (query = "
     "vec_id 0's embedding; fixture aligns vec_id 1:1 with doc_id) "
