@@ -176,6 +176,34 @@ def write_append_log(df: DataFrame, path: str, *, dt_col: str = "dt") -> None:
     df.write.mode("append").partitionBy(dt_col).parquet(path)
 
 
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout for data skipping on a
+    non-partition column: repartitionByRange splits the value domain
+    into disjoint slices (sampled range bounds), sortWithinPartitions
+    orders rows inside each file, so every file's footer min/max for
+    ``cluster_col`` is a tight disjoint interval. A later
+    ``WHERE cluster_col BETWEEN …`` scan row-group-skips everything
+    but the overlapping files — the poor engineer's Z-ORDER, and the
+    right layout when the column's cardinality is too high for
+    directory partitioning (partitionBy on a float or an id would
+    create one directory per value). At 100 TB: n_files scales with
+    data volume, bounds sampling is one extra job over the sort
+    column only."""
+    (
+        df.repartitionByRange(n_files, cluster_col)
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def read_json_bronze(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Bronze-layer JSON reader (SURVEY §1.3: raw layer is schemaless
     dict-of-anything with defensive checks): PERMISSIVE mode with
