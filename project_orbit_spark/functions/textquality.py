@@ -198,3 +198,73 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(grams).alias("max_shingle_fp"),
         F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_shingles"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (top distinguishing terms per document)
+
+
+@register(
+    "tfidf_top_terms",
+    tags=("text", "retrieval", "aggregate"),
+    doc="Per-document keyword extraction: top-3 terms by "
+    "tf·ln(N/df) (raw document frequency over the whole corpus, no "
+    "term filter — the full-vocabulary twin of the BM25 probe). "
+    "Scale shape: one shuffle on term for df, one broadcast of the "
+    "corpus size, per-doc rank is a window bounded by the doc's own "
+    "vocabulary. Scores rounded to 6dp before ranking so both "
+    "engines rank identical values; ties break on term.",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ),
+        dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ),
+        stats AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT t.doc_id, t.term,
+                 round(t.tf * ln(s.n_docs * 1.0 / d.df), 6) AS tfidf
+          FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+        ),
+        ranked AS (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS r
+          FROM scored
+        )
+        SELECT doc_id, term, tfidf, r
+        FROM ranked WHERE r <= 3
+        ORDER BY doc_id, r
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("r", F.row_number().over(w).cast("long"))
+        .filter(F.col("r") <= 3)
+        .orderBy("doc_id", "r")
+    )
