@@ -114,3 +114,64 @@ def stream_click_view_join(
     return clicks.withWatermark("cts", watermark).join(
         views.withWatermark("vts", watermark), F.expr(_JOIN_COND)
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def enrich_with_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Shared plan: event rows enriched with the customer's market
+    segment (stream-static join — the static side is re-broadcast per
+    micro-batch, no state, no watermark; the streaming counterpart of
+    a dim join)."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    return events.join(F.broadcast(dim), "user_id").select(
+        "event_id",
+        F.date_format("ts", TS_FMT).alias("ts_s"),
+        "user_id",
+        "event_type",
+        "mktsegment",
+    )
+
+
+def stream_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face: readStream events ⋈ static customer dim."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    return enrich_with_segment(stream, load(spark, sf_dir, "customer"))
+
+
+@register(
+    "stream_enrich_events",
+    tags=("streaming", "join"),
+    doc="Stream-static enrichment join: events ⋈ customer dim on "
+    "user_id, carrying the market segment onto each event. Batch "
+    "face oracle-checked; stream face (stream_enrich_events fn) is "
+    "stateless per micro-batch — the dim is broadcast, no watermark "
+    "needed — AvailableNow parity test in tests/test_streaming.py.",
+    oracle="""
+        SELECT e.event_id,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               e.user_id, e.event_type,
+               c.c_mktsegment AS mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        ORDER BY e.event_id
+    """,
+)
+def stream_enrich_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return enrich_with_segment(ev, load(spark, sf_dir, "customer")).orderBy("event_id")

@@ -169,3 +169,33 @@ def test_stream_dedup_within_watermark_matches_batch(spark):
     }
     assert got == batch
     assert len(got) > 0
+
+
+@pytest.mark.timeout(240)
+def test_stream_static_enrich_matches_batch(spark):
+    from project_orbit_spark.streaming.joins import (
+        enrich_with_segment,
+        stream_enrich_events,
+    )
+
+    stream_df = stream_enrich_events(spark, SF_DIR)
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("enrich_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.sql("select * from enrich_smoke").collect()
+    }
+    batch = {
+        tuple(r)
+        for r in enrich_with_segment(
+            load(spark, SF_DIR, "events"), load(spark, SF_DIR, "customer")
+        ).collect()
+    }
+    assert got == batch
+    assert len(got) > 0
