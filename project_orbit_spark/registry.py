@@ -155,6 +155,8 @@ _DRIVER_PRIORITY = (
     "bm25_keyword_topk",          # r2: lexical retrieval
     "replay_dedup_events",        # r2: streaming-dedup batch face
     "bloom_pruned_join",          # r2: bloom semi-join reduction
+    "hybrid_rrf_topk",            # r2: BM25+cosine rank fusion
+    "stream_enrich_events",       # r2: stream-static join batch face
 )
 
 

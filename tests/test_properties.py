@@ -179,3 +179,40 @@ def test_affine_minhash_matches_string_family_estimates(spark):
     )
     for r in rows:
         assert abs(r["e_str"] - r["e_int"]) <= 0.5
+
+
+def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference implementation: plain union-find, label = min node."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=40), st.integers(min_value=0, max_value=40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from project_orbit_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in connected_components(df).collect()}
+    assert got == _union_find_labels(edges)
