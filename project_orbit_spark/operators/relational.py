@@ -314,6 +314,41 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_orders_sql",
+    tags=("agg", "rollup", "sql"),
+    doc="Explicit GROUPING SETS ((status), (priority), ()) through the "
+    "spark.sql entry point — the SQL face of the engine (every other "
+    "query is DataFrame-API; this one proves the catalog + SQL parser "
+    "path end-to-end). Sets chosen so neither ROLLUP nor CUBE "
+    "expresses them.",
+    oracle="""
+        SELECT
+          coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+          coalesce(o_orderpriority, 'ALL') AS orderpriority,
+          count(*)                         AS n_orders,
+          round(sum(o_totalprice), 2)      AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY orderstatus, orderpriority
+    """,
+)
+def grouping_sets_orders_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT
+          coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+          coalesce(o_orderpriority, 'ALL') AS orderpriority,
+          count(*)                         AS n_orders,
+          round(sum(o_totalprice), 2)      AS total_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY orderstatus, orderpriority
+        """
+    )
+
+
+@register(
     "nation_set_ops",
     tags=("setops",),
     doc="O4/O5 set-operation semantics (ref src/rag_pipeline.py:203-213 "
