@@ -51,9 +51,15 @@ def connected_components(
     half = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
-    sym = half.union(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # materialize the edge list once — every round joins against it,
+    # and without the checkpoint each round would re-execute the full
+    # upstream lineage that produced the pairs (e.g. the MinHash
+    # pipeline), multiplying the dominant cost by the round count
+    sym = (
+        half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
