@@ -419,3 +419,31 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivf_topk_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_emb(spark, sf_dir), warm_centroids(spark, sf_dir))
+
+
+@register(
+    "label_centroids_udaf",
+    tags=("similarity", "cluster", "pandas_udf"),
+    doc="Per-label centroids via a grouped-agg pandas UDF (Arrow "
+    "UDAF): element-wise vector mean is not a built-in aggregate, so "
+    "this is the one aggregation in the surface that genuinely wants "
+    "numpy — np.stack + mean(axis=0) per label group. Completes the "
+    "SURVEY §2.10 UDF matrix (scalar pandas_udf, mapInPandas, "
+    "applyInPandas[WithState], and now GROUPED_AGG). Same result as "
+    "the SQL-ops centroid builder (cosine.py::centroids); one shuffle "
+    "on label, Arrow-batched per group.",
+    oracle=f"""
+        WITH {_DUCK_EMB},
+        {_DUCK_CENTROIDS}
+        SELECT label, cvec AS centroid FROM centroids ORDER BY label
+    """,
+)
+def label_centroids_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.similarity.udafs import vec_mean
+
+    e = _emb(spark, sf_dir)
+    return (
+        e.groupBy("label")
+        .agg(vec_mean("emb").alias("centroid"))
+        .orderBy("label")
+    )
