@@ -44,3 +44,12 @@ def test_max_iter_guard(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(20, 26)], "src long, dst long")
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(df, max_iter=1)
+
+
+def test_two_phase_long_chain(spark):
+    from project_orbit_spark.operators.graph import connected_components_two_phase
+
+    chain = [(i, i + 1) for i in range(30, 45)] + [(100, 101)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    got = {r["node"]: r["label"] for r in connected_components_two_phase(df).collect()}
+    assert set(got.items()) == {(n, 30) for n in range(30, 46)} | {(100, 100), (101, 100)}

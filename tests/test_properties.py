@@ -208,11 +208,17 @@ def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
     )
 )
 def test_connected_components_matches_union_find(spark, edges):
-    from project_orbit_spark.operators.graph import connected_components
+    from project_orbit_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
 
     edges = [(a, b) for a, b in edges if a != b]
     if not edges:
         return
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r["node"]: r["label"] for r in connected_components(df).collect()}
-    assert got == _union_find_labels(edges)
+    want = _union_find_labels(edges)
+    got_lp = {r["node"]: r["label"] for r in connected_components(df).collect()}
+    got_2p = {r["node"]: r["label"] for r in connected_components_two_phase(df).collect()}
+    assert got_lp == want
+    assert got_2p == want
