@@ -221,6 +221,191 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_mixture_sample",
+    tags=("corpus", "sampling"),
+    doc="Token-budget corpus mixing: spend a 50%-of-corpus token "
+    "budget uniformly across languages. Per-language sampling rates "
+    "derive from exact BIGINT token totals (rate = budget-share / "
+    "lang tokens, capped at 1), then docs are kept by a 10k-grain "
+    "salted hash bucket — membership stays a pure function of the "
+    "row. Plan: one scan + tiny per-lang aggregate broadcast back; "
+    "no full-data shuffle at any size.",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents
+        ),
+        per_lang AS (
+          SELECT lang, sum(n_tokens) AS lang_tokens FROM toks GROUP BY lang
+        ),
+        tot AS (
+          SELECT sum(lang_tokens) AS total_tokens,
+                 count(*) AS n_langs
+          FROM per_lang
+        ),
+        rates AS (
+          SELECT lang,
+                 least(1.0,
+                       (0.5 * total_tokens / n_langs) / lang_tokens) AS rate
+          FROM per_lang CROSS JOIN tot
+        )
+        SELECT t.doc_id, t.lang, t.n_tokens,
+               round(r.rate, 6) AS sample_rate
+        FROM toks t JOIN rates r ON t.lang = r.lang
+        WHERE CAST(CAST(('0x' || substring(
+                md5('mix|' || CAST(t.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              AS BIGINT) % 10000 < CAST(floor(r.rate * 10000) AS BIGINT)
+        ORDER BY doc_id
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    per_lang = toks.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
+    tot = per_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    rates = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.lit(0.5) * F.col("total_tokens") / F.col("n_langs"))
+            / F.col("lang_tokens"),
+        ).alias("rate"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return (
+        toks.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.floor(F.col("rate") * 10000).cast("long"))
+        .select("doc_id", "lang", "n_tokens", F.round("rate", 6).alias("sample_rate"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_shuffle_shards",
+    tags=("corpus", "sampling"),
+    doc="Deterministic training-shuffle: each doc gets a shard (salted "
+    "md5 mod 8) and a position (rank of its md5 order-key within the "
+    "shard) — the global random-looking read order an LLM trainer "
+    "wants, reproducible bit-for-bit across engines and re-runs, "
+    "never rand(). One hash partition + per-shard sort, exactly the "
+    "write path of a sharded shuffled export.",
+    oracle="""
+        WITH keyed AS (
+          SELECT doc_id,
+                 md5('shuf|' || CAST(doc_id AS VARCHAR)) AS order_key
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(CAST(('0x' || substring(order_key, 1, 8)) AS UBIGINT)
+                    AS BIGINT) % 8 AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY CAST(CAST(('0x' || substring(order_key, 1, 8))
+                   AS UBIGINT) AS BIGINT) % 8
+                 ORDER BY order_key, doc_id) AS BIGINT) AS position
+        FROM keyed
+        ORDER BY shard, position
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string"))).alias("order_key"),
+    ).withColumn(
+        "shard",
+        F.conv(F.substring("order_key", 1, 8), 16, 10).cast("long") % 8,
+    )
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return (
+        keyed.select(
+            "doc_id", "shard", F.row_number().over(w).cast("long").alias("position")
+        ).orderBy("shard", "position")
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    tags=("corpus", "similarity"),
+    doc="Symmetric int8 embedding quantization (per-vector scale = "
+    "max|x|/127) with reconstruction-error audit — the 4x storage "
+    "cut an embedding corpus takes before ANN serving. Widens "
+    "float32 to float64 first so Spark and the oracle compute on "
+    "identical values; pure array expressions, zero shuffle, "
+    "embarrassingly parallel at any corpus size.",
+    oracle="""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        s AS (
+          SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                   / 127.0 AS scale
+          FROM v
+        ),
+        q AS (
+          SELECT vec_id, v, scale,
+                 list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS q
+          FROM s
+        )
+        SELECT vec_id,
+               CAST(len(v) AS BIGINT) AS dim,
+               round(scale, 8) AS scale,
+               CAST(list_sum(q) AS BIGINT) AS q_sum,
+               round(list_max([abs(q[i] * scale - v[i])
+                               for i in range(1, len(v) + 1)]), 8) AS max_abs_err
+        FROM q
+        ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    staged = (
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn(
+            "scale_raw",
+            F.greatest(F.array_max(F.transform("v", F.abs)), F.lit(1e-12)) / F.lit(127.0),
+        )
+        .withColumn(
+            "q",
+            F.transform("v", lambda x: F.round(x / F.col("scale_raw")).cast("long")),
+        )
+    )
+    # distinct name: an output column aliased "scale" would otherwise
+    # win name resolution and feed the ROUNDED scale into the error
+    err = F.array_max(
+        F.zip_with("q", "v", lambda qi, xi: F.abs(qi * F.col("scale_raw") - xi))
+    )
+    return staged.select(
+        "vec_id",
+        F.size("v").cast("long").alias("dim"),
+        F.round("scale_raw", 8).alias("scale"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.round(err, 8).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
 _EMAIL_RE = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\.[a-z]{2,}"
 _PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
 

@@ -157,6 +157,9 @@ _DRIVER_PRIORITY = (
     "bloom_pruned_join",          # r2: bloom semi-join reduction
     "hybrid_rrf_topk",            # r2: BM25+cosine rank fusion
     "stream_enrich_events",       # r2: stream-static join batch face
+    "corpus_mixture_sample",      # r2: token-budget mixture sampling
+    "corpus_shuffle_shards",      # r2: deterministic training shuffle
+    "embedding_quantize_int8",    # r2: int8 quantization + error audit
 )
 
 
