@@ -103,3 +103,22 @@ def test_bloom_prune_sits_below_the_join(spark):
     assert f.n_broadcast_joins >= 1
     join_at = f.text.find("Join")
     assert "bitset" in f.text[join_at:], "bloom filter must be on the scan side below the join"
+
+
+def test_corpus_mixture_joins_all_broadcast(spark):
+    # rates are a per-lang handful of rows: both the totals cross join
+    # and the rate join back to docs must broadcast — a shuffle join
+    # here would re-partition the full corpus for a 5-row dim
+    f = facts("corpus_mixture_sample", spark)
+    assert f.n_broadcast_joins >= 2
+    assert f.n_sortmerge_joins == 0
+    assert "CartesianProduct" not in f.text
+
+
+def test_quantize_is_scan_project_only(spark):
+    # pure per-row array math: any join or aggregate exchange in this
+    # plan means something re-introduced a shuffle on the corpus
+    f = facts("embedding_quantize_int8", spark)
+    assert f.n_sortmerge_joins == 0
+    assert f.n_broadcast_joins == 0
+    assert "CartesianProduct" not in f.text
