@@ -222,3 +222,65 @@ def test_connected_components_matches_union_find(spark, edges):
     got_2p = {r["node"]: r["label"] for r in connected_components_two_phase(df).collect()}
     assert got_lp == want
     assert got_2p == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10.0, max_value=10.0, allow_nan=False, width=32),
+            min_size=1,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_int8_quantization_error_bound(spark, vectors):
+    # symmetric round-to-nearest: reconstruction error ≤ scale/2 per
+    # element, and every quantized level fits in int8's [-127, 127]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        "vec_id long, embedding array<float>",
+    )
+    staged = (
+        df.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .withColumn(
+            "scale",
+            F.greatest(F.array_max(F.transform("v", F.abs)), F.lit(1e-12)) / F.lit(127.0),
+        )
+        .withColumn("q", F.transform("v", lambda x: F.round(x / F.col("scale")).cast("long")))
+    )
+    out = staged.select(
+        "scale",
+        F.array_max(F.transform("q", F.abs)).alias("q_max"),
+        F.array_max(F.zip_with("q", "v", lambda q, x: F.abs(q * F.col("scale") - x))).alias(
+            "err"
+        ),
+    ).collect()
+    for r in out:
+        assert r["q_max"] <= 127
+        assert r["err"] <= r["scale"] / 2 * (1 + 1e-9)
+
+
+def test_mixture_sample_realizes_rates(spark):
+    # the hash-bucket membership test must realize each stratum's
+    # planned rate to within the 10k-grain resolution
+    from project_orbit_spark.registry import get_query
+    from tests.conftest import SF_DIR
+
+    sampled = get_query("corpus_mixture_sample").fn(spark, SF_DIR).collect()
+    rates = {r["lang"]: r["sample_rate"] for r in sampled}
+    from collections import Counter
+
+    kept = Counter(r["lang"] for r in sampled)
+    total = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").groupBy("lang").count().collect()
+    )
+    for row in total:
+        lang, n = row["lang"], row["count"]
+        if lang not in rates:
+            continue  # stratum fully filtered out at this fixture size
+        # binomial-ish tolerance: expected ± 4·sqrt(expected) + slack
+        exp = rates[lang] * n
+        assert abs(kept[lang] - exp) <= 4 * (exp**0.5) + 3
