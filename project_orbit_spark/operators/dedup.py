@@ -344,6 +344,41 @@ _MINHASH_PAIRS_CTE = f"""corpus AS (
         )"""
 
 
+def _banded_signatures(corpus: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, sig, band_idx, band_sig): shingle →
+    hash-once md5-prefix ints → 12 affine MinHash rows → 4 bands of 3.
+    The two repartitions are shuffle barriers that keep CollapseProject
+    from re-inlining the heavy shingle/hash projections into every
+    downstream lambda (measured 72s → 8s at sf0.1) and let their
+    parallelism follow shuffle partitioning instead of scan splits."""
+    hashed = corpus.repartition(32, "doc_id").select(
+        "doc_id", shingle_hashes(word_shingles("text", 3)).alias("hs")
+    )
+    signed = hashed.repartition(32, "doc_id").select(
+        "doc_id", minhash_signature_int(F.col("hs"), k=12).alias("sig")
+    )
+    return signed.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.slice("sig", b * 3 + 1, 3).alias("band_sig"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        "sig",
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_sig").alias("band_sig"),
+    )
+
+
 @register(
     "minhash_lsh_near_dups",
     bench=True,
@@ -372,43 +407,8 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = d.unionByName(near)
-    # Materialize shingle hashes, then signatures, behind shuffle
-    # barriers: without them CollapseProject inlines the shingle+md5
-    # expression into all 12 hash lambdas and the 4 exploded band keys
-    # (≈48× the work — measured 72s → 8s at sf0.1 on the string
-    # family; the int family cut the remainder 2.6×). Each heavy
-    # projection sits ABOVE its exchange so its parallelism follows
-    # the shuffle partitioning, not the scan's file splits — on a
-    # cluster the tokenize+md5 work then spreads over every core even
-    # when the source is a few large parquet files. Steady-state
-    # compute for the whole query is ~1.9s at sf0.1/local[32]; the
-    # rest of a cold first run is JVM/JIT warm-up, not plan cost.
-    hashed = corpus.repartition(32, "doc_id").select(
-        "doc_id", shingle_hashes(word_shingles("text", 3)).alias("hs")
-    )
-    signed = hashed.repartition(32, "doc_id").select(
-        "doc_id", minhash_signature_int(F.col("hs"), k=12).alias("sig")
-    )
-    banded = signed.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.slice("sig", b * 3 + 1, 3).alias("band_sig"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select(
-        "doc_id",
-        "sig",
-        F.col("bk.band_idx").alias("band_idx"),
-        F.col("bk.band_sig").alias("band_sig"),
-    )
+    # barrier rationale (72s → 8s CollapseProject fix): _banded_signatures
+    banded = _banded_signatures(corpus)
 
     a = banded.select(
         F.col("doc_id").alias("left_id"),
@@ -441,6 +441,78 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("est_jaccard") >= 0.5)
         .orderBy("left_id", "right_id")
+    )
+
+
+@register(
+    "incremental_minhash_dedup",
+    tags=("dedup", "lsh", "incremental"),
+    doc="Incremental near-dup check: an incoming batch (the injected "
+    "suffix docs, id ≥ 100000) joins the EXISTING corpus's persisted "
+    "band table only — new×index candidates, never index×index. This "
+    "is the production daily-dedup plan at 100 TB: the index side's "
+    "(band_idx, band_sig, doc_id, sig) is a precomputed artifact "
+    "(here derived in-query so the oracle can reproduce it), the new "
+    "batch is small, so the band join broadcasts the batch and the "
+    "per-run cost is O(new), not O(corpus).",
+    oracle=f"""
+        WITH {_MINHASH_PAIRS_CTE},
+        inc_cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS match_id
+          FROM banded n JOIN banded i
+            ON n.band_idx = i.band_idx AND n.band_sig = i.band_sig
+          WHERE n.doc_id >= 100000 AND i.doc_id < 100000
+        )
+        SELECT new_id, match_id, est_jaccard
+        FROM (
+          SELECT c.new_id, c.match_id,
+                 round(len([i for i in range(1, 13) if sa.sig[i] = sb.sig[i]])::DOUBLE
+                       / 12.0, 4) AS est_jaccard
+          FROM inc_cand c
+          JOIN signed sa ON sa.doc_id = c.new_id
+          JOIN signed sb ON sb.doc_id = c.match_id
+        )
+        WHERE est_jaccard >= 0.5
+        ORDER BY new_id, match_id
+    """,
+)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" near duplicate suffix tail")).alias("text"),
+    )
+    banded = _banded_signatures(d.unionByName(near))
+    new_b = banded.filter(F.col("doc_id") >= 100000).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sig").alias("sig_a"),
+        "band_idx",
+        "band_sig",
+    )
+    idx_b = banded.filter(F.col("doc_id") < 100000).select(
+        F.col("doc_id").alias("match_id"),
+        F.col("sig").alias("sig_b"),
+        "band_idx",
+        "band_sig",
+    )
+    cand = (
+        new_b.join(idx_b, ["band_idx", "band_sig"])
+        .select("new_id", "match_id", "sig_a", "sig_b")
+        .dropDuplicates(["new_id", "match_id"])
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda s, v: s + v,
+    )
+    return (
+        cand.select(
+            "new_id",
+            "match_id",
+            F.round(matches.cast("double") / 12.0, 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("new_id", "match_id")
     )
 
 

@@ -160,6 +160,7 @@ _DRIVER_PRIORITY = (
     "corpus_mixture_sample",      # r2: token-budget mixture sampling
     "corpus_shuffle_shards",      # r2: deterministic training shuffle
     "embedding_quantize_int8",    # r2: int8 quantization + error audit
+    "incremental_minhash_dedup",  # r2: new-batch vs index band join
 )
 
 

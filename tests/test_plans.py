@@ -122,3 +122,11 @@ def test_quantize_is_scan_project_only(spark):
     assert f.n_sortmerge_joins == 0
     assert f.n_broadcast_joins == 0
     assert "CartesianProduct" not in f.text
+
+
+def test_incremental_dedup_joins_bands_not_cartesian(spark):
+    # candidates must come from the (band_idx, band_sig) equi join of
+    # the new batch against the index — any cartesian here means the
+    # O(new) incremental contract is broken
+    f = facts("incremental_minhash_dedup", spark)
+    assert "CartesianProduct" not in f.text
