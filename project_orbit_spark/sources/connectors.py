@@ -204,6 +204,69 @@ def write_range_clustered(
     )
 
 
+def zorder_key(c1, c2, bits: int = 16):
+    """Interleave the bits of two rank-normalized columns into one
+    Z-order (Morton) key. Inputs must already be scaled to integer
+    ranks in [0, 2^bits) — see ``write_zordered`` which derives ranks
+    with ntile so skew cannot collapse the curve. Pure bitwise
+    expressions (shiftleft/|), whole-stage-codegen eligible."""
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        bit1 = F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1))
+        bit2 = F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1))
+        key = key.bitwiseOR(F.shiftleft(bit1, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(bit2, 2 * i)
+        )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    col1: str,
+    col2: str,
+    n_files: int = 8,
+    bits: int = 10,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet layout: data skipping on EITHER of
+    two high-cardinality columns from one layout (range clustering
+    can only serve one). Each column is rank-normalized with ntile
+    (equi-depth, so value skew cannot collapse the curve the way
+    min/max scaling would), ranks are bit-interleaved into a Morton
+    key, and files are range-split + sorted on that key — every
+    file's footer then covers a small rectangle of the (col1, col2)
+    plane, so a predicate on either column row-group-skips most
+    files. This is the layout OPTIMIZE ZORDER BY computes in lake
+    formats, expressed as plain DataFrame ops. Ranks come from
+    percentile_approx bounds broadcast back over the scan — one
+    distributed aggregate, never a global-window sort — so the
+    layout job itself scales: at 100 TB it is two sketch passes plus
+    the final range write, and n_files scales with volume."""
+    n = 1 << bits
+    qs = [i / n for i in range(1, n)]
+    bounds = df.agg(
+        F.percentile_approx(col1, qs, 10000).alias("__b1"),
+        F.percentile_approx(col2, qs, 10000).alias("__b2"),
+    )
+    rank = lambda col, b: F.aggregate(  # noqa: E731 — #bounds ≥ value
+        b, F.lit(0), lambda acc, bound: acc + (F.col(col) >= bound).cast("int")
+    )
+    keyed = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__zkey", zorder_key(rank(col1, "__b1"), rank(col2, "__b2"), bits))
+        .drop("__b1", "__b2")
+    )
+    (
+        keyed.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def read_json_bronze(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Bronze-layer JSON reader (SURVEY §1.3: raw layer is schemaless
     dict-of-anything with defensive checks): PERMISSIVE mode with

@@ -179,3 +179,38 @@ def test_write_range_clustered_disjoint_file_ranges(spark, tmp_path):
 
     # round-trips completely
     assert spark.read.parquet(out).count() == 10000
+
+
+def test_write_zordered_skips_on_both_columns(spark, tmp_path):
+    from pathlib import Path
+
+    from project_orbit_spark.sources.connectors import write_zordered
+
+    # two independent high-cardinality columns: a layout sorted on one
+    # gives 100%-of-range files on the other; z-order must bound BOTH
+    df = spark.range(20000).select(
+        F.pmod(F.xxhash64("id"), F.lit(10000)).alias("x"),
+        F.pmod(F.xxhash64((F.col("id") + 7).cast("long")), F.lit(10000)).alias("y"),
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(df, out, col1="x", col2="y", n_files=16, bits=8)
+
+    files = sorted(str(p) for p in Path(out).glob("*.parquet"))
+    assert len(files) >= 8
+    spans = {"x": [], "y": []}
+    for f in files:
+        row = spark.read.parquet(f).agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")
+        ).collect()[0]
+        if row[0] is None:
+            continue
+        spans["x"].append((row[1] - row[0]) / 10000.0)
+        spans["y"].append((row[3] - row[2]) / 10000.0)
+    # every file covers a bounded rectangle: on average well under the
+    # full range in BOTH dimensions (a single-column sort would leave
+    # the other dimension at ~1.0)
+    for c in ("x", "y"):
+        avg = sum(spans[c]) / len(spans[c])
+        assert avg < 0.75, f"avg {c} span {avg:.2f} — no skipping power"
+
+    assert spark.read.parquet(out).count() == 20000
