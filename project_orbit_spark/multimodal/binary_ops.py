@@ -145,3 +145,87 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("byte_offset", F.col("frame_idx") * 100)
         .orderBy("doc_id", "frame_idx")
     )
+
+
+AUDIO_WINDOW_SCHEMA = "doc_id long, window_idx long, n_bytes long, energy long"
+
+
+def make_audio_windower(window: int = 256):
+    """Arrow-batched audio windowing: per asset, non-overlapping
+    byte windows with per-window energy (sum) and mean level — the
+    frame/energy pass a real audio featurizer runs before any model.
+    numpy-vectorized per batch (frombuffer + add.reduceat), no
+    per-byte Python. Closure for by-value cloudpickle (see
+    make_feature_extractor)."""
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, widx, nbytes, energy = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                arr = np.frombuffer(b, dtype=np.uint8)
+                n = len(arr)
+                if n == 0:
+                    continue
+                starts = np.arange(0, n, window)
+                e = np.add.reduceat(arr.astype(np.int64), starts)
+                sizes = np.minimum(starts + window, n) - starts
+                k = len(starts)
+                ids.append(np.full(k, doc_id, dtype=np.int64))
+                widx.append(np.arange(k, dtype=np.int64))
+                nbytes.append(sizes.astype(np.int64))
+                energy.append(e)
+            if not ids:
+                continue
+            yield _pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "window_idx": np.concatenate(widx),
+                    "n_bytes": np.concatenate(nbytes),
+                    "energy": np.concatenate(energy),
+                }
+            )
+
+    return windows
+
+
+@register(
+    "audio_window_energy",
+    tags=("multimodal", "pandas_udf"),
+    doc="Audio windowing plumbing: non-overlapping 256-byte windows "
+    "per audio asset with per-window energy and mean level, computed "
+    "numpy-vectorized (frombuffer + add.reduceat) inside Arrow "
+    "batches — the pre-model energy/VAD pass, with the decode step "
+    "shared with the stubbed codec path. Oracle reproduces the byte "
+    "math in SQL over the ASCII fixture.",
+    oracle="""
+        SELECT doc_id, window_idx, n_bytes, energy,
+               round(energy::DOUBLE / n_bytes, 4) AS mean_level
+        FROM (
+          SELECT doc_id,
+                 w AS window_idx,
+                 least(256, n - w * 256) AS n_bytes,
+                 CAST(list_sum([ascii(c)
+                   for c in split(substring(text, w * 256 + 1, 256), '')])
+                   AS BIGINT) AS energy
+          FROM (
+            SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents WHERE doc_id % 3 = 1 AND octet_length(encode(text)) > 0
+          ),
+          UNNEST(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS t(w)
+        )
+        ORDER BY doc_id, window_idx
+    """,
+)
+def audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = assets_frame(spark, sf_dir).filter(F.col("asset_type") == "audio")
+    return (
+        assets.select("doc_id", "content")
+        .mapInPandas(make_audio_windower(), AUDIO_WINDOW_SCHEMA)
+        # round JVM-side: HALF_UP on exact .5 ties (energy/2^k), where
+        # numpy's banker's rounding diverges from the oracle
+        .withColumn("mean_level", F.round(F.col("energy") / F.col("n_bytes"), 4))
+        .orderBy("doc_id", "window_idx")
+    )

@@ -161,6 +161,7 @@ _DRIVER_PRIORITY = (
     "corpus_shuffle_shards",      # r2: deterministic training shuffle
     "embedding_quantize_int8",    # r2: int8 quantization + error audit
     "incremental_minhash_dedup",  # r2: new-batch vs index band join
+    "audio_window_energy",        # r2: numpy-vectorized audio windows
 )
 
 
