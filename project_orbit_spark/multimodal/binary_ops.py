@@ -229,3 +229,49 @@ def audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mean_level", F.round(F.col("energy") / F.col("n_bytes"), 4))
         .orderBy("doc_id", "window_idx")
     )
+
+
+@register(
+    "image_resize_plan",
+    tags=("multimodal",),
+    doc="Resize planning for image assets: source dims come from the "
+    "typed metadata (here derived deterministically from doc_id — the "
+    "fixture's stand-in for a real width/height header), target is an "
+    "aspect-preserving fit into 224x224, never upscaled. The actual "
+    "pixel resample belongs to the stubbed decode path; this is the "
+    "pure-arithmetic planning stage that batches work for it, all "
+    "codegen expressions with floor-based (tie-free) rounding.",
+    oracle="""
+        SELECT doc_id, src_w, src_h,
+               round(sc, 6) AS scale,
+               greatest(1, CAST(floor(src_w * sc) AS BIGINT)) AS out_w,
+               greatest(1, CAST(floor(src_h * sc) AS BIGINT)) AS out_h
+        FROM (
+          SELECT doc_id, src_w, src_h,
+                 least(224.0 / src_w, 224.0 / src_h, 1.0) AS sc
+          FROM (
+            SELECT doc_id,
+                   320 + (doc_id % 7) * 80 AS src_w,
+                   200 + (doc_id % 5) * 120 AS src_h
+            FROM documents WHERE doc_id % 3 = 0
+          )
+        )
+        ORDER BY doc_id
+    """,
+)
+def image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = assets_frame(spark, sf_dir).filter(F.col("asset_type") == "image")
+    dims = assets.select(
+        "doc_id",
+        (F.lit(320) + (F.col("doc_id") % 7) * 80).alias("src_w"),
+        (F.lit(200) + (F.col("doc_id") % 5) * 120).alias("src_h"),
+    )
+    sc = F.least(F.lit(224.0) / F.col("src_w"), F.lit(224.0) / F.col("src_h"), F.lit(1.0))
+    return dims.select(
+        "doc_id",
+        "src_w",
+        "src_h",
+        F.round(sc, 6).alias("scale"),
+        F.greatest(F.lit(1), F.floor(F.col("src_w") * sc)).cast("long").alias("out_w"),
+        F.greatest(F.lit(1), F.floor(F.col("src_h") * sc)).cast("long").alias("out_h"),
+    ).orderBy("doc_id")

@@ -162,6 +162,7 @@ _DRIVER_PRIORITY = (
     "embedding_quantize_int8",    # r2: int8 quantization + error audit
     "incremental_minhash_dedup",  # r2: new-batch vs index band join
     "audio_window_energy",        # r2: numpy-vectorized audio windows
+    "image_resize_plan",          # r2: aspect-fit resize planning
 )
 
 
