@@ -142,27 +142,65 @@ def get_query(name: str) -> Query:
     return _REGISTRY[name]
 
 
-# Queries whose implementation changed after their last driver
-# verification (or flagship compositions) — they outrank other
-# unverified queries for the driver's first-N correctness sample.
+# The driver hash-checks the FIRST 50 queries() entries per round, so
+# this is a deliberately curated 50: implementations changed since
+# their last driver verification, round-2 additions, then the
+# highest-value never-driver-recorded round-1 queries. Remaining
+# unrecorded names rotate in next round once CORRECTNESS_r02 lands.
 _DRIVER_PRIORITY = (
+    # changed since their r1 record — hash-stability re-verification
     "rag_index_and_search",       # r2: TakeOrderedAndProject top-k
     "minhash_lsh_near_dups",      # r2: affine integer hash family
     "simhash_hamming_dups",       # r2: pigeonhole band candidates
     "ngram_jaccard_pairs",        # r2: prefix-filter blocking, cap removed
-    "company_gold_profile",       # flagship §3.1 composition
-    "dup_cluster_labels",         # r2: connected-components clustering
-    "bm25_keyword_topk",          # r2: lexical retrieval
-    "replay_dedup_events",        # r2: streaming-dedup batch face
-    "bloom_pruned_join",          # r2: bloom semi-join reduction
-    "hybrid_rrf_topk",            # r2: BM25+cosine rank fusion
-    "stream_enrich_events",       # r2: stream-static join batch face
-    "corpus_mixture_sample",      # r2: token-budget mixture sampling
-    "corpus_shuffle_shards",      # r2: deterministic training shuffle
-    "embedding_quantize_int8",    # r2: int8 quantization + error audit
-    "incremental_minhash_dedup",  # r2: new-batch vs index band join
-    "audio_window_energy",        # r2: numpy-vectorized audio windows
-    "image_resize_plan",          # r2: aspect-fit resize planning
+    # round-2 additions (VERDICT work list + training-data surface)
+    "jsonld_entity_walk",
+    "ats_normalize_jobs",
+    "html_field_extraction",
+    "html_meta_inventory",
+    "html_job_cards",
+    "html_article_extract",
+    "ann_ivf_topk_warm",
+    "ann_ivf_nprobe2",
+    "incremental_minhash_dedup",
+    "dup_cluster_labels",
+    "bm25_keyword_topk",
+    "hybrid_rrf_topk",
+    "bloom_pruned_join",
+    "replay_dedup_events",
+    "stream_enrich_events",
+    "corpus_mixture_sample",
+    "corpus_shuffle_shards",
+    "embedding_quantize_int8",
+    "audio_window_energy",
+    "image_resize_plan",
+    "tfidf_top_terms",
+    "train_val_test_split",
+    "stratified_sample_langs",
+    "pack_sequences_budget",
+    "benchmark_contamination",
+    "pii_scrub_text",
+    "max_bigram_repetition",
+    "grouping_sets_orders_sql",
+    "profile_documents_columns",
+    "key_skew_profile",
+    "label_centroids_udaf",
+    # never driver-recorded round-1 queries, by judge value
+    "company_gold_profile",
+    "ann_ivf_topk",
+    "cosine_topk_exact",
+    "embedding_near_dup_pairs",
+    "nearest_centroid_assign",
+    "lsh_hyperplane_topk",
+    "filtered_topk_with_fallback",
+    "multimodal_features",
+    "video_frame_sample",
+    "interval_join_click_view",
+    "stateful_running_user_totals",
+    "session_windows_30m",
+    "sliding_30d_mentions",
+    "change_detection_hashes",
+    "changed_docs_reprocess_set",
 )
 
 
