@@ -143,65 +143,51 @@ def get_query(name: str) -> Query:
 
 
 # The driver hash-checks the FIRST 50 queries() entries per round, so
-# this is a deliberately curated 50: implementations changed since
-# their last driver verification, round-2 additions, then the
-# highest-value never-driver-recorded round-1 queries. Remaining
-# unrecorded names rotate in next round once CORRECTNESS_r02 lands.
+# this is a deliberately curated 50. Round 3: the 27 queries that have
+# never appeared on a driver record (allq − r01 − r02, recomputed from
+# the CORRECTNESS jsons), plus label_centroids_udaf (the sole r02 err,
+# output reshaped this round), plus every query whose implementation
+# changed in round 3 — so CORRECTNESS_r03 ∪ r02 ∪ r01 covers the whole
+# registry with every changed query re-verified.
 _DRIVER_PRIORITY = (
-    # changed since their r1 record — hash-stability re-verification
-    "rag_index_and_search",       # r2: TakeOrderedAndProject top-k
-    "minhash_lsh_near_dups",      # r2: affine integer hash family
-    "simhash_hamming_dups",       # r2: pigeonhole band candidates
-    "ngram_jaccard_pairs",        # r2: prefix-filter blocking, cap removed
-    # round-2 additions (VERDICT work list + training-data surface)
-    "jsonld_entity_walk",
-    "ats_normalize_jobs",
-    "html_field_extraction",
-    "html_meta_inventory",
-    "html_job_cards",
-    "html_article_extract",
-    "ann_ivf_topk_warm",
-    "ann_ivf_nprobe2",
-    "incremental_minhash_dedup",
-    "dup_cluster_labels",
-    "bm25_keyword_topk",
-    "hybrid_rrf_topk",
-    "bloom_pruned_join",
-    "replay_dedup_events",
-    "stream_enrich_events",
-    "corpus_mixture_sample",
-    "corpus_shuffle_shards",
-    "embedding_quantize_int8",
-    "audio_window_energy",
-    "image_resize_plan",
-    "tfidf_top_terms",
-    "train_val_test_split",
-    "stratified_sample_langs",
-    "pack_sequences_budget",
-    "benchmark_contamination",
-    "pii_scrub_text",
-    "max_bigram_repetition",
-    "grouping_sets_orders_sql",
-    "profile_documents_columns",
-    "key_skew_profile",
-    "label_centroids_udaf",
-    # never driver-recorded round-1 queries, by judge value
-    "company_gold_profile",
-    "ann_ivf_topk",
-    "cosine_topk_exact",
-    "embedding_near_dup_pairs",
-    "nearest_centroid_assign",
-    "lsh_hyperplane_topk",
-    "lsh_multitable_topk",        # r2: L=4 tables, 4x measured recall
-    "filtered_topk_with_fallback",
-    "multimodal_features",
-    "video_frame_sample",
-    "interval_join_click_view",
-    "stateful_running_user_totals",
-    "session_windows_30m",
-    "sliding_30d_mentions",
-    "change_detection_hashes",
+    # --- never driver-recorded (closes the official record) ---
+    "funding_sentence_extraction",
+    "date_parse_cascade",
+    "press_timeline_parser",
+    "payload_assembly_nested",
+    "entity_name_gauntlet",
+    "tumbling_hourly_counts",
+    "coalesce_salvage_ladder",
+    "investor_semi_join",
+    "ratings_extraction",
+    "url_normalize_classify",
+    "url_skiplist_pruning",
+    "doc_quality_scores",
+    "lang_marker_scores",
+    "doc_fingerprints",
+    "eval_rubric_scores",
+    "dashboard_report_table",
+    "section_completeness",
+    "sliding_window_counts",
+    "events_value_histogram",
+    "bpe_token_estimate",
+    "embed_documents_stub",
+    "llm_extract_funding_stub",
+    "query_enhancement_concat",
+    "page_error_quarantine",
+    "category_array_cleaning",
+    "founded_headcount_extraction",
     "changed_docs_reprocess_set",
+    # --- r02 err, output shape fixed this round ---
+    "label_centroids_udaf",
+    # --- implementations changed in round 3 — re-verification ---
+    "hybrid_rrf_topk",            # r3: single tokenize, shared postings
+    "bm25_keyword_topk",          # r3: shares scored postings w/ hybrid
+    "rag_index_and_search",       # r3: embed-stage cut
+    "pack_sequences_budget",      # r3: sharded within strata
+    "ats_normalize_jobs",         # r3: 3 → 6+ vendors
+    "multimodal_features",        # r3: reduceat int64 accumulate
+    "audio_window_energy",        # r3: same kernel as above
 )
 
 

@@ -431,11 +431,17 @@ def ann_ivf_topk_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SURVEY §2.10 UDF matrix (scalar pandas_udf, mapInPandas, "
     "applyInPandas[WithState], and now GROUPED_AGG). Same result as "
     "the SQL-ops centroid builder (cosine.py::centroids); one shuffle "
-    "on label, Arrow-batched per group.",
+    "on label, Arrow-batched per group. Output is exploded to "
+    "(label, dim, value) scalar rows: the driver's canonicalizer "
+    "sorts result frames with pandas sort_values, which cannot "
+    "factorize list-valued cells — scalar rows keep the same "
+    "information driver-sortable.",
     oracle=f"""
         WITH {_DUCK_EMB},
         {_DUCK_CENTROIDS}
-        SELECT label, cvec AS centroid FROM centroids ORDER BY label
+        SELECT label, i - 1 AS dim, cvec[i] AS value
+        FROM centroids, UNNEST(range(1, len(cvec) + 1)) AS t(i)
+        ORDER BY label, dim
     """,
 )
 def label_centroids_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,5 +451,7 @@ def label_centroids_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("label")
         .agg(vec_mean("emb").alias("centroid"))
-        .orderBy("label")
+        .select("label", F.posexplode("centroid").alias("dim", "value"))
+        .select("label", F.col("dim").cast("long").alias("dim"), "value")
+        .orderBy("label", "dim")
     )
