@@ -5,7 +5,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is fully executed (collected to the driver) so the timing
 covers scan → shuffle → aggregate → result, the same path the driver
-measures.
+measures. Each query runs REPS (default 3) times and reports the
+MEDIAN, so one GC pause / JIT warm-up / session-contention blip can't
+masquerade as a plan regression (round-2 lesson: a 3.6x swing on a
+query whose code hadn't changed).
 """
 
 from __future__ import annotations
@@ -48,6 +51,7 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
         print(f"# warm-up failed: {type(exc).__name__}: {exc}", file=sys.stderr)
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     total = 0.0
     failures: list[str] = []
     for name, q in sorted(bench.items()):
@@ -58,24 +62,30 @@ def main() -> None:
                 q.prepare(spark, sf_dir)
             except Exception as exc:  # noqa: BLE001
                 print(f"# {name}: prepare failed {exc}", file=sys.stderr)
-        t0 = time.time()
+        samples: list[float] = []
+        n = 0
         try:
-            df = q.fn(spark, sf_dir)
-            n = len(df.collect())
+            for _ in range(reps):
+                t0 = time.time()
+                df = q.fn(spark, sf_dir)
+                n = len(df.collect())
+                samples.append(time.time() - t0)
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the bench line
             failures.append(name)
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
             continue
-        dt = time.time() - t0
+        dt = sorted(samples)[len(samples) // 2]
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        detail = "/".join(f"{s:.2f}" for s in sorted(samples))
+        print(f"# {name}: median {dt:.2f}s of [{detail}] ({n} rows)", file=sys.stderr)
 
     payload = {
         "metric": "headline_query_set_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if failures:
