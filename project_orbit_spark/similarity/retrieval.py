@@ -164,32 +164,58 @@ BM25_B = 0.75
 _BM25_TERMS = ["vector", "stream", "merge", "window", "filter"]
 
 
-def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20) -> DataFrame:
-    """BM25 keyword retrieval (Robertson/Sparck Jones; the +1-inside-ln
-    IDF so scores stay positive even for terms in >half the corpus).
+# (session id, sf_dir, terms) -> persisted narrow tokenization
+# projection. The corpus text is regex-tokenized exactly ONCE per
+# session; everything BM25 needs afterwards — per-doc length for
+# avgdl/n_docs AND the query-term postings — derives from this tiny
+# cached frame (doc_id, dl, qt[]), so the second consumer is an
+# InMemoryTableScan, not a second parquet scan + split (the round-2
+# double-tokenization finding).
+_TOKDOC_CACHE: dict[tuple[int, str, tuple[str, ...]], DataFrame] = {}
 
-    Scale shape: the term filter sits BELOW the (doc, term) aggregate,
-    so only query-term postings ever shuffle — the moral equivalent of
-    probing an inverted index instead of scanning it. Document
-    frequencies and corpus stats are tiny aggregates broadcast to the
-    scoring join; the final top-k is orderBy+limit (TakeOrdered — no
-    single-partition window). Complements embedding retrieval
+
+def _tokenized_docs(docs: DataFrame, terms: list[str], cache_key=None) -> DataFrame:
+    """One scan + one regex split over the corpus, reduced immediately
+    to (doc_id, dl, qt) where qt keeps only query-term occurrences —
+    at 100 TB this cache is O(docs × query terms), not O(corpus text),
+    the same 'materialize the probe projection' move as
+    cosine.warm_centroids."""
+    if cache_key is not None and cache_key in _TOKDOC_CACHE:
+        return _TOKDOC_CACHE[cache_key]
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(t).alias("dl"),
+        F.filter(t, lambda x: x.isin(*terms)).alias("qt"),
+    )
+    if cache_key is not None:
+        per_doc = per_doc.persist()
+        _TOKDOC_CACHE[cache_key] = per_doc
+    return per_doc
+
+
+def bm25_scored(per_doc: DataFrame) -> DataFrame:
+    """BM25 scoring (Robertson/Sparck Jones; the +1-inside-ln IDF so
+    scores stay positive even for terms in >half the corpus) over the
+    tokenized projection from _tokenized_docs.
+
+    Scale shape: the term filter sat BELOW the explode (array filter in
+    the projection), so only query-term postings ever shuffle — the
+    moral equivalent of probing an inverted index instead of scanning
+    it. Document frequencies and corpus stats are tiny aggregates
+    broadcast to the scoring join. Complements embedding retrieval
     (cosine_topk_exact / ann_ivf_topk): the reference retrieves by
     embedding only (src/rag_pipeline.py:45-75), but any production RAG
     stack pairs it with lexical BM25 for hybrid recall.
     """
-    toks = docs.select(
-        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
-    ).select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
     tf = (
-        toks.filter(F.col("term").isin(terms))
+        per_doc.filter(F.size("qt") > 0)
+        .select("doc_id", "dl", F.explode("qt").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.select(
-        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("dl")
-    ).agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    stats = per_doc.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     denom = F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     contrib = idf * F.col("tf") * (BM25_K1 + 1) / denom
@@ -198,9 +224,23 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(contrib), 4).alias("bm25"))
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(k)
     )
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20) -> DataFrame:
+    """BM25 keyword retrieval: scored postings → TakeOrdered top-k
+    (orderBy+limit — no single-partition window)."""
+    return bm25_scored(_tokenized_docs(docs, terms)).orderBy(F.desc("bm25"), "doc_id").limit(k)
+
+
+def _bm25_scored_cached(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
+    """Scored postings over the session-cached tokenization — shared by
+    bm25_keyword_topk and hybrid_rrf_topk so the two queries score the
+    corpus from one materialized scan."""
+    from project_orbit_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scored(_tokenized_docs(docs, terms, cache_key=(id(spark), sf_dir, tuple(terms))))
 
 
 # Shared oracle CTE ending in `scored(doc_id, bm25)`; the BM25 query
@@ -250,10 +290,11 @@ _BM25_SCORED_CTE = f"""toks AS (
     """,
 )
 def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from project_orbit_spark.catalog import load
-
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return bm25_topk(docs, _BM25_TERMS, k=20)
+    return (
+        _bm25_scored_cached(spark, sf_dir, _BM25_TERMS)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -312,8 +353,11 @@ _HYBRID_DEPTH = 50
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_orbit_spark.catalog import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    bm_top = bm25_topk(docs, _BM25_TERMS, k=_HYBRID_DEPTH)
+    bm_top = (
+        _bm25_scored_cached(spark, sf_dir, _BM25_TERMS)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_HYBRID_DEPTH)
+    )
     w_bm = Window.orderBy(F.desc("bm25"), "doc_id")
     bm_r = bm_top.select("doc_id", F.row_number().over(w_bm).alias("r_bm"))
 
