@@ -66,10 +66,7 @@ _DUCK_EMBED4 = (
     """,
 )
 def rag_index_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from project_orbit_spark.functions.inference import (
-        embed_stage,
-        hash_embedding_provider,
-    )
+    from project_orbit_spark.functions.inference import hash_embedding_provider
     from project_orbit_spark.functions.textbank import chunk_text
     from project_orbit_spark.similarity.cosine import cosine
 
@@ -106,17 +103,20 @@ def rag_index_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         embed_with_provenance(), "doc_id long, chunk_idx long, embedding array<double>"
     )
 
-    query_df = spark.createDataFrame([("corpus spark stream query",)], ["qtext"]).withColumn(
-        "qkey", F.lit(0)
-    )
-    q_emb = embed_stage(query_df, text_col="qtext", id_col="qkey", dim=4).select(
-        F.col("embedding").alias("qe")
-    )
+    # The query embedding is the SAME deterministic provider the chunk
+    # stage uses, over one constant string — evaluate it driver-side
+    # and inline the vector as a literal instead of shipping a 1-row
+    # DataFrame through its own mapInPandas stage + broadcast join
+    # (a full Python-worker round trip to hash 25 bytes).
+    import pandas as pd
 
-    scored = embedded.crossJoin(F.broadcast(q_emb)).select(
+    [qvec] = hash_embedding_provider(4)(pd.Series(["corpus spark stream query"]))
+    qe = F.array(*[F.lit(v) for v in qvec])
+
+    scored = embedded.select(
         "doc_id",
         "chunk_idx",
-        cosine(F.col("qe"), F.col("embedding")).alias("score"),
+        cosine(qe, F.col("embedding")).alias("score"),
     )
     # Distributed top-k: orderBy().limit() plans as TakeOrderedAndProject
     # (per-partition heap + driver merge of 10-row heads) instead of
