@@ -93,8 +93,11 @@ def make_feature_extractor():
                     # offsets then always differ (avoids the reduceat
                     # idx[i]==idx[i+1] single-element gotcha); empty
                     # rows stay 0.
+                    # dtype=int64 accumulates widened per-slice sums
+                    # directly off the uint8 buffer — no 8x astype copy
+                    # of the whole concatenated batch payload
                     sums[nonempty] = _np.add.reduceat(
-                        flat.astype("int64"), offsets[nonempty]
+                        flat, offsets[nonempty], dtype=_np.int64
                     )
                 checksums = sums % 65536
             else:
@@ -192,7 +195,7 @@ def make_audio_windower(window: int = 256):
                 if n == 0:
                     continue
                 starts = np.arange(0, n, window)
-                e = np.add.reduceat(arr.astype(np.int64), starts)
+                e = np.add.reduceat(arr, starts, dtype=np.int64)
                 sizes = np.minimum(starts + window, n) - starts
                 k = len(starts)
                 ids.append(np.full(k, doc_id, dtype=np.int64))
