@@ -99,31 +99,38 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_SHARDS = 16
+
+
 @register(
     "pack_sequences_budget",
     tags=("corpus", "window"),
     doc="Sequence packing with concat-and-chop semantics (documents "
-    "concatenated per language stratum in doc_id order, then chopped "
-    "into 512-token windows — the standard LLM pretraining layout): "
-    "pack_id and intra-pack offset derive from an exclusive running "
-    "token sum, one window shuffle per stratum, no stateful loop.",
-    oracle="""
-        SELECT doc_id, lang, n_tokens,
+    "concatenated in doc_id order, then chopped into 512-token windows "
+    "— the standard LLM pretraining layout). Each language stratum is "
+    "hash-sharded (doc_id % 16) and packed per (lang, shard), so the "
+    "running-sum window never serializes a whole language through one "
+    "task — at 100 TB every shard packs independently and pack "
+    "identity is (lang, shard, pack_id). pack_id and intra-pack "
+    "offset derive from an exclusive running token sum; one window "
+    "shuffle, no stateful loop.",
+    oracle=f"""
+        SELECT doc_id, lang, shard, n_tokens,
                CAST(floor(cum_excl / 512) AS BIGINT) AS pack_id,
                CAST(cum_excl % 512 AS BIGINT) AS start_offset
         FROM (
-          SELECT doc_id, lang, n_tokens,
+          SELECT doc_id, lang, shard, n_tokens,
                  coalesce(sum(n_tokens) OVER (
-                   PARTITION BY lang ORDER BY doc_id
+                   PARTITION BY lang, shard ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
           FROM (
-            SELECT doc_id, lang,
+            SELECT doc_id, lang, doc_id % {PACK_SHARDS} AS shard,
                    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
                      AS n_tokens
             FROM documents
           )
         )
-        ORDER BY lang, doc_id
+        ORDER BY lang, shard, doc_id
     """,
 )
 def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,10 +138,11 @@ def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         "lang",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
     )
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -142,10 +150,11 @@ def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select(
         "doc_id",
         "lang",
+        "shard",
         "n_tokens",
         F.floor(cum_excl / 512).cast("long").alias("pack_id"),
         (cum_excl % 512).cast("long").alias("start_offset"),
-    ).orderBy("lang", "doc_id")
+    ).orderBy("lang", "shard", "doc_id")
 
 
 @register(
