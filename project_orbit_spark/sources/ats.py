@@ -38,17 +38,42 @@ ASHBY_SCHEMA = (
     "STRUCT<jobPostings: ARRAY<STRUCT<title: STRING, locationName: STRING, "
     "team: STRUCT<name: STRING>, publishedJobUrl: STRING, id: STRING>>>"
 )
+# Workable jobs API shape (ref src/ats_extractor.py:360-381: results[].
+# title / location.city[] joined ', ' / department / url / id)
+WORKABLE_SCHEMA = (
+    "STRUCT<results: ARRAY<STRUCT<title: STRING, location: STRUCT<city: ARRAY<STRING>>, "
+    "department: STRING, url: STRING, id: BIGINT, published_on: STRING>>>"
+)
+# SmartRecruiters postings API shape (ref src/ats_extractor.py:814-841
+# extracts title/url; the public postings list nests name /
+# location.city / department.label / ref)
+SMARTRECRUITERS_SCHEMA = (
+    "STRUCT<content: ARRAY<STRUCT<name: STRING, location: STRUCT<city: STRING>, "
+    "department: STRUCT<label: STRING>, ref: STRING, id: STRING>>>"
+)
+# BambooHR careers list shape (ref src/ats_extractor.py:657-716 extracts
+# title/location/department/url; the public careers API nests
+# jobOpeningName / location.city / departmentLabel / jobOpeningShareUrl)
+BAMBOOHR_SCHEMA = (
+    "STRUCT<result: ARRAY<STRUCT<jobOpeningName: STRING, location: STRUCT<city: STRING>, "
+    "departmentLabel: STRING, jobOpeningShareUrl: STRING, id: BIGINT>>>"
+)
 
 NORMALIZED_COLS = ("doc_id", "vendor", "title", "location", "department", "url", "job_id")
 
 
 def detect_vendor(payload: Column) -> Column:
-    """Content-marker vendor detection (ref src/ats_extractor.py:43-113):
-    first matching vendor domain wins, None otherwise."""
+    """Content-marker vendor detection (ref src/ats_extractor.py:43-113,
+    same check order: greenhouse, lever, workable, ashby, bamboohr,
+    smartrecruiters): first matching vendor domain wins, None
+    otherwise."""
     return (
         F.when(payload.contains("greenhouse.io"), F.lit("greenhouse"))
         .when(payload.contains("lever.co"), F.lit("lever"))
+        .when(payload.contains("workable.com"), F.lit("workable"))
         .when(payload.contains("ashbyhq.com"), F.lit("ashby"))
+        .when(payload.contains("bamboohr.com"), F.lit("bamboohr"))
+        .when(payload.contains("smartrecruiters.com"), F.lit("smartrecruiters"))
         .otherwise(F.lit(None).cast("string"))
     )
 
@@ -108,11 +133,63 @@ def normalize_ats_payloads(df: DataFrame, payload_col: str = "payload") -> DataF
             F.col("j.id").alias("job_id"),
         )
     )
-    return gh.unionByName(lv).unionByName(asb)
+    wk = (
+        tagged.filter(F.col("vendor") == "workable")
+        .select(
+            "doc_id",
+            "vendor",
+            F.explode(F.from_json(p, WORKABLE_SCHEMA)["results"]).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "vendor",
+            F.col("j.title").alias("title"),
+            # ref joins the city list with ', ' (src/ats_extractor.py:374)
+            F.array_join("j.location.city", ", ").alias("location"),
+            F.col("j.department").alias("department"),
+            F.col("j.url").alias("url"),
+            F.col("j.id").cast("string").alias("job_id"),
+        )
+    )
+    sr = (
+        tagged.filter(F.col("vendor") == "smartrecruiters")
+        .select(
+            "doc_id",
+            "vendor",
+            F.explode(F.from_json(p, SMARTRECRUITERS_SCHEMA)["content"]).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "vendor",
+            F.col("j.name").alias("title"),
+            F.col("j.location.city").alias("location"),
+            F.col("j.department.label").alias("department"),
+            F.col("j.ref").alias("url"),
+            F.col("j.id").alias("job_id"),
+        )
+    )
+    bh = (
+        tagged.filter(F.col("vendor") == "bamboohr")
+        .select(
+            "doc_id",
+            "vendor",
+            F.explode(F.from_json(p, BAMBOOHR_SCHEMA)["result"]).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "vendor",
+            F.col("j.jobOpeningName").alias("title"),
+            F.col("j.location.city").alias("location"),
+            F.col("j.departmentLabel").alias("department"),
+            F.col("j.jobOpeningShareUrl").alias("url"),
+            F.col("j.id").cast("string").alias("job_id"),
+        )
+    )
+    return gh.unionByName(lv).unionByName(asb).unionByName(wk).unionByName(sr).unionByName(bh)
 
 
 def _vendor_payload() -> Column:
-    """Synthesize this doc's vendor payload (vendor = doc_id%3,
+    """Synthesize this doc's vendor payload (vendor = doc_id%6,
     1+doc_id%2 jobs) as a textual JSON column so the operator
     genuinely parses JSON, not pre-built structs."""
     d = F.col("doc_id")
@@ -159,10 +236,52 @@ def _vendor_payload() -> Column:
             ),
         ),
     )
+    wk_jobs = F.concat_ws(
+        ",",
+        F.transform(
+            idxs,
+            lambda i: job(
+                '{"title": "WK Role %d-%d", "location": {"city": ["Loc%d"]}, '
+                '"department": "Dept%d", '
+                '"url": "https://apply.workable.com/acme/j/%d/%d", '
+                '"id": %d, "published_on": "2024-05-01"}',
+                d, i, (d + i) % 7, (d + i) % 3, d, i, d * 10 + i,
+            ),
+        ),
+    )
+    sr_jobs = F.concat_ws(
+        ",",
+        F.transform(
+            idxs,
+            lambda i: job(
+                '{"name": "SR Role %d-%d", "location": {"city": "Loc%d"}, '
+                '"department": {"label": "Dept%d"}, '
+                '"ref": "https://jobs.smartrecruiters.com/acme/%d/%d", '
+                '"id": "sr-%d-%d"}',
+                d, i, (d + i) % 7, (d + i) % 3, d, i, d, i,
+            ),
+        ),
+    )
+    bh_jobs = F.concat_ws(
+        ",",
+        F.transform(
+            idxs,
+            lambda i: job(
+                '{"jobOpeningName": "BH Role %d-%d", "location": {"city": "Loc%d"}, '
+                '"departmentLabel": "Dept%d", '
+                '"jobOpeningShareUrl": "https://acme.bamboohr.com/careers/%d/%d", '
+                '"id": %d}',
+                d, i, (d + i) % 7, (d + i) % 3, d, i, d * 10 + i,
+            ),
+        ),
+    )
     return (
-        F.when(d % 3 == 0, F.concat(F.lit('{"jobs": ['), gh_jobs, F.lit("]}")))
-        .when(d % 3 == 1, F.concat(F.lit("["), lv_jobs, F.lit("]")))
-        .otherwise(F.concat(F.lit('{"jobPostings": ['), as_jobs, F.lit("]}")))
+        F.when(d % 6 == 0, F.concat(F.lit('{"jobs": ['), gh_jobs, F.lit("]}")))
+        .when(d % 6 == 1, F.concat(F.lit("["), lv_jobs, F.lit("]")))
+        .when(d % 6 == 2, F.concat(F.lit('{"jobPostings": ['), as_jobs, F.lit("]}")))
+        .when(d % 6 == 3, F.concat(F.lit('{"results": ['), wk_jobs, F.lit("]}")))
+        .when(d % 6 == 4, F.concat(F.lit('{"content": ['), sr_jobs, F.lit("]}")))
+        .otherwise(F.concat(F.lit('{"result": ['), bh_jobs, F.lit("]}")))
     )
 
 
@@ -170,35 +289,44 @@ def _vendor_payload() -> Column:
     "ats_normalize_jobs",
     tags=("source", "json"),
     doc="S5 ATS vendor normalization (ref src/ats_extractor.py:43-113 "
-    "detection, :114-220 Greenhouse, :221-288 Lever, :491-656 Ashby): "
-    "content-marker vendor detection → per-vendor typed from_json → "
-    "explode → unionByName into one normal form. Oracle regenerates "
-    "the normalized rows from the synthesis arithmetic.",
+    "detection, :114-220 Greenhouse, :221-288 Lever, :289-490 "
+    "Workable, :491-656 Ashby, :657-716 BambooHR, :814-841 "
+    "SmartRecruiters): content-marker vendor detection → per-vendor "
+    "typed from_json → explode → unionByName into one normal form. "
+    "Oracle regenerates the normalized rows from the synthesis "
+    "arithmetic.",
     oracle="""
         SELECT doc_id,
-               CASE doc_id % 3 WHEN 0 THEN 'greenhouse'
-                 WHEN 1 THEN 'lever' ELSE 'ashby' END AS vendor,
-               CASE doc_id % 3
-                 WHEN 0 THEN 'GH Role ' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
-                 WHEN 1 THEN 'LV Role ' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
-                 ELSE 'AS Role ' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
-               END AS title,
+               CASE doc_id % 6 WHEN 0 THEN 'greenhouse' WHEN 1 THEN 'lever'
+                 WHEN 2 THEN 'ashby' WHEN 3 THEN 'workable'
+                 WHEN 4 THEN 'smartrecruiters' ELSE 'bamboohr' END AS vendor,
+               CASE doc_id % 6 WHEN 0 THEN 'GH' WHEN 1 THEN 'LV' WHEN 2 THEN 'AS'
+                 WHEN 3 THEN 'WK' WHEN 4 THEN 'SR' ELSE 'BH' END
+                 || ' Role ' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+                 AS title,
                'Loc' || CAST((doc_id + i) % 7 AS VARCHAR) AS location,
-               CASE WHEN doc_id % 3 = 0
-                 THEN 'Dept' || CAST((doc_id + i) % 3 AS VARCHAR)
-                 ELSE 'Team' || CAST((doc_id + i) % 3 AS VARCHAR) END AS department,
-               CASE doc_id % 3
+               CASE WHEN doc_id % 6 IN (1, 2)
+                 THEN 'Team' || CAST((doc_id + i) % 3 AS VARCHAR)
+                 ELSE 'Dept' || CAST((doc_id + i) % 3 AS VARCHAR) END AS department,
+               CASE doc_id % 6
                  WHEN 0 THEN 'https://boards.greenhouse.io/acme/'
                    || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR)
                  WHEN 1 THEN 'https://jobs.lever.co/acme/'
                    || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR)
-                 ELSE 'https://jobs.ashbyhq.com/acme/'
+                 WHEN 2 THEN 'https://jobs.ashbyhq.com/acme/'
+                   || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+                 WHEN 3 THEN 'https://apply.workable.com/acme/j/'
+                   || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+                 WHEN 4 THEN 'https://jobs.smartrecruiters.com/acme/'
+                   || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+                 ELSE 'https://acme.bamboohr.com/careers/'
                    || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR)
                END AS url,
-               CASE doc_id % 3
-                 WHEN 0 THEN CAST(doc_id * 10 + i AS VARCHAR)
+               CASE doc_id % 6
                  WHEN 1 THEN 'lv-' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
-                 ELSE 'as-' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+                 WHEN 2 THEN 'as-' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+                 WHEN 4 THEN 'sr-' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+                 ELSE CAST(doc_id * 10 + i AS VARCHAR)
                END AS job_id
         FROM documents, UNNEST(range(0, 1 + doc_id % 2)) AS t(i)
         ORDER BY doc_id, job_id
