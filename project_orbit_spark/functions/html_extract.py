@@ -705,3 +705,184 @@ def html_article_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield from inner(paged())
 
     return d.mapInPandas(template_then_parse, ARTICLE_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C16 depth: readability-grade main-text scoring (block link density)
+
+
+def _readability_page(doc_id: int, text: str) -> str:
+    """Template a page with four top-level blocks of very different
+    link densities (the shape trafilatura/readability must untangle,
+    ref src/scraper_v2.py:412-429): pure-link nav, long low-link
+    content, mixed sidebar (doc_id%3+1 related links), link-heavy
+    footer. No inter-tag whitespace, so block text lengths are exact
+    template arithmetic."""
+    k = doc_id % 3 + 1
+    side_links = "".join(f'<a href="/s{j}">Story {j}</a>' for j in range(k))
+    return (
+        "<html><body>"
+        '<div class="nav"><a href="/n0">Nav Item 0</a><a href="/n1">Nav Item 1</a>'
+        '<a href="/n2">Nav Item 2</a></div>'
+        f'<div class="content"><p>{text}</p><a href="/more">more</a></div>'
+        f'<div class="sidebar"><p>Related stories follow</p>{side_links}</div>'
+        '<div class="footer"><a href="/terms">Terms</a><a href="/privacy">Privacy</a>'
+        "<span>Copyright 2024 Acme</span></div>"
+        "</body></html>"
+    )
+
+
+BLOCK_SCHEMA = "doc_id long, block_id long, block string, text_len long, link_len long"
+
+
+def make_block_profiler():
+    """Per-block text/link character accounting: an event-driven walk
+    that attributes every text node to its enclosing top-level <div>
+    and separately tallies characters inside <a> — the two numbers a
+    readability scorer needs. Closure for by-value cloudpickle."""
+
+    def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+        from html.parser import HTMLParser
+
+        class BlockParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.blocks: list[dict] = []
+                self._depth = 0
+                self._cur: dict | None = None
+                self._in_a = False
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "div":
+                    self._depth += 1
+                    if self._depth == 1:
+                        self._cur = {
+                            "block_id": len(self.blocks),
+                            "block": dict(attrs).get("class", ""),
+                            "text_len": 0,
+                            "link_len": 0,
+                        }
+                elif tag == "a" and self._cur is not None:
+                    self._in_a = True
+
+            def handle_endtag(self, tag):
+                if tag == "div":
+                    if self._depth == 1 and self._cur is not None:
+                        self.blocks.append(self._cur)
+                        self._cur = None
+                    self._depth = max(0, self._depth - 1)
+                elif tag == "a":
+                    self._in_a = False
+
+            def handle_data(self, data):
+                if self._cur is not None:
+                    self._cur["text_len"] += len(data)
+                    if self._in_a:
+                        self._cur["link_len"] += len(data)
+
+        def parse_one(html: str) -> list[dict]:
+            p = BlockParser()
+            p.feed(html)
+            return p.blocks
+
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples():
+                blocks = parse_one(r.html)
+                if blocks:
+                    f = _pd.DataFrame(blocks)
+                    f.insert(0, "doc_id", r.doc_id)
+                    frames.append(f)
+            if frames:
+                out = _pd.concat(frames, ignore_index=True)
+                out["block_id"] = out["block_id"].astype("int64")
+                out["text_len"] = out["text_len"].astype("int64")
+                out["link_len"] = out["link_len"].astype("int64")
+                yield out
+
+    return profile
+
+
+@register(
+    "html_main_text",
+    tags=("html", "pandas_udf"),
+    doc="C16 readability-grade main-text scoring (the trafilatura "
+    "main-text role, ref src/scraper_v2.py:412-429): per top-level "
+    "block, text chars vs link chars -> link density and a "
+    "non-link-text score; the doc's main block is the score argmax. "
+    "Density is floor-quantized to 4dp (round() tie semantics differ "
+    "between engines); the score itself is exact integer arithmetic. "
+    "Oracle regenerates every block's tallies from the template "
+    "arithmetic.",
+    oracle="""
+        WITH blocks AS (
+          SELECT doc_id, 0 AS block_id, 'nav' AS block,
+                 30 AS text_len, 30 AS link_len
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 1, 'content', length(text) + 4, 4 FROM documents
+          UNION ALL
+          SELECT doc_id, 2, 'sidebar',
+                 22 + 7 * (doc_id % 3 + 1), 7 * (doc_id % 3 + 1)
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 3, 'footer', 31, 12 FROM documents
+        )
+        SELECT doc_id, CAST(block_id AS BIGINT) AS block_id, block,
+               CAST(text_len AS BIGINT) AS text_len,
+               CAST(link_len AS BIGINT) AS link_len,
+               floor(link_len::DOUBLE / text_len * 10000) / 10000 AS link_density,
+               CAST(text_len - link_len AS BIGINT) AS main_score,
+               CAST(row_number() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY text_len - link_len DESC, block_id) = 1 AS BIGINT)
+                 AS is_main
+        FROM blocks
+        ORDER BY doc_id, block_id
+    """,
+)
+def html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def template_then_profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        inner = make_block_profiler()
+
+        def paged():
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "html": [
+                            _readability_page(r.doc_id, r.text) for r in pdf.itertuples()
+                        ],
+                    }
+                )
+
+        yield from inner(paged())
+
+    blocks = d.mapInPandas(template_then_profile, BLOCK_SCHEMA)
+    score = (F.col("text_len") - F.col("link_len")).cast("long")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("main_score"), F.asc("block_id"))
+    return (
+        blocks.select(
+            "doc_id",
+            "block_id",
+            "block",
+            "text_len",
+            "link_len",
+            (
+                F.floor(F.col("link_len").cast("double") / F.col("text_len") * 10000)
+                / 10000
+            ).alias("link_density"),
+            score.alias("main_score"),
+        )
+        .withColumn(
+            "is_main", (F.row_number().over(w) == 1).cast("long")
+        )
+        .orderBy("doc_id", "block_id")
+    )

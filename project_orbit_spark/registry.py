@@ -188,6 +188,7 @@ _DRIVER_PRIORITY = (
     "ats_normalize_jobs",         # r3: 3 → 6+ vendors
     "multimodal_features",        # r3: reduceat int64 accumulate
     "audio_window_energy",        # r3: same kernel as above
+    "html_main_text",             # r3 addition: readability scorer
 )
 
 

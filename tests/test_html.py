@@ -153,3 +153,42 @@ class TestArticleExtractor:
         row = run(make_article_extractor(), html).iloc[0]
         assert row["word_count"] == 0
         assert row["reading_time"] == 1
+
+
+class TestBlockProfiler:
+    def test_nested_divs_attribute_to_outer_block(self):
+        from project_orbit_spark.functions.html_extract import make_block_profiler
+
+        html = (
+            '<div class="main"><div class="inner"><p>abcde</p></div>'
+            '<a href="/x">fg</a></div>'
+        )
+        out = run(make_block_profiler(), html)
+        # one top-level block; inner div text counts toward it
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["block"] == "main"
+        assert row["text_len"] == 7  # 'abcde' + 'fg'
+        assert row["link_len"] == 2
+
+    def test_link_outside_any_block_ignored_and_classless_div(self):
+        from project_orbit_spark.functions.html_extract import make_block_profiler
+
+        html = '<a href="/out">zz</a><div><p>hi</p></div>'
+        out = run(make_block_profiler(), html)
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["block"] == ""
+        assert row["text_len"] == 2
+        assert row["link_len"] == 0
+
+    def test_unclosed_div_still_counts_after_feed(self):
+        from project_orbit_spark.functions.html_extract import make_block_profiler
+
+        # html.parser never emits the missing </div>; the block stays
+        # open and is dropped — the profiler must not crash, and closed
+        # earlier blocks survive
+        html = '<div class="a"><span>xy</span></div><div class="b"><p>rest'
+        out = run(make_block_profiler(), html)
+        assert list(out["block"]) == ["a"]
+        assert out.iloc[0]["text_len"] == 2
