@@ -189,6 +189,7 @@ _DRIVER_PRIORITY = (
     "multimodal_features",        # r3: reduceat int64 accumulate
     "audio_window_energy",        # r3: same kernel as above
     "html_main_text",             # r3 addition: readability scorer
+    "ats_html_vendor_jobs",       # r3 addition: HTML-tier ATS vendors
 )
 
 

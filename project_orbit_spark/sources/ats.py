@@ -12,9 +12,12 @@ one schema and ``unionByName`` — a tagged union, all JVM-side, no
 Python in the hot path.
 
 The fixture has no ATS payloads, so deterministic vendor JSON is
-synthesized per document (vendor rotates by doc_id%3, 1+doc_id%2
+synthesized per document (vendor rotates by doc_id%6, 1+doc_id%2
 jobs each) with real vendor domains as detection markers; the oracle
-regenerates the normalized rows from the same arithmetic.
+regenerates the normalized rows from the same arithmetic. The four
+vendors the reference scrapes from HTML instead of an API (iCIMS,
+Workday, Oracle Taleo, Jobvite) route through the C18 job-card
+parser — see ats_html_vendor_jobs below.
 """
 
 from __future__ import annotations
@@ -63,17 +66,28 @@ NORMALIZED_COLS = ("doc_id", "vendor", "title", "location", "department", "url",
 
 
 def detect_vendor(payload: Column) -> Column:
-    """Content-marker vendor detection (ref src/ats_extractor.py:43-113,
-    same check order: greenhouse, lever, workable, ashby, bamboohr,
-    smartrecruiters): first matching vendor domain wins, None
-    otherwise."""
+    """Content-marker vendor detection for all 10 reference vendors
+    (ref src/ats_extractor.py:43-113, same check order: greenhouse,
+    lever, workable, ashby, bamboohr, icims, workday, oracle/taleo,
+    smartrecruiters, jobvite): first matching vendor domain wins,
+    None otherwise."""
     return (
         F.when(payload.contains("greenhouse.io"), F.lit("greenhouse"))
         .when(payload.contains("lever.co"), F.lit("lever"))
         .when(payload.contains("workable.com"), F.lit("workable"))
         .when(payload.contains("ashbyhq.com"), F.lit("ashby"))
         .when(payload.contains("bamboohr.com"), F.lit("bamboohr"))
+        .when(payload.contains("icims.com"), F.lit("icims"))
+        .when(
+            payload.contains("myworkdayjobs.com") | payload.contains("workday.com"),
+            F.lit("workday"),
+        )
+        .when(
+            payload.contains("taleo.net") | payload.contains("oraclecloud.com"),
+            F.lit("oracle"),
+        )
         .when(payload.contains("smartrecruiters.com"), F.lit("smartrecruiters"))
+        .when(payload.contains("jobvite.com"), F.lit("jobvite"))
         .otherwise(F.lit(None).cast("string"))
     )
 
@@ -336,3 +350,117 @@ def ats_normalize_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id")
     payloads = d.select("doc_id", _vendor_payload().alias("payload"))
     return normalize_ats_payloads(payloads).orderBy("doc_id", "job_id")
+
+
+# ---------------------------------------------------------------------------
+# HTML-tier vendors: the reference scrapes iCIMS / Workday / Oracle
+# Taleo / Jobvite listings out of HTML card/table markup rather than a
+# JSON API (src/ats_extractor.py:718-750 icims, :751-784 workday,
+# :785-813 oracle, :843-869 jobvite) — so these four route through the
+# C18 job-card parser (the pandas tier), then normalize to the same
+# shape as the JSON vendors. A tagged union across execution tiers.
+
+_HTML_VENDOR_DOMAINS = (
+    "careers.icims.com/acme",
+    "acme.myworkdayjobs.com/en-US",
+    "acme.taleo.net/careersection",
+    "jobs.jobvite.com/acme",
+)
+_HTML_VENDOR_PREFIX = ("IC", "WD", "OR", "JV")
+
+
+def _ats_listing_page(doc_id: int) -> str:
+    """Deterministic vendor listing page (vendor = doc_id%4, rows =
+    1+doc_id%3): a job table with Title/Location/Department headers and
+    a per-row apply link whose href carries the vendor domain — the
+    marker detect_ats keys on and the shape the reference's HTML
+    extractors walk."""
+    v = doc_id % 4
+    n = 1 + doc_id % 3
+    rows = "".join(
+        f"<tr><td>{_HTML_VENDOR_PREFIX[v]} Role {doc_id}-{i}</td>"
+        f"<td>Loc{(doc_id + i) % 7}</td><td>Dept{(doc_id + i) % 3}</td>"
+        f'<td><a href="https://{_HTML_VENDOR_DOMAINS[v]}/job/{doc_id}/{i}">apply</a></td></tr>'
+        for i in range(n)
+    )
+    return (
+        "<html><body><h1>Open roles</h1>"
+        "<table><tr><th>Title</th><th>Location</th><th>Department</th>"
+        f"<th>Apply</th></tr>{rows}</table></body></html>"
+    )
+
+
+@register(
+    "ats_html_vendor_jobs",
+    tags=("source", "html", "pandas_udf"),
+    doc="S5 HTML-tier ATS vendors (ref src/ats_extractor.py:718-750 "
+    "iCIMS, :751-784 Workday, :785-813 Oracle Taleo, :843-869 Jobvite "
+    "— all scraped from listing markup, no JSON API): templated "
+    "vendor pages -> C18 job-card parse (mapInPandas) -> vendor "
+    "detection on the extracted apply href -> the same normal form as "
+    "ats_normalize_jobs. Completes the reference's 10-vendor "
+    "dispatch (:871) across both execution tiers.",
+    oracle="""
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'icims' WHEN 1 THEN 'workday'
+                 WHEN 2 THEN 'oracle' ELSE 'jobvite' END AS vendor,
+               CASE doc_id % 4 WHEN 0 THEN 'IC' WHEN 1 THEN 'WD'
+                 WHEN 2 THEN 'OR' ELSE 'JV' END
+                 || ' Role ' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+                 AS title,
+               'Loc' || CAST((doc_id + i) % 7 AS VARCHAR) AS location,
+               'Dept' || CAST((doc_id + i) % 3 AS VARCHAR) AS department,
+               'https://' || CASE doc_id % 4
+                 WHEN 0 THEN 'careers.icims.com/acme'
+                 WHEN 1 THEN 'acme.myworkdayjobs.com/en-US'
+                 WHEN 2 THEN 'acme.taleo.net/careersection'
+                 ELSE 'jobs.jobvite.com/acme' END
+                 || '/job/' || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+                 AS url,
+               CAST(NULL AS VARCHAR) AS job_id
+        FROM documents, UNNEST(range(0, 1 + doc_id % 3)) AS t(i)
+        ORDER BY doc_id, url
+    """,
+)
+def ats_html_vendor_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from project_orbit_spark.functions.html_extract import (
+        JOBS_SCHEMA,
+        make_job_extractor,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def template_then_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        inner = make_job_extractor()
+
+        def paged():
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "html": pdf["doc_id"].map(_ats_listing_page),
+                    }
+                )
+
+        yield from inner(paged())
+
+    cards = d.mapInPandas(template_then_parse, JOBS_SCHEMA)
+    return (
+        cards.filter(F.col("src") == "table")
+        .select(
+            "doc_id",
+            detect_vendor(F.col("href")).alias("vendor"),
+            "title",
+            "location",
+            "department",
+            F.col("href").alias("url"),
+            F.lit(None).cast("string").alias("job_id"),
+        )
+        .orderBy("doc_id", "url")
+    )
