@@ -94,6 +94,28 @@ def test_bm25_is_pushed_down_broadcast_take_ordered(spark):
     assert "IN (vector" in f.text[first_exchange:], "term filter must be below the shuffle"
 
 
+def test_bm25_and_hybrid_tokenize_the_corpus_once(spark):
+    # round-2 finding: the corpus was regex-split twice (postings +
+    # avgdl stats) and again by the hybrid query. Both consumers must
+    # now read the session-cached (doc_id, dl, qt) projection, so the
+    # formatted plan defines exactly ONE documents scan node (inside
+    # the InMemoryRelation) for bm25, plus the embeddings scan for
+    # hybrid — a second distinct scan node means someone re-tokenized
+    import re
+
+    for name in ("bm25_keyword_topk", "hybrid_rrf_topk"):
+        f = facts(name, spark)
+        assert "InMemoryTableScan" in f.text, name
+        # detail blocks: "(N) Scan parquet\n...Location: ...<table>.parquet..."
+        doc_scans = [
+            b
+            for b in re.split(r"^(?=\(\d+\) )", f.text, flags=re.M)
+            if b.startswith("(") and "Scan parquet" in b.split("\n", 1)[0]
+            and "documents.parquet" in b
+        ]
+        assert len(doc_scans) == 1, (name, len(doc_scans))
+
+
 def test_bloom_prune_sits_below_the_join(spark):
     # the bitset membership filter must apply to the lineitem scan
     # side before the equi-join (semi-join reduction), and the 8 KB
