@@ -190,6 +190,8 @@ _DRIVER_PRIORITY = (
     "audio_window_energy",        # r3: same kernel as above
     "html_main_text",             # r3 addition: readability scorer
     "ats_html_vendor_jobs",       # r3 addition: HTML-tier ATS vendors
+    "rerank_crossencoder_topk",   # r3 addition: two-stage retrieval
+    "scd2_customer_history",      # r3 addition: SCD2 dimension merge
 )
 
 

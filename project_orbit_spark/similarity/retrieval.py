@@ -393,3 +393,81 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Rerank stage — the second stage of a retrieve -> rerank stack.
+
+_RERANK_QUERY = " ".join(_BM25_TERMS)
+_RERANK_DEPTH = 50
+
+
+@register(
+    "rerank_crossencoder_topk",
+    tags=("retrieval", "text"),
+    doc="Cross-encoder rerank stage over the BM25 candidate list "
+    "(the standard two-stage retrieval stack the reference's "
+    "single-stage vector search lacks, ref src/rag_pipeline.py:45-75): "
+    "first-stage BM25 top-50 from the shared cached postings, then a "
+    "pairwise (query, doc-text) scorer over just those 50 candidates, "
+    "final top-10 by rerank score. The scorer is the deterministic "
+    "md5-byte provider face (same duality as E1/E5: a real "
+    "cross-encoder drops into the same pairwise signature); candidate "
+    "texts come from a broadcast point-lookup join — the expensive "
+    "model only ever sees k docs, never the corpus.",
+    oracle=f"""
+        WITH {_BM25_SCORED_CTE},
+        cand AS (
+          SELECT doc_id, bm25 FROM scored
+          ORDER BY bm25 DESC, doc_id
+          LIMIT {_RERANK_DEPTH}
+        ),
+        ce AS (
+          SELECT c.doc_id, c.bm25,
+                 round(CAST(('0x' || substring(md5(
+                   '{_RERANK_QUERY}' || substring(d.text, 1, 64)), 1, 4))
+                   AS UBIGINT) / 65536.0, 6) AS ce_score
+          FROM cand c JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, bm25, ce_score, rank
+        FROM (
+          SELECT doc_id, bm25, ce_score,
+                 CAST(row_number() OVER (ORDER BY ce_score DESC, doc_id)
+                   AS BIGINT) AS rank
+          FROM ce
+        ) t
+        WHERE rank <= 10
+        ORDER BY rank
+    """,
+)
+def rerank_crossencoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.catalog import load
+
+    cand = (
+        _bm25_scored_cached(spark, sf_dir, _BM25_TERMS)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RERANK_DEPTH)
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # 50-row candidate list broadcast against the corpus scan: the
+    # text fetch is a point lookup, the corpus never shuffles
+    ce_score = F.round(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_RERANK_QUERY), F.substring("text", 1, 64))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 65536.0,
+        6,
+    )
+    scored = (
+        F.broadcast(cand).join(docs, "doc_id").select("doc_id", "bm25", ce_score.alias("ce_score"))
+    )
+    w = Window.orderBy(F.desc("ce_score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+    )

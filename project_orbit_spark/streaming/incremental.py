@@ -14,7 +14,7 @@ skipping comes from partition pruning on run_date.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_orbit_spark.catalog import load
@@ -225,3 +225,108 @@ def stream_dedup_replayed(spark: SparkSession, sf_dir: str, watermark: str = "1 
 def replay_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return dedup_replayed(replay_corpus(ev)).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history — the MERGE-into-history face of ST1.
+
+
+def scd2_history(
+    snapshots: DataFrame, key: str, attrs: list[str], run_col: str = "run_date"
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from stacked
+    snapshots: keep only rows whose tracked attributes differ from the
+    key's previous snapshot (change detection via lag), then derive
+    [valid_from, valid_to) from the surviving rows' run dates; the
+    open row is current. One window shuffle on the key — the batch
+    equivalent of a MERGE ... WHEN MATCHED AND attrs-changed pattern
+    at 100 TB (partition-prune snapshots on run_date, shuffle once)."""
+    fingerprint = F.md5(F.concat_ws("\x1f", *[F.col(a).cast("string") for a in attrs]))
+    w_seq = Window.partitionBy(key).orderBy(run_col)
+    changed = (
+        snapshots.withColumn("_fp", fingerprint)
+        .withColumn("_prev_fp", F.lag("_fp").over(w_seq))
+        .filter(F.col("_prev_fp").isNull() | (F.col("_fp") != F.col("_prev_fp")))
+    )
+    w_ver = Window.partitionBy(key).orderBy(run_col)
+    return changed.select(
+        key,
+        *attrs,
+        F.col(run_col).alias("valid_from"),
+        F.lead(run_col).over(w_ver).alias("valid_to"),
+        F.lead(run_col).over(w_ver).isNull().cast("long").alias("is_current"),
+    )
+
+
+@register(
+    "scd2_customer_history",
+    tags=("incremental", "window"),
+    doc="ST1 depth: type-2 slowly-changing-dimension merge over two "
+    "customer snapshots (second run flips every 10th customer's "
+    "segment and account balance; every 50th re-emits unchanged and "
+    "must NOT open a new version): lag-fingerprint change detection "
+    "-> valid_from / valid_to / is_current via lead. The 'latest "
+    "prior run' semantics of the reference's daily DAG "
+    "(dags/orbit_daily_update_dag.py:126-216) generalized to full "
+    "dimension history.",
+    oracle="""
+        WITH snaps AS (
+          SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+                 '2024-01-01' AS run_date
+          FROM customer
+          UNION ALL
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 10 = 0 THEN 'CHANGED'
+                      ELSE c_mktsegment END,
+                 round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+                            ELSE c_acctbal END, 2),
+                 '2024-02-01'
+          FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 50 = 0
+        ),
+        seq AS (
+          SELECT *, md5(c_mktsegment || chr(31) || CAST(acctbal AS VARCHAR)) AS fp,
+                 lag(md5(c_mktsegment || chr(31) || CAST(acctbal AS VARCHAR))) OVER (
+                   PARTITION BY c_custkey ORDER BY run_date) AS prev_fp
+          FROM snaps
+        ),
+        hist AS (
+          SELECT c_custkey, c_mktsegment, acctbal, run_date AS valid_from,
+                 lead(run_date) OVER (PARTITION BY c_custkey ORDER BY run_date)
+                   AS valid_to
+          FROM seq
+          WHERE prev_fp IS NULL OR fp != prev_fp
+        )
+        SELECT c_custkey, c_mktsegment, acctbal, valid_from, valid_to,
+               CAST(valid_to IS NULL AS BIGINT) AS is_current
+        FROM hist
+        ORDER BY c_custkey, valid_from
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    snap1 = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("2024-01-01").alias("run_date"),
+    )
+    snap2 = (
+        c.filter((F.col("c_custkey") % 10 == 0) | (F.col("c_custkey") % 50 == 0))
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            F.round(
+                F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100).otherwise(
+                    F.col("c_acctbal")
+                ),
+                2,
+            ).alias("acctbal"),
+            F.lit("2024-02-01").alias("run_date"),
+        )
+    )
+    hist = scd2_history(
+        snap1.unionByName(snap2), key="c_custkey", attrs=["c_mktsegment", "acctbal"]
+    )
+    return hist.orderBy("c_custkey", "valid_from")
