@@ -75,7 +75,7 @@ def test_slugify_is_clean_and_bounded(spark, texts):
         assert re.fullmatch(r"[a-z0-9_]*", r["slug"])
 
 
-@settings(max_examples=3, deadline=None)
+@settings(max_examples=3, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=40).map(" ".join),
@@ -85,14 +85,19 @@ def test_slugify_is_clean_and_bounded(spark, texts):
 )
 def test_minhash_estimates_jaccard(spark, texts):
     """MinHash signature agreement approximates true shingle Jaccard:
-    estimate within 0.45 absolute (k=12 → σ≈0.14, 3σ≈0.43)."""
+    estimate within 0.45 absolute (k=24 → σ≈0.10, bound ≈ 4.4σ).
+    derandomized: a per-pair statistical bound under fresh random
+    examples flakes at the ~1/1000 tail (it did, round 3) without
+    any code change — fixed examples keep the property meaningful
+    AND reproducible."""
     from project_orbit_spark.operators.dedup import minhash_signature, word_shingles
 
+    k = 24
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "t"])
     sh = df.select(
         "id",
         word_shingles("t", 2).alias("sh"),
-        minhash_signature(word_shingles("t", 2), k=12).alias("sig"),
+        minhash_signature(word_shingles("t", 2), k=k).alias("sig"),
     )
     a, b = sh.alias("a"), sh.alias("b")
     pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
@@ -106,7 +111,7 @@ def test_minhash_estimates_jaccard(spark, texts):
                 F.lit(0),
                 lambda s, v: s + v,
             ).cast("double")
-            / 12.0
+            / k
         ).alias("est_j"),
     ).collect()
     for r in pairs:
