@@ -15,6 +15,7 @@ Python parser is what a production corpus would rely on).
 
 from __future__ import annotations
 
+import html as html_mod
 from collections.abc import Iterator
 
 import pandas as pd
@@ -507,7 +508,14 @@ def _article_page(doc_id: int, text: str) -> str:
     0 → JSON-LD NewsArticle (headline/author/datePublished) present
         alongside OG tags and a <title> (JSON-LD must win);
     1 → OG tags + author meta + <time datetime> (OG must win);
-    2 → bare <title> only (last-resort fallback)."""
+    2 → bare <title> only (last-resort fallback).
+
+    ``text`` is html.escape'd before templating: HTMLParser
+    (convert_charrefs=True) unescapes it back verbatim, so the
+    oracle's exact word/length arithmetic over the raw ``text``
+    column holds even when the text contains '&', '<' or
+    entity-like sequences."""
+    text = html_mod.escape(text)
     v = doc_id % 3
     head = [f"<title>{'T ' if v < 2 else 'Plain Title '}{doc_id}</title>"]
     if v == 0:
@@ -717,7 +725,11 @@ def _readability_page(doc_id: int, text: str) -> str:
     ref src/scraper_v2.py:412-429): pure-link nav, long low-link
     content, mixed sidebar (doc_id%3+1 related links), link-heavy
     footer. No inter-tag whitespace, so block text lengths are exact
-    template arithmetic."""
+    template arithmetic. ``text`` is html.escape'd so the parser's
+    charref conversion yields the raw text back verbatim and the
+    oracle's ``length(text) + 4`` arithmetic survives metacharacters
+    in the corpus."""
+    text = html_mod.escape(text)
     k = doc_id % 3 + 1
     side_links = "".join(f'<a href="/s{j}">Story {j}</a>' for j in range(k))
     return (
@@ -771,6 +783,9 @@ def make_block_profiler():
                     if self._depth == 1 and self._cur is not None:
                         self.blocks.append(self._cur)
                         self._cur = None
+                        # an unclosed <a> must not leak link-char
+                        # attribution into subsequent blocks
+                        self._in_a = False
                     self._depth = max(0, self._depth - 1)
                 elif tag == "a":
                     self._in_a = False

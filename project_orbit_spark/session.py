@@ -37,3 +37,39 @@ def get_spark(app_name: str = "project_orbit_spark", master: str | None = None) 
     if SparkSession.getActiveSession() is None:
         builder = builder.master(master or f"local[{cpus}]")
     return builder.getOrCreate()
+
+
+# ---------------------------------------------------------------------------
+# Session-scoped persisted-DataFrame caches (warm centroid index, cached
+# BM25 tokenization). Keys must start with ``cache_token(spark)`` — the
+# sparkContext.applicationId, a stable LIVE-session identifier — never
+# ``id(spark)``: a stopped session's address can be reused by a new one,
+# which would hand back DataFrames bound to a dead JVM while pinning
+# their persisted blocks for process lifetime.
+
+_DF_CACHES: list[dict] = []
+
+
+def register_df_cache(cache: dict) -> dict:
+    """Register a module-level DataFrame cache so clear_df_caches()
+    can unpersist and drop its entries."""
+    _DF_CACHES.append(cache)
+    return cache
+
+
+def cache_token(spark: SparkSession) -> str:
+    """Stable live-session identifier for persisted-DataFrame cache
+    keys (a fresh session always gets a fresh applicationId)."""
+    return spark.sparkContext.applicationId
+
+
+def clear_df_caches() -> None:
+    """Unpersist and drop every session-scoped cached DataFrame —
+    the explicit release hook for long-lived drivers and tests."""
+    for cache in _DF_CACHES:
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped — blocks are gone
+                pass
+        cache.clear()

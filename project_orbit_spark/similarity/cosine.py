@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from project_orbit_spark.catalog import load
 from project_orbit_spark.registry import register
+from project_orbit_spark.session import cache_token, register_df_cache
 
 # ---------------------------------------------------------------------------
 # numeric primitives (all sequential float64 — engine-portable)
@@ -329,15 +330,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, centroids(e))
 
 
-_CENTROID_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CENTROID_CACHE: dict[tuple[str, str], DataFrame] = register_df_cache({})
 
 
 def warm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precompute + persist the per-label centroid table once per
     (session, sf_dir) — at 100 TB centroids are a stored index
     artifact refreshed offline, not something each query re-derives
-    from the full corpus (a posexplode of every vector)."""
-    key = (id(spark), sf_dir)
+    from the full corpus (a posexplode of every vector). Keyed on
+    applicationId (live-session id), released via clear_df_caches()."""
+    key = (cache_token(spark), sf_dir)
     if key not in _CENTROID_CACHE:
         c = centroids(_emb(spark, sf_dir)).persist()
         c.count()

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_orbit_spark.registry import register
+from project_orbit_spark.session import cache_token, register_df_cache
 from project_orbit_spark.similarity.cosine import as_double, cosine
 
 K = 5
@@ -171,7 +172,7 @@ _BM25_TERMS = ["vector", "stream", "merge", "window", "filter"]
 # cached frame (doc_id, dl, qt[]), so the second consumer is an
 # InMemoryTableScan, not a second parquet scan + split (the round-2
 # double-tokenization finding).
-_TOKDOC_CACHE: dict[tuple[int, str, tuple[str, ...]], DataFrame] = {}
+_TOKDOC_CACHE: dict[tuple[str, str, tuple[str, ...]], DataFrame] = register_df_cache({})
 
 
 def _tokenized_docs(docs: DataFrame, terms: list[str], cache_key=None) -> DataFrame:
@@ -240,7 +241,9 @@ def _bm25_scored_cached(spark: SparkSession, sf_dir: str, terms: list[str]) -> D
     from project_orbit_spark.catalog import load
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return bm25_scored(_tokenized_docs(docs, terms, cache_key=(id(spark), sf_dir, tuple(terms))))
+    return bm25_scored(
+        _tokenized_docs(docs, terms, cache_key=(cache_token(spark), sf_dir, tuple(terms)))
+    )
 
 
 # Shared oracle CTE ending in `scored(doc_id, bm25)`; the BM25 query

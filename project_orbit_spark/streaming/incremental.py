@@ -263,8 +263,10 @@ def scd2_history(
     tags=("incremental", "window"),
     doc="ST1 depth: type-2 slowly-changing-dimension merge over two "
     "customer snapshots (second run flips every 10th customer's "
-    "segment and account balance; every 50th re-emits unchanged and "
-    "must NOT open a new version): lag-fingerprint change detection "
+    "segment and account balance; every 7th re-emits unchanged and "
+    "must NOT open a new version — 7 is coprime with 10, so the "
+    "unchanged-re-emit cohort is non-empty and genuinely exercises "
+    "the lag-fingerprint suppression): change detection "
     "-> valid_from / valid_to / is_current via lead. The 'latest "
     "prior run' semantics of the reference's daily DAG "
     "(dags/orbit_daily_update_dag.py:126-216) generalized to full "
@@ -281,7 +283,7 @@ def scd2_history(
                  round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
                             ELSE c_acctbal END, 2),
                  '2024-02-01'
-          FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 50 = 0
+          FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 7 = 0
         ),
         seq AS (
           SELECT *, md5(c_mktsegment || chr(31) || CAST(acctbal AS VARCHAR)) AS fp,
@@ -311,7 +313,7 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-01-01").alias("run_date"),
     )
     snap2 = (
-        c.filter((F.col("c_custkey") % 10 == 0) | (F.col("c_custkey") % 50 == 0))
+        c.filter((F.col("c_custkey") % 10 == 0) | (F.col("c_custkey") % 7 == 0))
         .select(
             "c_custkey",
             F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED"))

@@ -192,3 +192,43 @@ class TestBlockProfiler:
         out = run(make_block_profiler(), html)
         assert list(out["block"]) == ["a"]
         assert out.iloc[0]["text_len"] == 2
+
+    def test_unclosed_anchor_does_not_leak_into_next_block(self):
+        from project_orbit_spark.functions.html_extract import make_block_profiler
+
+        # the <a> in block 'a' is never closed; block 'b' has no links,
+        # so its link_len must be 0 (no attribution leak across blocks)
+        html = (
+            '<div class="a"><a href="/x">ab</div>'
+            '<div class="b"><p>cdef</p></div>'
+        )
+        out = run(make_block_profiler(), html)
+        assert list(out["block"]) == ["a", "b"]
+        assert out.iloc[0]["link_len"] == 2
+        assert out.iloc[1]["link_len"] == 0
+
+
+class TestTemplateEscaping:
+    def test_readability_page_survives_metacharacters(self):
+        from project_orbit_spark.functions.html_extract import (
+            _readability_page,
+            make_block_profiler,
+        )
+
+        # '&amp;'-like sequences and raw '<' in corpus text must not
+        # change parsed text length vs the oracle's length(text)+4
+        text = "AT&T <3 R&D &amp; fish"
+        out = run(make_block_profiler(), _readability_page(1, text))
+        content = out[out["block"] == "content"].iloc[0]
+        assert content["text_len"] == len(text) + 4  # + 'more'
+        assert content["link_len"] == 4
+
+    def test_article_page_survives_metacharacters(self):
+        from project_orbit_spark.functions.html_extract import (
+            _article_page,
+            make_article_extractor,
+        )
+
+        text = "5 < 7 & 7 > 5 &copy; twice"
+        row = run(make_article_extractor(), _article_page(2, text)).iloc[0]
+        assert row["word_count"] == len(text.split())

@@ -199,3 +199,30 @@ def test_stream_static_enrich_matches_batch(spark):
     }
     assert got == batch
     assert len(got) > 0
+
+
+def test_scd2_unchanged_reemit_does_not_open_version(spark):
+    """An unchanged re-emitted snapshot row must be suppressed by the
+    lag-fingerprint change detection — no new SCD2 version opens, and
+    the surviving version stays current with its original valid_from."""
+    from project_orbit_spark.streaming.incremental import scd2_history
+
+    rows = [
+        # k=1: re-emitted UNCHANGED on run 2 -> one version only
+        (1, "AUTO", 10.0, "2024-01-01"),
+        (1, "AUTO", 10.0, "2024-02-01"),
+        # k=2: changed on run 2 -> two versions
+        (2, "AUTO", 10.0, "2024-01-01"),
+        (2, "BIKE", 10.0, "2024-02-01"),
+        # k=3: absent from run 2 -> one version
+        (3, "AUTO", 10.0, "2024-01-01"),
+    ]
+    snaps = spark.createDataFrame(rows, "k long, seg string, bal double, run_date string")
+    hist = scd2_history(snaps, key="k", attrs=["seg", "bal"]).orderBy("k", "valid_from")
+    got = [(r.k, r.valid_from, r.valid_to, r.is_current) for r in hist.collect()]
+    assert got == [
+        (1, "2024-01-01", None, 1),
+        (2, "2024-01-01", "2024-02-01", 0),
+        (2, "2024-02-01", None, 1),
+        (3, "2024-01-01", None, 1),
+    ]
