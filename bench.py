@@ -43,13 +43,18 @@ def main() -> None:
         # also spin up the Arrow/Python worker pool so the first
         # pandas-UDF query measures its plan, not daemon fork+import
         spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
-        # and touch each fixture table once (footers + OS page cache)
-        from project_orbit_spark.catalog import load
-
-        for t in ("documents", "lineitem", "orders", "customer", "events"):
-            load(spark, sf_dir, t).count()
     except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
         print(f"# warm-up failed: {type(exc).__name__}: {exc}", file=sys.stderr)
+    # touch each fixture table once (footers + OS page cache); per-table
+    # try so one bad table can't skip another's warm-up
+    from project_orbit_spark.catalog import load
+
+    for t in ("documents", "lineitem", "orders", "customer", "events"):
+        try:
+            load(spark, sf_dir, t).count()
+            print(f"# warmed table {t}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# warm-up of table {t} failed: {type(exc).__name__}: {exc}", file=sys.stderr)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     total = 0.0

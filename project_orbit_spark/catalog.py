@@ -36,16 +36,18 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects; read it as raw nanos (legacy conf) and
-    convert to a microsecond TIMESTAMP column — semantics preserved,
-    sub-microsecond precision documented as truncated.
+    ``events.ts`` has shipped in two physical vintages: TIMESTAMP(NANOS)
+    (which Spark's parquet reader only reads as raw long nanos under the
+    legacy conf) and plain ``timestamp[us]`` (read natively as
+    TIMESTAMP_NTZ). Branch on the dtype actually loaded so either
+    vintage yields the same microsecond TIMESTAMP column under UTC.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # timestamp_micros yields an LTZ timestamp rendered through the
@@ -53,10 +55,51 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the (timezone-naive) parquet values in any driver session
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
-        return df.withColumn(
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanos-as-long vintage: truncate to micros
+            return df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        # native timestamp / timestamp_ntz vintage: normalize to the
+        # session-TZ (UTC) timestamp type every downstream op expects
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return spark.read.parquet(path)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` face of the events table, normalized to the same
+    microsecond TIMESTAMP ``ts`` column ``load`` produces.
+
+    Streaming sources need an explicit schema, so the physical ``ts``
+    vintage (long nanos vs native timestamp) is sniffed from a batch
+    read of the same file and the raw stream schema branches on it.
+    Targets the events file specifically — a bare directory glob would
+    sweep in every other table's parquet (their rows surface as
+    null-keyed ghost groups).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    nanos = isinstance(ts_type, T.LongType)
+    raw_schema = (
+        f"event_id long, ts {'long' if nanos else ts_type.simpleString()}, "
+        "user_id long, event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if nanos:
+        return stream.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
-    return spark.read.parquet(path)
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -238,3 +238,108 @@ def category_array_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", F.array_join(cleaned, ",").alias("clean_categories")
     ).orderBy("p_partkey")
+
+
+@register(
+    "silver_typed_quarantine",
+    tags=("silver", "quarantine", "validation"),
+    doc="Silver-layer typed validation with skip-row-keep-batch "
+    "semantics (ref src/structured_extraction_v2.py:2300-2302: a "
+    "row-level ValidationError drops the row, the batch continues): "
+    "a dirty entity feed (deterministically derived from documents) "
+    "is validated against the typed Event contract — required name, "
+    "parseable non-placeholder date (F6), nullable-but-parseable "
+    "amount — valid rows emerge typed, invalid rows stay quarantined "
+    "with their first failing rule. try_cast keeps the plan "
+    "whole-stage-codegen JVM-side; at 100 TB this is one map-only "
+    "pass, no shuffle.",
+    oracle="""
+        WITH dirty AS (
+          SELECT doc_id AS entity_id,
+                 CASE WHEN doc_id % 13 = 0 THEN ''
+                      ELSE 'company-' || doc_id::VARCHAR END AS raw_name,
+                 CASE WHEN doc_id % 7 = 0 THEN 'N/A'
+                      WHEN doc_id % 17 = 0 THEN '12,5x'
+                      ELSE (n_chars * 1000)::VARCHAR END AS raw_amount,
+                 CASE WHEN doc_id % 11 = 0 THEN '1970-01-01'
+                      WHEN doc_id % 19 = 0 THEN '2024-13-45'
+                      ELSE '2024-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+                      END AS raw_date
+          FROM documents
+        ),
+        checked AS (
+          SELECT entity_id, raw_name, raw_amount, raw_date,
+                 length(raw_name) >= 2 AS name_ok,
+                 (raw_amount = 'N/A' OR try_cast(raw_amount AS DOUBLE) IS NOT NULL)
+                   AS amount_ok,
+                 (try_cast(raw_date AS DATE) IS NOT NULL AND raw_date != '1970-01-01')
+                   AS date_ok
+          FROM dirty
+        )
+        SELECT entity_id,
+               CASE WHEN NOT name_ok THEN 'missing_name'
+                    WHEN NOT amount_ok THEN 'bad_amount'
+                    WHEN NOT date_ok THEN 'bad_date'
+                    ELSE 'ok' END AS status,
+               CASE WHEN name_ok AND amount_ok AND date_ok THEN raw_name END AS name,
+               CASE WHEN name_ok AND amount_ok AND date_ok AND raw_amount != 'N/A'
+                    THEN round(try_cast(raw_amount AS DOUBLE), 2) END AS amount_usd,
+               CASE WHEN name_ok AND amount_ok AND date_ok THEN raw_date END
+                 AS occurred_on,
+               CAST(CASE WHEN name_ok AND amount_ok AND date_ok THEN 1 ELSE 0 END
+                 AS BIGINT) AS is_valid
+        FROM checked
+        ORDER BY entity_id
+    """,
+)
+def silver_typed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    dirty = d.select(
+        F.col("doc_id").alias("entity_id"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("company-"), F.col("doc_id").cast("string")))
+        .alias("raw_name"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("N/A"))
+        .when(F.col("doc_id") % 17 == 0, F.lit("12,5x"))
+        .otherwise((F.col("n_chars") * 1000).cast("string"))
+        .alias("raw_amount"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("1970-01-01"))
+        .when(F.col("doc_id") % 19 == 0, F.lit("2024-13-45"))
+        .otherwise(
+            F.concat(
+                F.lit("2024-01-"), F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+            )
+        )
+        .alias("raw_date"),
+    )
+    checked = dirty.select(
+        "entity_id",
+        "raw_name",
+        "raw_amount",
+        "raw_date",
+        (F.length("raw_name") >= 2).alias("name_ok"),
+        (
+            (F.col("raw_amount") == "N/A")
+            | F.expr("try_cast(raw_amount AS DOUBLE)").isNotNull()
+        ).alias("amount_ok"),
+        (
+            F.expr("try_cast(raw_date AS DATE)").isNotNull()
+            & (F.col("raw_date") != "1970-01-01")
+        ).alias("date_ok"),
+    )
+    all_ok = F.col("name_ok") & F.col("amount_ok") & F.col("date_ok")
+    return checked.select(
+        "entity_id",
+        F.when(~F.col("name_ok"), "missing_name")
+        .when(~F.col("amount_ok"), "bad_amount")
+        .when(~F.col("date_ok"), "bad_date")
+        .otherwise("ok")
+        .alias("status"),
+        F.when(all_ok, F.col("raw_name")).alias("name"),
+        F.when(
+            all_ok & (F.col("raw_amount") != "N/A"),
+            F.round(F.expr("try_cast(raw_amount AS DOUBLE)"), 2),
+        ).alias("amount_usd"),
+        F.when(all_ok, F.col("raw_date")).alias("occurred_on"),
+        all_ok.cast("long").alias("is_valid"),
+    ).orderBy("entity_id")

@@ -134,6 +134,205 @@ def rag_index_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Composed RAG dashboard — retrieve → generate (stub) → patch, one plan.
+
+_DASH_SECTIONS = (
+    "Company Overview",
+    "Business Model and GTM",
+    "Funding & Investor Profile",
+    "Growth Momentum",
+    "Visibility & Market Sentiment",
+    "Risks and Challenges",
+    "Outlook",
+    "Disclosure Gaps",
+)
+_DASH_COMPANIES = ("src0", "src1", "src2", "src3", "src4")
+_DASH_K = len(_DASH_SECTIONS)  # one retrieved context per section
+_CTX_MIN_CHARS = 250  # generation quality gate → O4 patching below it
+
+
+def _embed4(col):
+    """JVM-side face of the md5-byte stub embedding (dims 1-4 of
+    inference.py's hash_embedding_provider; SQL face _DUCK_EMBED4)."""
+    return F.array(
+        *[
+            F.conv(F.substring(F.md5(col), 1 + 2 * i, 2), 16, 10).cast("double")
+            / 256.0
+            for i in range(4)
+        ]
+    )
+
+
+_DASH_SECTION_VALUES = ", ".join(
+    f"({i + 1}, '{s}')" for i, s in enumerate(_DASH_SECTIONS)
+)
+_DASH_COMPANY_LIST = ", ".join(f"'{c}'" for c in _DASH_COMPANIES)
+
+
+@register(
+    "rag_dashboard_gold",
+    tags=("pipeline", "gold", "retrieval"),
+    doc="End-to-end dashboard generation as ONE composed plan, "
+    "mirroring ref src/rag_pipeline.py:95-235: per company, (1) "
+    "retrieve top-8 contexts by stub-embedding cosine against the "
+    "enhanced query (E3+W1), (2) verify retrieved provenance against "
+    "the expected company (the reference's source_path check, "
+    "rag_pipeline.py:137-141), (3) generate one section per context "
+    "rank — deterministic LLM-free face, same E5 duality as "
+    "llm_extract_funding_stub — and (4) patch the 8 mandatory "
+    "sections, writing 'Not disclosed.' where the context fails the "
+    "quality gate (rag_pipeline.py:204-215). Scale shape: corpus "
+    "scanned once; per-company top-k is a two-phase salted rank "
+    "(per-salt partial top-k, then final rank over #salts×k "
+    "survivors) so few-company skew never funnels the corpus "
+    "through 5 window partitions.",
+    oracle=f"""
+        WITH companies AS (SELECT unnest([{_DASH_COMPANY_LIST}]) AS company),
+        sections AS (
+          SELECT * FROM (VALUES {_DASH_SECTION_VALUES}) AS s(section_idx, section_name)
+        ),
+        qe AS (
+          SELECT company,
+                 {_DUCK_EMBED4.format(t="company || ' investor diligence dashboard'")} AS qv
+          FROM companies
+        ),
+        docs AS (
+          SELECT doc_id, source, n_chars,
+                 {_DUCK_EMBED4.format(t="substring(text, 1, 120)")} AS dv
+          FROM documents
+        ),
+        scored AS (
+          SELECT q.company, d.doc_id, d.source, d.n_chars,
+                 round(list_cosine_similarity(q.qv, d.dv), 6) AS score
+          FROM qe q CROSS JOIN docs d
+        ),
+        retrieved AS (
+          SELECT * FROM (
+            SELECT *, CAST(row_number() OVER (
+              PARTITION BY company ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+            FROM scored
+          ) WHERE rank <= {_DASH_K}
+        ),
+        own AS (
+          SELECT company,
+                 CAST(sum(CASE WHEN source = company THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_own_ctx
+          FROM retrieved GROUP BY company
+        )
+        SELECT c.company,
+               CAST(s.section_idx AS BIGINT) AS section_idx,
+               '## ' || s.section_name AS section_header,
+               CASE WHEN r.doc_id IS NULL OR r.n_chars < {_CTX_MIN_CHARS}
+                    THEN 'Not disclosed.'
+                    ELSE 'ctx doc ' || r.doc_id::VARCHAR || ' from ' || r.source
+                         || ' | chars ' || r.n_chars::VARCHAR END AS section_body,
+               CAST(CASE WHEN r.doc_id IS NULL OR r.n_chars < {_CTX_MIN_CHARS}
+                    THEN 1 ELSE 0 END AS BIGINT) AS patched,
+               CASE WHEN r.n_chars >= {_CTX_MIN_CHARS} THEN r.doc_id END AS ctx_doc_id,
+               CASE WHEN r.n_chars >= {_CTX_MIN_CHARS} THEN r.score END AS ctx_score,
+               o.n_own_ctx,
+               CAST(CASE WHEN o.n_own_ctx > 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS company_verified
+        FROM companies c
+        CROSS JOIN sections s
+        LEFT JOIN retrieved r ON r.company = c.company AND r.rank = s.section_idx
+        LEFT JOIN own o ON o.company = c.company
+        ORDER BY c.company, section_idx
+    """,
+)
+def rag_dashboard_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    companies = spark.createDataFrame(
+        [(c,) for c in _DASH_COMPANIES], "company string"
+    ).select(
+        "company",
+        _embed4(
+            F.concat(F.col("company"), F.lit(" investor diligence dashboard"))
+        ).alias("qv"),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", _embed4(F.substring("text", 1, 120)).alias("dv")
+    )
+    from project_orbit_spark.similarity.cosine import cosine
+
+    scored = (
+        F.broadcast(companies)
+        .crossJoin(docs)
+        .select(
+            "company",
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(cosine(F.col("qv"), F.col("dv")), 6).alias("score"),
+        )
+    )
+    # two-phase salted top-k: with only a handful of companies a global
+    # per-company rank window would drag the whole corpus through 5
+    # partitions; instead rank within (company, doc_id%16) salt groups,
+    # keep k per group, then rank the ≤16k survivors per company
+    salted = scored.withColumn("salt", (F.col("doc_id") % 16).cast("int"))
+    w1 = Window.partitionBy("company", "salt").orderBy(F.desc("score"), F.asc("doc_id"))
+    partial = (
+        salted.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _DASH_K)
+        .drop("salt", "r1")
+    )
+    w2 = Window.partitionBy("company").orderBy(F.desc("score"), F.asc("doc_id"))
+    retrieved = (
+        partial.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= _DASH_K)
+    )
+    own = retrieved.groupBy("company").agg(
+        F.sum((F.col("source") == F.col("company")).cast("long")).alias("n_own_ctx")
+    )
+    sections = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(_DASH_SECTIONS)],
+        "section_idx long, section_name string",
+    )
+    grid = F.broadcast(
+        companies.select("company")
+    ).crossJoin(F.broadcast(sections))
+    r = retrieved.withColumnRenamed("company", "r_company").withColumnRenamed(
+        "rank", "r_rank"
+    )
+    joined = (
+        grid.join(
+            r,
+            (F.col("r_company") == F.col("company"))
+            & (F.col("r_rank") == F.col("section_idx")),
+            "left",
+        )
+        .join(
+            own.withColumnRenamed("company", "o_company"),
+            F.col("o_company") == F.col("company"),
+            "left",
+        )
+    )
+    low_quality = F.col("doc_id").isNull() | (F.col("n_chars") < _CTX_MIN_CHARS)
+    return joined.select(
+        F.col("company"),
+        F.col("section_idx"),
+        F.concat(F.lit("## "), F.col("section_name")).alias("section_header"),
+        F.when(low_quality, F.lit("Not disclosed."))
+        .otherwise(
+            F.concat(
+                F.lit("ctx doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" from "),
+                F.col("source"),
+                F.lit(" | chars "),
+                F.col("n_chars").cast("string"),
+            )
+        )
+        .alias("section_body"),
+        low_quality.cast("long").alias("patched"),
+        F.when(F.col("n_chars") >= _CTX_MIN_CHARS, F.col("doc_id")).alias("ctx_doc_id"),
+        F.when(F.col("n_chars") >= _CTX_MIN_CHARS, F.col("score")).alias("ctx_score"),
+        F.col("n_own_ctx"),
+        (F.col("n_own_ctx") > 0).cast("long").alias("company_verified"),
+    ).orderBy("company", "section_idx")
+
+
 @register(
     "company_gold_profile",
     tags=("pipeline", "gold"),

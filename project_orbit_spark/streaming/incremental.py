@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from project_orbit_spark.catalog import load
+from project_orbit_spark.catalog import load, read_events_stream
 from project_orbit_spark.registry import register
 
 
@@ -179,19 +179,8 @@ def stream_dedup_replayed(spark: SparkSession, sf_dir: str, watermark: str = "1 
     """Streaming face: readStream over the events parquet, self-union
     as the replay, watermarked dedup. Run with availableNow for the
     incremental-batch execution mode."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-
     def one_stream() -> DataFrame:
-        return (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-        )
+        return read_events_stream(spark, sf_dir)
 
     replayed = one_stream().unionByName(
         one_stream().filter(F.col("event_id") % 11 == 0)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from project_orbit_spark.catalog import load
+from project_orbit_spark.catalog import load, read_events_stream
 from project_orbit_spark.registry import register
 
 
@@ -99,17 +99,7 @@ def stream_click_view_join(
     (inner, because stream-stream outer joins emit null matches only
     after watermark expiry — availableNow's single batch would
     under-report them; the batch face owns the outer semantics)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    stream = read_events_stream(spark, sf_dir)
     clicks, views = _click_view_sides(stream)
     return clicks.withWatermark("cts", watermark).join(
         views.withWatermark("vts", watermark), F.expr(_JOIN_COND)
@@ -141,17 +131,7 @@ def enrich_with_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
 
 def stream_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming face: readStream events ⋈ static customer dim."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    stream = read_events_stream(spark, sf_dir)
     return enrich_with_segment(stream, load(spark, sf_dir, "customer"))
 
 

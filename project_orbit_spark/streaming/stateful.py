@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from project_orbit_spark.catalog import load
+from project_orbit_spark.catalog import load, read_events_stream
 from project_orbit_spark.registry import register
 
 STATE_SCHEMA = "n_events long, total_value double"
@@ -51,17 +51,7 @@ def make_running_total_fn():
 
 def stream_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming face: stateful per-user totals over the events stream."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    stream = read_events_stream(spark, sf_dir)
     return stream.groupBy("user_id").applyInPandasWithState(
         make_running_total_fn(),
         outputStructType=OUTPUT_SCHEMA,

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from project_orbit_spark.catalog import load
+from project_orbit_spark.catalog import load, read_events_stream
 from project_orbit_spark.registry import register
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -50,22 +50,7 @@ def stream_tumbling_counts(
     events parquet with a watermark bounding late data (ST5). Run
     with ``.writeStream.trigger(availableNow=True)`` for the
     batch-equivalent incremental execution (ST3)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = load(spark, sf_dir, "events").schema
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    # target the events file specifically — a bare directory glob would
-    # sweep in every other table's parquet (their rows surface as
-    # null-keyed ghost groups)
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
-    _ = schema  # batch schema kept for parity assertions in tests
+    stream = read_events_stream(spark, sf_dir)
     return tumbling_counts(stream.withWatermark("ts", watermark), duration)
 
 

@@ -76,19 +76,13 @@ def test_stream_upsert_foreachbatch_idempotent(spark, tmp_path):
 
     from project_orbit_spark.sources.connectors import stream_upsert_foreachbatch
 
+    from project_orbit_spark.catalog import read_events_stream
+
     state = str(tmp_path / "state")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def run_once():
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(SF_DIR)
-            .select("event_id", "user_id", "event_type")
+        stream = read_events_stream(spark, SF_DIR).select(
+            "event_id", "user_id", "event_type"
         )
         q = (
             stream_upsert_foreachbatch(spark, stream, state, "event_id")
