@@ -519,17 +519,22 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_hamming_dups",
     tags=("dedup", "simhash"),
-    doc="SimHash near-dup family: 16-bit simhash from token md5s "
+    doc="SimHash near-dup family: 32-bit simhash from token md5s "
     "(bit i set iff the weighted sum of per-token bits is positive), "
     "pairs at hamming distance ≤ 3 over a dup-injected corpus. "
-    "Candidates come from 4×4-bit pigeonhole bands within (lang, "
+    "Candidates come from 4×8-bit pigeonhole bands within (lang, "
     "band_idx, band_value) buckets — hamming ≤ 3 can touch at most 3 "
     "of 4 bands, so every qualifying pair shares ≥1 exact band and "
     "banding is lossless: the result set (and oracle) is identical to "
     "all-pairs, but the join is bucket-local instead of O(n²) per "
-    "lang block. At 100 TB the same shape widens to a 64-bit simhash "
-    "with 4×16-bit bands. Portable bit derivation: token md5 hex "
-    "nibbles → bits, identical in both engines.",
+    "lang block. Width matters at scale (found by the 10× scale "
+    "probe, tools/scale_probe.py): at 16 bits two UNRELATED docs "
+    "collide at hamming ≤ 3 with p≈1.1e-2, so the result set itself "
+    "grows quadratically with the corpus; at 32 bits p≈1.3e-6 and "
+    "8-bit bands give 16× more buckets. At 100 TB widen again to 64 "
+    "bits / 4×16-bit bands, same shape. Portable bit derivation: "
+    "token md5 hex prefix → 32-bit int → bits, identical in both "
+    "engines.",
     oracle="""
         WITH corpus AS (
           SELECT doc_id, lang, text FROM documents
@@ -548,14 +553,14 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         IF ((CAST(('0x' || substring(md5(t), 1, 8)) AS UBIGINT) >> i) & 1) = 1])
                         >= len(toks)
                        THEN 1 ELSE 0 END
-                  for i in range(0, 16)] AS bits
+                  for i in range(0, 32)] AS bits
           FROM tok
         )
         SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-               CAST(len([i for i in range(1, 17) if a.bits[i] != b.bits[i]]) AS BIGINT)
+               CAST(len([i for i in range(1, 33) if a.bits[i] != b.bits[i]]) AS BIGINT)
                  AS hamming
         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE len([i for i in range(1, 17) if a.bits[i] != b.bits[i]]) <= 3
+        WHERE len([i for i in range(1, 33) if a.bits[i] != b.bits[i]]) <= 3
         ORDER BY left_id, right_id
     """,
 )
@@ -590,7 +595,7 @@ def simhash_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.transform(
-            F.sequence(F.lit(0), F.lit(15)),
+            F.sequence(F.lit(0), F.lit(31)),
             lambda i: F.when(
                 2
                 * F.size(
@@ -610,13 +615,13 @@ def simhash_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int"),
         ).alias("bits"),
     )
-    # pigeonhole banding: 4 bands × 4 bits; band value packed to an int
+    # pigeonhole banding: 4 bands × 8 bits; band value packed to an int
     band_keys = F.transform(
         F.sequence(F.lit(0), F.lit(3)),
         lambda bidx: F.struct(
             bidx.cast("int").alias("band_idx"),
             F.aggregate(
-                F.slice(F.col("bits"), bidx * 4 + 1, 4),
+                F.slice(F.col("bits"), bidx * 8 + 1, 8),
                 F.lit(0),
                 lambda s, v: s * 2 + v,
             ).alias("band_val"),

@@ -152,3 +152,33 @@ def test_incremental_dedup_joins_bands_not_cartesian(spark):
     # O(new) incremental contract is broken
     f = facts("incremental_minhash_dedup", spark)
     assert "CartesianProduct" not in f.text
+
+
+def test_dashboard_gold_topk_is_salted_not_single_window(spark):
+    # per-company top-k over the corpus must go through the two-phase
+    # salted rank: the first window keys on (company, salt), so the
+    # corpus-wide sort spreads over 16 salt groups per company instead
+    # of funnelling through one partition per company
+    f = facts("rag_dashboard_gold", spark)
+    assert "CartesianProduct" not in f.text.replace(
+        "BroadcastNestedLoopJoin", ""
+    ), "companies must broadcast into the scoring crossJoin"
+    assert "salt" in f.text, "phase-1 rank must partition on the salt key"
+
+
+def test_probe_frontier_pattern_table_broadcasts(spark):
+    # 56-row pattern table must be the broadcast side; the fan-in
+    # count is the only shuffle
+    f = facts("ats_probe_frontier", spark)
+    assert f.n_broadcast_joins >= 1 or "BroadcastNestedLoopJoin" in f.text
+    assert "CartesianProduct" not in f.text
+
+
+def test_silver_quarantine_is_map_only(spark):
+    # typed validation is one projection pass over the scan: no joins,
+    # no aggregation; the final orderBy is the only exchange
+    f = facts("silver_typed_quarantine", spark)
+    assert f.n_sortmerge_joins == 0
+    assert f.n_broadcast_joins == 0
+    assert "Join" not in f.text
+    assert not f.partial_agg

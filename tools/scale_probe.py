@@ -1,0 +1,170 @@
+"""Measured scaling probe: synthesize a K× corpus from the testdata and
+time the headline operator families at 1× vs K×.
+
+The testdata only ships sf0.001/0.01/0.1, so larger scales are
+synthesized: each table is unioned K times with id offsets; document
+text gets a per-replica suffix on EVERY token — a prefix-only tag
+leaves replicas shingle/simhash-identical to their base doc, which
+manufactures K synthetic near-dups per doc and turns every dedup
+family quadratic by construction (measured: the first probe corpus
+did exactly that). Per-token suffixing makes replica vocabularies
+disjoint, so the dedup families keep the BASE corpus's candidate
+structure replicated K times. Embeddings get a per-replica
+deterministic perturbation; events get per-replica user/ts offsets
+(so session/window state scales with data, not key collisions).
+
+Usage:
+    python tools/scale_probe.py [K=10] [sf_dir=/root/testdata/sf0.1] [query ...]
+
+Prints one JSON line per query: {"query": ..., "t_1x": s, "t_kx": s,
+"ratio": r}, then a markdown table ready for docs/SCALE.md. The
+synthesized corpus in .scale_probe/ is REUSED across invocations when
+present (delete the directory to force re-synthesis), so the probe can
+run family-by-family within a CI step's time budget. Reps per timing
+via SPARK_GRAFT_SCALE_REPS (default 3, best-of reported).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from project_orbit_spark import registry  # noqa: E402
+from project_orbit_spark.catalog import load  # noqa: E402
+from project_orbit_spark.session import get_spark  # noqa: E402
+
+# operator families whose scaling behavior the probe certifies
+QUERIES = (
+    "exact_dup_groups",       # hash-groupBy dedup
+    "minhash_lsh_near_dups",  # banded LSH near-dup
+    "simhash_hamming_dups",   # simhash dedup
+    "ann_ivf_topk",           # IVF ANN (cold: includes centroid derive)
+    "cosine_topk_exact",      # brute-force top-k baseline
+    "bm25_keyword_topk",      # lexical retrieval
+    "hybrid_rrf_topk",        # fused retrieval
+    "tumbling_hourly_counts", # event-time window agg
+    "session_windows_30m",    # session windows
+    "doc_quality_scores",     # text-quality scoring (map-only)
+)
+
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3")))
+
+
+def synthesize(spark, sf_dir: str, out_dir: Path, k: int) -> None:
+    if all((out_dir / f"{t}.parquet").exists() for t in ("documents", "embeddings", "events")):
+        print(f"# reusing synthesized corpus in {out_dir}", file=sys.stderr)
+        return
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    doc_reps = [
+        docs.select(
+            (F.col("doc_id") + i * n_docs).alias("doc_id"),
+            (
+                F.regexp_replace("text", r"(\S+)", rf"$1r{i}") if i else F.col("text")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(k)
+    ]
+    u = doc_reps[0]
+    for r in doc_reps[1:]:
+        u = u.unionByName(r)
+    u.write.mode("overwrite").parquet(str(out_dir / "documents.parquet"))
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    emb_reps = [
+        emb.select(
+            (F.col("vec_id") + i * n_vec).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x + F.lit(float(i) * 0.003)).cast("float")
+            ).alias("embedding"),
+            "label",
+        )
+        for i in range(k)
+    ]
+    u = emb_reps[0]
+    for r in emb_reps[1:]:
+        u = u.unionByName(r)
+    u.write.mode("overwrite").parquet(str(out_dir / "embeddings.parquet"))
+
+    ev = load(spark, sf_dir, "events")
+    n_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    n_user = ev.agg(F.max("user_id")).first()[0] + 1
+    ev_reps = [
+        ev.select(
+            (F.col("event_id") + i * n_ev).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {i * 40} DAYS")).alias("ts"),
+            (F.col("user_id") + i * n_user).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(k)
+    ]
+    u = ev_reps[0]
+    for r in ev_reps[1:]:
+        u = u.unionByName(r)
+    u.write.mode("overwrite").parquet(str(out_dir / "events.parquet"))
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    """Best-of-REPS: the min is the steady-state cost — the first rep
+    carries JVM/JIT/footer warm-up that a long-lived cluster never
+    re-pays, and a cold-rep median would corrupt the 1x/Kx ratio."""
+    q = registry.get_query(name)
+    samples = []
+    for _ in range(REPS):
+        t0 = time.time()
+        q.fn(spark, sf_dir).collect()
+        samples.append(time.time() - t0)
+    return min(samples)
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    names = tuple(sys.argv[3:]) or QUERIES
+    out_dir = REPO / ".scale_probe"
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print(f"# synthesizing {k}x corpus from {sf_dir}", file=sys.stderr)
+    synthesize(spark, sf_dir, out_dir, k)
+
+    rows = []
+    for name in names:
+        t1 = time_query(spark, name, sf_dir)
+        tk = time_query(spark, name, str(out_dir))
+        ratio = tk / t1 if t1 > 0 else float("nan")
+        rec = {
+            "query": name,
+            "t_1x": round(t1, 3),
+            f"t_{k}x": round(tk, 3),
+            "ratio": round(ratio, 2),
+        }
+        rows.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    print(f"\n| query | 1x (s) | {k}x (s) | ratio (linear = {k}.0) |")
+    print("|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['query']} | {r['t_1x']} | {r[f't_{k}x']} | {r['ratio']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
