@@ -172,6 +172,7 @@ _DASH_COMPANY_LIST = ", ".join(f"'{c}'" for c in _DASH_COMPANIES)
 
 @register(
     "rag_dashboard_gold",
+    bench=True,
     tags=("pipeline", "gold", "retrieval"),
     doc="End-to-end dashboard generation as ONE composed plan, "
     "mirroring ref src/rag_pipeline.py:95-235: per company, (1) "

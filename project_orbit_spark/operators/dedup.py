@@ -779,3 +779,72 @@ def dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
     labels = connected_components(edges)
     return cluster_representatives(labels).orderBy("doc_id")
+
+
+@register(
+    "dedup_canonical_corpus",
+    tags=("dedup", "graph", "lsh", "pipeline"),
+    doc="The dedup family composed end-to-end as ONE plan — the "
+    "curation pipeline a 100 TB training corpus actually runs: "
+    "corpus → MinHash-LSH near-dup pairs (bucket-local candidates) → "
+    "transitive closure to clusters (operators/graph.py min-label "
+    "propagation) → canonical selection (cluster-min doc_id wins) → "
+    "per-doc verdict: every corpus doc labeled kept/removed with its "
+    "canonical id and cluster size (singletons are their own "
+    "canonical). Mirrors what dup_cluster_labels + exact_dup_groups "
+    "verify piecewise, the way rag_dashboard_gold composes retrieval. "
+    "Scale shape inherits its stages': one band shuffle, O(diameter) "
+    "label rounds on the (tiny) pair graph, one broadcast join of "
+    "cluster labels back onto the corpus spine.",
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+        edges AS (
+          SELECT left_id AS src, right_id AS dst FROM pairs
+          UNION
+          SELECT right_id AS src, left_id AS dst FROM pairs
+        ),
+        reach(node, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        labels AS (
+          SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+        ),
+        sizes AS (
+          SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
+        )
+        SELECT c.doc_id,
+               coalesce(l.cluster_id, c.doc_id) AS canonical_id,
+               coalesce(s.cluster_size, 1) AS cluster_size,
+               CASE WHEN c.doc_id = coalesce(l.cluster_id, c.doc_id)
+                    THEN 'kept' ELSE 'removed' END AS status
+        FROM corpus c
+        LEFT JOIN labels l USING (doc_id)
+        LEFT JOIN sizes s USING (cluster_id)
+        ORDER BY c.doc_id
+    """,
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.operators.graph import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id")
+        )
+    )
+    pairs = minhash_lsh_near_dups(spark, sf_dir)
+    edges = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    labels = cluster_representatives(connected_components(edges))
+    out = corpus.join(F.broadcast(labels), "doc_id", "left")
+    canonical = F.coalesce("cluster_id", F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        F.when(F.col("doc_id") == canonical, "kept").otherwise("removed").alias("status"),
+    ).orderBy("doc_id")

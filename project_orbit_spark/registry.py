@@ -178,6 +178,8 @@ _DRIVER_PRIORITY = (
     "rag_dashboard_gold",         # r5: composed retrieve→generate→patch
     "silver_typed_quarantine",    # r5: typed validation skip-row split
     "ats_probe_frontier",         # r5: S3 frontier-table generator
+    "dedup_canonical_corpus",     # r5: composed pairs→clusters→canonical
+    "simhash_hamming_dups",       # r5: widened 16→32-bit fingerprint
 )
 
 

@@ -289,3 +289,21 @@ def test_mixture_sample_realizes_rates(spark):
         # binomial-ish tolerance: expected ± 4·sqrt(expected) + slack
         exp = rates[lang] * n
         assert abs(kept[lang] - exp) <= 4 * (exp**0.5) + 3
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sets(st.integers(min_value=0, max_value=31), min_size=0, max_size=3),
+)
+def test_simhash_pigeonhole_banding_is_lossless(fingerprint, flip_bits):
+    """Pure-python pigeonhole property behind simhash_hamming_dups:
+    any pair at hamming distance ≤ 3 over 32 bits shares at least one
+    of the 4 8-bit bands exactly (3 corrupted bits touch ≤ 3 bands),
+    so bucket-local candidate generation drops no qualifying pair."""
+    other = fingerprint
+    for b in flip_bits:
+        other ^= 1 << b
+    bands_a = [(fingerprint >> (8 * i)) & 0xFF for i in range(4)]
+    bands_b = [(other >> (8 * i)) & 0xFF for i in range(4)]
+    assert any(x == y for x, y in zip(bands_a, bands_b))
