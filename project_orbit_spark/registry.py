@@ -180,6 +180,7 @@ _DRIVER_PRIORITY = (
     "ats_probe_frontier",         # r5: S3 frontier-table generator
     "dedup_canonical_corpus",     # r5: composed pairs→clusters→canonical
     "simhash_hamming_dups",       # r5: widened 16→32-bit fingerprint
+    "user_highwater_events",      # r5: stateful prefix-max emitter
 )
 
 

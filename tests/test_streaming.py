@@ -220,3 +220,33 @@ def test_scd2_unchanged_reemit_does_not_open_version(spark):
         (2, "2024-02-01", None, 1),
         (3, "2024-01-01", None, 1),
     ]
+
+
+@pytest.mark.timeout(240)
+def test_stream_highwater_matches_batch(spark):
+    """Per-user high-water-mark filter: the applyInPandasWithState
+    streaming face (AvailableNow single pass) emits exactly the rows
+    the batch prefix-max window keeps."""
+    from project_orbit_spark.streaming.stateful import (
+        stream_user_highwater,
+        user_highwater_events,
+    )
+
+    q = (
+        stream_user_highwater(spark, SF_DIR)
+        .writeStream.format("memory")
+        .queryName("hwm_smoke")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["event_id"], round(r["value"], 2))
+        for r in spark.sql("select * from hwm_smoke").collect()
+    }
+    batch = {
+        (r["user_id"], r["event_id"], round(r["value"], 2))
+        for r in user_highwater_events(spark, SF_DIR).collect()
+    }
+    assert got == batch
+    assert len(got) > 0
