@@ -426,3 +426,97 @@ def company_gold_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Risk report — §3.3's risk_detector fan-out composed as one plan.
+
+_RISK_LEXICON = (
+    ("latency", "slow", "medium"),
+    ("stability", "error", "high"),
+    ("volume", "big", "low"),
+)
+_RISK_LEXICON_VALUES = ", ".join(
+    f"('{c}', '{k}', '{s}')" for c, k, s in _RISK_LEXICON
+)
+
+
+@register(
+    "risk_report_gold",
+    tags=("pipeline", "gold", "risk"),
+    doc="§3.3 risk workflow composed as ONE plan (ref "
+    "src/agents/workflow.py:246-291: risk_detector fans detection "
+    "across dashboard text, company corpus, and retrieved context, "
+    "then A8-dedupes): the same severity-tagged lexicon (E7, "
+    "src/risk_detection.py:21-82) scans (1) the dashboard surface "
+    "(first-120-char excerpt), (2) the retrieved-context subset "
+    "(doc_id < 200), and (3) the full corpus; the tagged union "
+    "dedupes first-wins per (doc_id, risk_class) by source priority "
+    "(dashboard > retrieved > corpus, the reference's keep-first at "
+    "workflow.py:246-291) and carries how many sources agreed. "
+    "Scale shape: the lexicon is a broadcast theta join on each arm; "
+    "the dedup is one shuffle on (doc_id, risk_class).",
+    oracle=f"""
+        WITH lexicon AS (
+          SELECT * FROM (VALUES {_RISK_LEXICON_VALUES})
+            AS t(risk_class, keyword, severity)
+        ),
+        arms AS (
+          SELECT d.doc_id, x.risk_class, x.severity, x.keyword,
+                 'dashboard' AS origin, 1 AS origin_rank
+          FROM documents d JOIN lexicon x
+            ON strpos(lower(substring(d.text, 1, 120)), x.keyword) > 0
+          UNION ALL
+          SELECT d.doc_id, x.risk_class, x.severity, x.keyword,
+                 'retrieved' AS origin, 2 AS origin_rank
+          FROM documents d JOIN lexicon x
+            ON strpos(lower(d.text), x.keyword) > 0
+          WHERE d.doc_id < 200
+          UNION ALL
+          SELECT d.doc_id, x.risk_class, x.severity, x.keyword,
+                 'corpus' AS origin, 3 AS origin_rank
+          FROM documents d JOIN lexicon x
+            ON strpos(lower(d.text), x.keyword) > 0
+        )
+        SELECT doc_id, risk_class, severity, keyword,
+               arg_min(origin, origin_rank) AS origin,
+               CAST(count(DISTINCT origin) AS BIGINT) AS n_sources
+        FROM arms
+        GROUP BY doc_id, risk_class, severity, keyword
+        ORDER BY doc_id, risk_class
+    """,
+)
+def risk_report_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = spark.createDataFrame(
+        list(_RISK_LEXICON), "risk_class string, keyword string, severity string"
+    )
+
+    def arm(docs: DataFrame, text_col, origin: str, rank: int) -> DataFrame:
+        return (
+            docs.join(
+                F.broadcast(lex), F.instr(F.lower(text_col), F.col("keyword")) > 0
+            )
+            .select(
+                "doc_id",
+                "risk_class",
+                "severity",
+                "keyword",
+                F.lit(origin).alias("origin"),
+                F.lit(rank).alias("origin_rank"),
+            )
+        )
+
+    arms = (
+        arm(d, F.substring("text", 1, 120), "dashboard", 1)
+        .unionByName(arm(d.filter(F.col("doc_id") < 200), F.col("text"), "retrieved", 2))
+        .unionByName(arm(d, F.col("text"), "corpus", 3))
+    )
+    return (
+        arms.groupBy("doc_id", "risk_class", "severity", "keyword")
+        .agg(
+            F.min_by("origin", "origin_rank").alias("origin"),
+            F.countDistinct("origin").cast("long").alias("n_sources"),
+        )
+        .orderBy("doc_id", "risk_class")
+    )

@@ -181,6 +181,7 @@ _DRIVER_PRIORITY = (
     "dedup_canonical_corpus",     # r5: composed pairs→clusters→canonical
     "simhash_hamming_dups",       # r5: widened 16→32-bit fingerprint
     "user_highwater_events",      # r5: stateful prefix-max emitter
+    "risk_report_gold",           # r5: composed §3.3 risk fan-out
 )
 
 
