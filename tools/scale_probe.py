@@ -53,6 +53,8 @@ QUERIES = (
     "tumbling_hourly_counts", # event-time window agg
     "session_windows_30m",    # session windows
     "doc_quality_scores",     # text-quality scoring (map-only)
+    "dedup_canonical_corpus", # composed pairs→clusters→canonical
+    "rag_dashboard_gold",     # composed retrieve→generate→patch
 )
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3")))
