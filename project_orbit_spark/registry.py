@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "project_orbit_spark.operators.corpus",
     "project_orbit_spark.operators.bloom",
     "project_orbit_spark.operators.profiling",
+    "project_orbit_spark.operators.behavior",
     "project_orbit_spark.functions.textbank",
     "project_orbit_spark.functions.textquality",
     "project_orbit_spark.functions.extraction",
@@ -182,6 +183,8 @@ _DRIVER_PRIORITY = (
     "simhash_hamming_dups",       # r5: widened 16→32-bit fingerprint
     "user_highwater_events",      # r5: stateful prefix-max emitter
     "risk_report_gold",           # r5: composed §3.3 risk fan-out
+    "event_funnel_conversion",    # r5: ordered min-after-min funnel
+    "user_retention_cohorts",     # r5: first-seen cohort retention
 )
 
 
