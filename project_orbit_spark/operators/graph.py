@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from project_orbit_spark.registry import register
+
 
 def connected_components(
     edges: DataFrame,
@@ -170,3 +172,107 @@ def cluster_representatives(labels: DataFrame) -> DataFrame:
         F.col("label").alias("cluster_id"),
         "cluster_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank — the weighted-fixpoint companion to min-label propagation.
+
+PR_SCALE = 1_000_000_000  # fixed-point unit: 1.0 == 1e9
+PR_ITERS = 5
+PR_EDGE_FANOUT = 3  # deterministic synthetic out-links per page
+
+
+def _pr_oracle_sql() -> str:
+    """Unrolled fixed-point power iteration (no recursive CTE: the
+    aggregate-in-recursive-term shape is not portable). Every quantity
+    is BIGINT with floor division, so the oracle and the Spark loop
+    agree bit-for-bit — no float summation order anywhere."""
+    fan = ", ".join(str(j + 1) for j in range(PR_EDGE_FANOUT))
+    cte = [
+        "cnt AS (SELECT count(*) AS n FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        f"""edges AS (
+          SELECT DISTINCT d.doc_id AS src,
+                 (d.doc_id * 31 + j * 17) % c.n AS dst
+          FROM documents d CROSS JOIN cnt c, UNNEST([{fan}]) AS t(j)
+          WHERE (d.doc_id * 31 + j * 17) % c.n != d.doc_id
+        )""",
+        "outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, {PR_SCALE}::BIGINT // c.n AS rank FROM nodes CROSS JOIN cnt c)",
+    ]
+    for i in range(PR_ITERS):
+        cte.append(f"""c{i + 1} AS (
+          SELECT e.dst AS node, sum(r.rank // o.od) AS contrib
+          FROM edges e
+          JOIN r{i} r ON r.node = e.src
+          JOIN outdeg o ON o.src = e.src
+          GROUP BY e.dst
+        )""")
+        cte.append(f"""r{i + 1} AS (
+          SELECT n.node,
+                 ({PR_SCALE}::BIGINT * 15) // (100 * c.n)
+                 + (85 * coalesce(x.contrib, 0)) // 100 AS rank
+          FROM nodes n CROSS JOIN cnt c
+          LEFT JOIN c{i + 1} x ON x.node = n.node
+        )""")
+    return (
+        "WITH " + ",\n        ".join(cte)
+        + f"\n        SELECT node, CAST(rank AS BIGINT) AS rank_fp "
+        f"FROM r{PR_ITERS} ORDER BY node"
+    )
+
+
+@register(
+    "pagerank_link_graph",
+    tags=("graph", "iterative"),
+    doc="Fixed-point PageRank (d=0.85, 5 power iterations) over a "
+    "deterministic synthetic link graph (each page links to 3 "
+    "modulus-derived targets — the link-discovery graph the "
+    "reference's crawler walks imperatively, scraper_v2.py:1247+, "
+    "re-expressed as dataflow). All arithmetic is BIGINT fixed-point "
+    "(1.0 = 1e9) with floor division, so ranks are bit-identical "
+    "across engines and partitionings — the same determinism "
+    "discipline as the md5 hash families, and the honest way to "
+    "oracle-check iterative numerics. Per iteration: one join "
+    "edges⋈ranks, one sum per dst, one left join back onto the node "
+    "spine; lineage truncated with localCheckpoint (the CC lesson — "
+    "plan growth kills iterative jobs before data does).",
+    oracle=_pr_oracle_sql(),
+)
+def pagerank_link_graph(spark, sf_dir: str):
+    from project_orbit_spark.catalog import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("node"))
+    fan = F.explode(F.array(*[F.lit(j + 1) for j in range(PR_EDGE_FANOUT)])).alias("j")
+    edges = (
+        d.select(F.col("doc_id").alias("src"), fan)
+        .select("src", ((F.col("src") * 31 + F.col("j") * 17) % n).alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    teleport = (PR_SCALE * 15) // (100 * n)
+    ranks = nodes.select("node", F.lit(PR_SCALE // n).cast("long").alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outdeg, "src")
+            .select("dst", F.expr("rank DIV od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr("(85 * coalesce(contrib, 0)) DIV 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("rank").alias("rank_fp")).orderBy("node")

@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "project_orbit_spark.operators.bloom",
     "project_orbit_spark.operators.profiling",
     "project_orbit_spark.operators.behavior",
+    "project_orbit_spark.operators.graph",
     "project_orbit_spark.functions.textbank",
     "project_orbit_spark.functions.textquality",
     "project_orbit_spark.functions.extraction",
@@ -185,6 +186,7 @@ _DRIVER_PRIORITY = (
     "risk_report_gold",           # r5: composed §3.3 risk fan-out
     "event_funnel_conversion",    # r5: ordered min-after-min funnel
     "user_retention_cohorts",     # r5: first-seen cohort retention
+    "pagerank_link_graph",        # r5: fixed-point iterative PageRank
 )
 
 
