@@ -182,3 +182,23 @@ def test_silver_quarantine_is_map_only(spark):
     assert f.n_broadcast_joins == 0
     assert "Join" not in f.text
     assert not f.partial_agg
+
+
+def test_funnel_has_no_event_self_join_blowup(spark):
+    # three chained per-user aggregates; never events×events without
+    # an equi key — no cartesian or nested-loop anywhere
+    f = facts("event_funnel_conversion", spark)
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_cohort_retention_shuffles_on_user_only(spark):
+    f = facts("user_retention_cohorts", spark)
+    assert "CartesianProduct" not in f.text
+    assert f.partial_agg, "first-seen/activity aggs must map-side combine"
+
+
+def test_pagerank_iterations_keep_equi_joins(spark):
+    f = facts("pagerank_link_graph", spark)
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text

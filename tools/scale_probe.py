@@ -55,6 +55,9 @@ QUERIES = (
     "doc_quality_scores",     # text-quality scoring (map-only)
     "dedup_canonical_corpus", # composed pairs→clusters→canonical
     "rag_dashboard_gold",     # composed retrieve→generate→patch
+    "event_funnel_conversion",  # ordered funnel (chained user aggs)
+    "user_retention_cohorts",   # cohort retention matrix
+    "pagerank_link_graph",      # iterative fixed-point PageRank
 )
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3")))
