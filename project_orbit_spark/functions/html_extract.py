@@ -156,24 +156,33 @@ def html_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # C16 full metadata family: OG / Twitter / canonical / author / robots / lang
 
 
-def _meta_page(doc_id: int, lang: str, source: str, text: str) -> str:
-    """Deterministic metadata-rich page (ref src/scraper_v2.py:120-179
-    OG loop, :353-410 meta walk): canonical link, og:*, twitter:*,
-    author/keywords/robots metas, html[lang]."""
-    t20 = text[:20]
-    robots = "index,follow" if doc_id % 2 == 0 else "noindex"
-    return (
-        f'<html lang="{lang}"><head><title>{t20}</title>'
-        f'<link rel="canonical" href="https://site.example/{source}/{doc_id}">'
-        f'<meta property="og:title" content="OG {t20}">'
-        f'<meta property="og:image" content="https://img.example/{doc_id}.jpg">'
-        f'<meta name="twitter:card" content="summary">'
-        f'<meta name="twitter:title" content="TW {doc_id}">'
-        f'<meta name="author" content="author-{doc_id % 7}">'
-        f'<meta name="keywords" content="k{doc_id % 3},k{doc_id % 5},shared">'
-        f'<meta name="robots" content="{robots}">'
-        "</head><body><p>x</p></body></html>"
-    )
+def _make_meta_page():
+    # factory so the template is a <locals> closure: cloudpickle
+    # serializes it BY VALUE into mapInPandas closures instead of
+    # an import reference that foreign-cwd Python workers can't
+    # resolve (caught by tools/driver_sim.py)
+    def _meta_page(doc_id: int, lang: str, source: str, text: str) -> str:
+        """Deterministic metadata-rich page (ref src/scraper_v2.py:120-179
+        OG loop, :353-410 meta walk): canonical link, og:*, twitter:*,
+        author/keywords/robots metas, html[lang]."""
+        t20 = text[:20]
+        robots = "index,follow" if doc_id % 2 == 0 else "noindex"
+        return (
+            f'<html lang="{lang}"><head><title>{t20}</title>'
+            f'<link rel="canonical" href="https://site.example/{source}/{doc_id}">'
+            f'<meta property="og:title" content="OG {t20}">'
+            f'<meta property="og:image" content="https://img.example/{doc_id}.jpg">'
+            f'<meta name="twitter:card" content="summary">'
+            f'<meta name="twitter:title" content="TW {doc_id}">'
+            f'<meta name="author" content="author-{doc_id % 7}">'
+            f'<meta name="keywords" content="k{doc_id % 3},k{doc_id % 5},shared">'
+            f'<meta name="robots" content="{robots}">'
+            "</head><body><p>x</p></body></html>"
+        )
+    return _meta_page
+
+
+_meta_page = _make_meta_page()
 
 
 META_SCHEMA = (
@@ -274,8 +283,13 @@ def make_meta_extractor():
 def html_meta_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
 
+    # construct the extractor DRIVER-side: the pickled closure then
+    # captures the <locals> extract function by value instead of
+    # referencing the module-level factory by name (unimportable on
+    # foreign-cwd workers — tools/driver_sim.py regression)
+    inner = make_meta_extractor()
+
     def template_then_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        inner = make_meta_extractor()
 
         def paged():
             import pandas as _pd
@@ -300,27 +314,36 @@ def html_meta_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 # C18 job-card extraction: table listings + link-pattern heuristics
 
 
-def _careers_page(doc_id: int) -> str:
-    """Careers page: a job table (Title/Location/Department headers,
-    doc_id%4 rows, per-row apply link) plus, for every 5th doc, a
-    loose job link outside the table (ref's link-pattern stage)."""
-    n = doc_id % 4
-    rows = "".join(
-        f'<tr><td>Engineer {doc_id}-{i}</td><td>City{i}</td>'
-        f'<td>Dept{(doc_id + i) % 3}</td>'
-        f'<td><a href="/job/{doc_id}/{i}">apply</a></td></tr>'
-        for i in range(n)
-    )
-    tail = (
-        f'<a href="/job/x-{doc_id}">Senior Engineer Opening {doc_id}</a>'
-        if doc_id % 5 == 0
-        else ""
-    )
-    return (
-        "<html><body><h1>Careers</h1>"
-        "<table><tr><th>Title</th><th>Location</th><th>Department</th>"
-        f"<th>Apply</th></tr>{rows}</table>{tail}</body></html>"
-    )
+def _make_careers_page():
+    # factory so the template is a <locals> closure: cloudpickle
+    # serializes it BY VALUE into mapInPandas closures instead of
+    # an import reference that foreign-cwd Python workers can't
+    # resolve (caught by tools/driver_sim.py)
+    def _careers_page(doc_id: int) -> str:
+        """Careers page: a job table (Title/Location/Department headers,
+        doc_id%4 rows, per-row apply link) plus, for every 5th doc, a
+        loose job link outside the table (ref's link-pattern stage)."""
+        n = doc_id % 4
+        rows = "".join(
+            f'<tr><td>Engineer {doc_id}-{i}</td><td>City{i}</td>'
+            f'<td>Dept{(doc_id + i) % 3}</td>'
+            f'<td><a href="/job/{doc_id}/{i}">apply</a></td></tr>'
+            for i in range(n)
+        )
+        tail = (
+            f'<a href="/job/x-{doc_id}">Senior Engineer Opening {doc_id}</a>'
+            if doc_id % 5 == 0
+            else ""
+        )
+        return (
+            "<html><body><h1>Careers</h1>"
+            "<table><tr><th>Title</th><th>Location</th><th>Department</th>"
+            f"<th>Apply</th></tr>{rows}</table>{tail}</body></html>"
+        )
+    return _careers_page
+
+
+_careers_page = _make_careers_page()
 
 
 JOBS_SCHEMA = (
@@ -480,8 +503,13 @@ def make_job_extractor():
 def html_job_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id")
 
+    # construct the extractor DRIVER-side: the pickled closure then
+    # captures the <locals> extract function by value instead of
+    # referencing the module-level factory by name (unimportable on
+    # foreign-cwd workers — tools/driver_sim.py regression)
+    inner = make_job_extractor()
+
     def template_then_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        inner = make_job_extractor()
 
         def paged():
             import pandas as _pd
@@ -503,41 +531,50 @@ def html_job_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # C19 article extraction: JSON-LD → OpenGraph → title-tag cascade
 
 
-def _article_page(doc_id: int, text: str) -> str:
-    """Article page exercising the extraction cascade by doc_id%3:
-    0 → JSON-LD NewsArticle (headline/author/datePublished) present
-        alongside OG tags and a <title> (JSON-LD must win);
-    1 → OG tags + author meta + <time datetime> (OG must win);
-    2 → bare <title> only (last-resort fallback).
+def _make_article_page():
+    # factory so the template is a <locals> closure: cloudpickle
+    # serializes it BY VALUE into mapInPandas closures instead of
+    # an import reference that foreign-cwd Python workers can't
+    # resolve (caught by tools/driver_sim.py)
+    def _article_page(doc_id: int, text: str) -> str:
+        """Article page exercising the extraction cascade by doc_id%3:
+        0 → JSON-LD NewsArticle (headline/author/datePublished) present
+            alongside OG tags and a <title> (JSON-LD must win);
+        1 → OG tags + author meta + <time datetime> (OG must win);
+        2 → bare <title> only (last-resort fallback).
 
-    ``text`` is html.escape'd before templating: HTMLParser
-    (convert_charrefs=True) unescapes it back verbatim, so the
-    oracle's exact word/length arithmetic over the raw ``text``
-    column holds even when the text contains '&', '<' or
-    entity-like sequences."""
-    text = html_mod.escape(text)
-    v = doc_id % 3
-    head = [f"<title>{'T ' if v < 2 else 'Plain Title '}{doc_id}</title>"]
-    if v == 0:
-        head.append(
-            '<script type="application/ld+json">'
-            '{"@type": "NewsArticle", "headline": "JL Title %d", '
-            '"author": {"name": "Jane %d"}, '
-            '"datePublished": "2024-0%d-01"}'
-            "</script>" % (doc_id, doc_id % 5, 1 + doc_id % 9)
+        ``text`` is html.escape'd before templating: HTMLParser
+        (convert_charrefs=True) unescapes it back verbatim, so the
+        oracle's exact word/length arithmetic over the raw ``text``
+        column holds even when the text contains '&', '<' or
+        entity-like sequences."""
+        text = html_mod.escape(text)
+        v = doc_id % 3
+        head = [f"<title>{'T ' if v < 2 else 'Plain Title '}{doc_id}</title>"]
+        if v == 0:
+            head.append(
+                '<script type="application/ld+json">'
+                '{"@type": "NewsArticle", "headline": "JL Title %d", '
+                '"author": {"name": "Jane %d"}, '
+                '"datePublished": "2024-0%d-01"}'
+                "</script>" % (doc_id, doc_id % 5, 1 + doc_id % 9)
+            )
+        if v < 2:
+            head.append(f'<meta property="og:title" content="OG Title {doc_id}">')
+            head.append(f'<meta property="og:description" content="OG Desc {doc_id}">')
+        if v == 1:
+            head.append(f'<meta name="author" content="Meta Author {doc_id % 5}">')
+            body_date = f'<time datetime="2024-11-0{1 + doc_id % 9}">then</time>'
+        else:
+            body_date = ""
+        return (
+            "<html><head>" + "".join(head) + "</head><body>"
+            f"{body_date}<article><p>{text}</p></article></body></html>"
         )
-    if v < 2:
-        head.append(f'<meta property="og:title" content="OG Title {doc_id}">')
-        head.append(f'<meta property="og:description" content="OG Desc {doc_id}">')
-    if v == 1:
-        head.append(f'<meta name="author" content="Meta Author {doc_id % 5}">')
-        body_date = f'<time datetime="2024-11-0{1 + doc_id % 9}">then</time>'
-    else:
-        body_date = ""
-    return (
-        "<html><head>" + "".join(head) + "</head><body>"
-        f"{body_date}<article><p>{text}</p></article></body></html>"
-    )
+    return _article_page
+
+
+_article_page = _make_article_page()
 
 
 ARTICLE_SCHEMA = (
@@ -694,8 +731,13 @@ def make_article_extractor():
 def html_article_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
 
+    # construct the extractor DRIVER-side: the pickled closure then
+    # captures the <locals> extract function by value instead of
+    # referencing the module-level factory by name (unimportable on
+    # foreign-cwd workers — tools/driver_sim.py regression)
+    inner = make_article_extractor()
+
     def template_then_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        inner = make_article_extractor()
 
         def paged():
             import pandas as _pd
@@ -719,29 +761,38 @@ def html_article_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # C16 depth: readability-grade main-text scoring (block link density)
 
 
-def _readability_page(doc_id: int, text: str) -> str:
-    """Template a page with four top-level blocks of very different
-    link densities (the shape trafilatura/readability must untangle,
-    ref src/scraper_v2.py:412-429): pure-link nav, long low-link
-    content, mixed sidebar (doc_id%3+1 related links), link-heavy
-    footer. No inter-tag whitespace, so block text lengths are exact
-    template arithmetic. ``text`` is html.escape'd so the parser's
-    charref conversion yields the raw text back verbatim and the
-    oracle's ``length(text) + 4`` arithmetic survives metacharacters
-    in the corpus."""
-    text = html_mod.escape(text)
-    k = doc_id % 3 + 1
-    side_links = "".join(f'<a href="/s{j}">Story {j}</a>' for j in range(k))
-    return (
-        "<html><body>"
-        '<div class="nav"><a href="/n0">Nav Item 0</a><a href="/n1">Nav Item 1</a>'
-        '<a href="/n2">Nav Item 2</a></div>'
-        f'<div class="content"><p>{text}</p><a href="/more">more</a></div>'
-        f'<div class="sidebar"><p>Related stories follow</p>{side_links}</div>'
-        '<div class="footer"><a href="/terms">Terms</a><a href="/privacy">Privacy</a>'
-        "<span>Copyright 2024 Acme</span></div>"
-        "</body></html>"
-    )
+def _make_readability_page():
+    # factory so the template is a <locals> closure: cloudpickle
+    # serializes it BY VALUE into mapInPandas closures instead of
+    # an import reference that foreign-cwd Python workers can't
+    # resolve (caught by tools/driver_sim.py)
+    def _readability_page(doc_id: int, text: str) -> str:
+        """Template a page with four top-level blocks of very different
+        link densities (the shape trafilatura/readability must untangle,
+        ref src/scraper_v2.py:412-429): pure-link nav, long low-link
+        content, mixed sidebar (doc_id%3+1 related links), link-heavy
+        footer. No inter-tag whitespace, so block text lengths are exact
+        template arithmetic. ``text`` is html.escape'd so the parser's
+        charref conversion yields the raw text back verbatim and the
+        oracle's ``length(text) + 4`` arithmetic survives metacharacters
+        in the corpus."""
+        text = html_mod.escape(text)
+        k = doc_id % 3 + 1
+        side_links = "".join(f'<a href="/s{j}">Story {j}</a>' for j in range(k))
+        return (
+            "<html><body>"
+            '<div class="nav"><a href="/n0">Nav Item 0</a><a href="/n1">Nav Item 1</a>'
+            '<a href="/n2">Nav Item 2</a></div>'
+            f'<div class="content"><p>{text}</p><a href="/more">more</a></div>'
+            f'<div class="sidebar"><p>Related stories follow</p>{side_links}</div>'
+            '<div class="footer"><a href="/terms">Terms</a><a href="/privacy">Privacy</a>'
+            "<span>Copyright 2024 Acme</span></div>"
+            "</body></html>"
+        )
+    return _readability_page
+
+
+_readability_page = _make_readability_page()
 
 
 BLOCK_SCHEMA = "doc_id long, block_id long, block string, text_len long, link_len long"
@@ -862,8 +913,13 @@ def html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
 
+    # construct the extractor DRIVER-side: the pickled closure then
+    # captures the <locals> extract function by value instead of
+    # referencing the module-level factory by name (unimportable on
+    # foreign-cwd workers — tools/driver_sim.py regression)
+    inner = make_block_profiler()
+
     def template_then_profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        inner = make_block_profiler()
 
         def paged():
             import pandas as _pd

@@ -369,25 +369,34 @@ _HTML_VENDOR_DOMAINS = (
 _HTML_VENDOR_PREFIX = ("IC", "WD", "OR", "JV")
 
 
-def _ats_listing_page(doc_id: int) -> str:
-    """Deterministic vendor listing page (vendor = doc_id%4, rows =
-    1+doc_id%3): a job table with Title/Location/Department headers and
-    a per-row apply link whose href carries the vendor domain — the
-    marker detect_ats keys on and the shape the reference's HTML
-    extractors walk."""
-    v = doc_id % 4
-    n = 1 + doc_id % 3
-    rows = "".join(
-        f"<tr><td>{_HTML_VENDOR_PREFIX[v]} Role {doc_id}-{i}</td>"
-        f"<td>Loc{(doc_id + i) % 7}</td><td>Dept{(doc_id + i) % 3}</td>"
-        f'<td><a href="https://{_HTML_VENDOR_DOMAINS[v]}/job/{doc_id}/{i}">apply</a></td></tr>'
-        for i in range(n)
-    )
-    return (
-        "<html><body><h1>Open roles</h1>"
-        "<table><tr><th>Title</th><th>Location</th><th>Department</th>"
-        f"<th>Apply</th></tr>{rows}</table></body></html>"
-    )
+def _make_ats_listing_page():
+    # factory so the template is a <locals> closure: cloudpickle
+    # serializes it BY VALUE into mapInPandas closures instead of
+    # an import reference that foreign-cwd Python workers can't
+    # resolve (caught by tools/driver_sim.py)
+    def _ats_listing_page(doc_id: int) -> str:
+        """Deterministic vendor listing page (vendor = doc_id%4, rows =
+        1+doc_id%3): a job table with Title/Location/Department headers and
+        a per-row apply link whose href carries the vendor domain — the
+        marker detect_ats keys on and the shape the reference's HTML
+        extractors walk."""
+        v = doc_id % 4
+        n = 1 + doc_id % 3
+        rows = "".join(
+            f"<tr><td>{_HTML_VENDOR_PREFIX[v]} Role {doc_id}-{i}</td>"
+            f"<td>Loc{(doc_id + i) % 7}</td><td>Dept{(doc_id + i) % 3}</td>"
+            f'<td><a href="https://{_HTML_VENDOR_DOMAINS[v]}/job/{doc_id}/{i}">apply</a></td></tr>'
+            for i in range(n)
+        )
+        return (
+            "<html><body><h1>Open roles</h1>"
+            "<table><tr><th>Title</th><th>Location</th><th>Department</th>"
+            f"<th>Apply</th></tr>{rows}</table></body></html>"
+        )
+    return _ats_listing_page
+
+
+_ats_listing_page = _make_ats_listing_page()
 
 
 @register(
@@ -434,8 +443,11 @@ def ats_html_vendor_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
 
+    # driver-side construction: the closure must capture the extract
+    # function by value, not the html_extract module factory by name
+    inner = make_job_extractor()
+
     def template_then_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        inner = make_job_extractor()
 
         def paged():
             import pandas as _pd
