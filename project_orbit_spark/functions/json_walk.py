@@ -33,55 +33,65 @@ MARKER_KEYS = ("title", "name", "description", "url", "type", "@type")
 WALK_SCHEMA = "doc_id long, path string, at_type string, name string, depth long"
 
 
-def walk_structured(obj, path: str = "$", depth: int = 0, out: list | None = None,
-                    max_depth: int = 8) -> list[dict]:
-    """Pre-order recursive descent (ref src/scraper_v2.py:469-487):
-    emit every dict carrying a marker key; lists pass depth through
-    (an array element sits at its parent's nesting level, matching
-    the reference's flat-results recursion)."""
-    if out is None:
-        out = []
-    if depth > max_depth:
+def _make_walkers():
+    # factory so both functions are <locals> closures: cloudpickle
+    # serializes them BY VALUE into the mapInPandas closure instead
+    # of import references foreign-cwd workers can't resolve
+    # (caught by tools/driver_sim.py); the recursive call resolves
+    # through the factory scope's cell, so recursion survives
+    # pickling too
+    def walk_structured(obj, path: str = "$", depth: int = 0, out: list | None = None,
+                        max_depth: int = 8) -> list[dict]:
+        """Pre-order recursive descent (ref src/scraper_v2.py:469-487):
+        emit every dict carrying a marker key; lists pass depth through
+        (an array element sits at its parent's nesting level, matching
+        the reference's flat-results recursion)."""
+        if out is None:
+            out = []
+        if depth > max_depth:
+            return out
+        if isinstance(obj, dict):
+            if any(k in obj for k in MARKER_KEYS):
+                out.append(
+                    {
+                        "path": path,
+                        "at_type": obj.get("@type"),
+                        "name": obj.get("name") or obj.get("title"),
+                        "depth": depth,
+                    }
+                )
+            for k, v in obj.items():
+                walk_structured(v, f"{path}.{k}", depth + 1, out, max_depth)
+        elif isinstance(obj, list):
+            for i, v in enumerate(obj):
+                walk_structured(v, f"{path}[{i}]", depth, out, max_depth)
         return out
-    if isinstance(obj, dict):
-        if any(k in obj for k in MARKER_KEYS):
-            out.append(
-                {
-                    "path": path,
-                    "at_type": obj.get("@type"),
-                    "name": obj.get("name") or obj.get("title"),
-                    "depth": depth,
-                }
-            )
-        for k, v in obj.items():
-            walk_structured(v, f"{path}.{k}", depth + 1, out, max_depth)
-    elif isinstance(obj, list):
-        for i, v in enumerate(obj):
-            walk_structured(v, f"{path}[{i}]", depth, out, max_depth)
-    return out
+
+    def _nested_payload(d: int) -> str:
+        """Deterministic nested JSON per doc: Organization root, d%3
+        Person entries, an Event with a nested Offer on even ids, a
+        marker-free address dict (must be skipped but recursed), and a
+        depth-2 title-only dict (caught by the title marker)."""
+        obj: dict = {
+            "@type": "Organization",
+            "name": f"Org {d}",
+            "founded": 1990 + d % 30,
+            "address": {"street": f"S{d}", "city": f"City{d % 10}"},
+            "people": [
+                {"@type": "Person", "name": f"P {d}-{i}", "jobTitle": f"T{(d + i) % 4}"}
+                for i in range(d % 3)
+            ],
+            "misc": {"deep": {"title": f"Deep {d}"}},
+        }
+        if d % 2 == 0:
+            obj["events"] = [
+                {"@type": "Event", "name": f"E {d}", "nested": {"@type": "Offer", "name": f"O {d}"}}
+            ]
+        return json.dumps(obj)
+    return walk_structured, _nested_payload
 
 
-def _nested_payload(d: int) -> str:
-    """Deterministic nested JSON per doc: Organization root, d%3
-    Person entries, an Event with a nested Offer on even ids, a
-    marker-free address dict (must be skipped but recursed), and a
-    depth-2 title-only dict (caught by the title marker)."""
-    obj: dict = {
-        "@type": "Organization",
-        "name": f"Org {d}",
-        "founded": 1990 + d % 30,
-        "address": {"street": f"S{d}", "city": f"City{d % 10}"},
-        "people": [
-            {"@type": "Person", "name": f"P {d}-{i}", "jobTitle": f"T{(d + i) % 4}"}
-            for i in range(d % 3)
-        ],
-        "misc": {"deep": {"title": f"Deep {d}"}},
-    }
-    if d % 2 == 0:
-        obj["events"] = [
-            {"@type": "Event", "name": f"E {d}", "nested": {"@type": "Offer", "name": f"O {d}"}}
-        ]
-    return json.dumps(obj)
+walk_structured, _nested_payload = _make_walkers()
 
 
 @register(

@@ -187,6 +187,11 @@ _DRIVER_PRIORITY = (
     "event_funnel_conversion",    # r5: ordered min-after-min funnel
     "user_retention_cohorts",     # r5: first-seen cohort retention
     "pagerank_link_graph",        # r5: fixed-point iterative PageRank
+    "jsonld_entity_walk",         # r5: by-value walker closures
+    "html_meta_inventory",        # r5: by-value template closures
+    "html_field_extraction",      # r5: same module, re-verify
+    "html_main_text",             # r5: by-value template closures
+    "ats_html_vendor_jobs",       # r5: driver-side extractor construction
 )
 
 
