@@ -45,6 +45,7 @@ from project_orbit_spark.session import get_spark  # noqa: E402
 QUERIES = (
     "exact_dup_groups",       # hash-groupBy dedup
     "minhash_lsh_near_dups",  # banded LSH near-dup
+    "incremental_minhash_dedup",  # O(new) batch-vs-index dedup
     "simhash_hamming_dups",   # simhash dedup
     "ann_ivf_topk",           # IVF ANN (cold: includes centroid derive)
     "cosine_topk_exact",      # brute-force top-k baseline
