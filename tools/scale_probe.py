@@ -59,6 +59,9 @@ QUERIES = (
     "event_funnel_conversion",  # ordered funnel (chained user aggs)
     "user_retention_cohorts",   # cohort retention matrix
     "pagerank_link_graph",      # iterative fixed-point PageRank
+    "pack_sequences_budget",    # sharded sequence packing
+    "benchmark_contamination",  # broadcast 8-gram contamination scan
+    "corpus_shuffle_shards",    # deterministic training shuffle
 )
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3")))
