@@ -57,10 +57,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
-            # nanos-as-long vintage: truncate to micros
-            return df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # nanos-as-long vintage: truncate to micros with INTEGER
+            # division — float division loses ulp≈256ns precision at
+            # 1.7e18-scale epochs (double's 53-bit mantissa), which can
+            # shave 1us off non-aligned values vs the oracle's exact
+            # integer truncation.
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         # native timestamp / timestamp_ntz vintage: normalize to the
         # session-TZ (UTC) timestamp type every downstream op expects
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -74,9 +76,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming sources need an explicit schema, so the physical ``ts``
     vintage (long nanos vs native timestamp) is sniffed from a batch
     read of the same file and the raw stream schema branches on it.
-    Targets the events file specifically — a bare directory glob would
-    sweep in every other table's parquet (their rows surface as
-    null-keyed ghost groups).
+    Streams from the ``events.parquet`` path directly (like the batch
+    sniff) so it works whether that path is a single file or a
+    directory of part files — a basename pathGlobFilter over ``sf_dir``
+    would list zero files in the directory layout, and a bare directory
+    glob would sweep in every other table's parquet.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -90,15 +94,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"event_id long, ts {'long' if nanos else ts_type.simpleString()}, "
         "user_id long, event_type string, value double, props string"
     )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = spark.readStream.schema(raw_schema).parquet(path)
     if nanos:
-        return stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

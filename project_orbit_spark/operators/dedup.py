@@ -578,8 +578,8 @@ def simhash_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
     # per-token 32-bit hash (md5 hex prefix → decimal) computed ONCE;
     # the repartition is a CollapseProject barrier — without it the
-    # md5+conv expression re-inlines into all 16 bit-vote lambdas
-    # (16× the hash work, same hazard as the MinHash path above)
+    # md5+conv expression re-inlines into all 32 bit-vote lambdas
+    # (32× the hash work, same hazard as the MinHash path above)
     hashed = corpus.select(
         "doc_id",
         "lang",

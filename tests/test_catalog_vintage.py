@@ -77,3 +77,25 @@ def test_read_events_stream_schema_both_vintages(spark, tmp_path, unit):
         "value",
         "props",
     ]
+    # actually START the stream: the fixture's events.parquet is a
+    # DIRECTORY of part files, the layout where a basename
+    # pathGlobFilter over sf_dir used to list zero files silently
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(f"vintage_{unit}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got = sorted(
+        (r["event_id"], r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"))
+        for r in spark.table(f"vintage_{unit}").select("event_id", "ts").collect()
+    )
+    want = sorted(
+        (i, t.strftime("%Y-%m-%d %H:%M:%S.%f"))
+        for i, t in zip(_ROWS["event_id"], _ROWS["ts"])
+    )
+    assert got == want

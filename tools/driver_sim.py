@@ -42,13 +42,19 @@ def main() -> None:
     failed = []
     for name in names:
         code = _SNIPPET.format(repo=str(REPO), name=name, sf_dir=sf_dir)
-        proc = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True,
-            text=True,
-            timeout=600,
-            cwd="/tmp",
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=600,
+                cwd="/tmp",
+            )
+        except subprocess.TimeoutExpired:
+            # a hung query is a FAIL row, not a sweep-aborting traceback
+            print(f"FAIL {name} (timeout 600s)", flush=True)
+            failed.append(name)
+            continue
         ok = f"DRIVER_SIM_OK {name}" in proc.stdout
         marker = "ok" if ok else "FAIL"
         line = [ln for ln in proc.stdout.splitlines() if "DRIVER_SIM_OK" in ln]

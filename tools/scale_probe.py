@@ -68,8 +68,17 @@ REPS = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3")))
 
 
 def synthesize(spark, sf_dir: str, out_dir: Path, k: int) -> None:
-    if all((out_dir / f"{t}.parquet").exists() for t in ("documents", "embeddings", "events")):
-        print(f"# reusing synthesized corpus in {out_dir}", file=sys.stderr)
+    # Reuse only when the on-disk corpus was built with the SAME (k,
+    # sf_dir) — existence alone would silently time a stale corpus
+    # while labeling the ratios with the new K.
+    manifest = out_dir / "manifest.json"
+    want = {"k": k, "sf_dir": str(sf_dir)}
+    if (
+        all((out_dir / f"{t}.parquet").exists() for t in ("documents", "embeddings", "events"))
+        and manifest.exists()
+        and json.loads(manifest.read_text()) == want
+    ):
+        print(f"# reusing synthesized {k}x corpus in {out_dir}", file=sys.stderr)
         return
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -127,6 +136,7 @@ def synthesize(spark, sf_dir: str, out_dir: Path, k: int) -> None:
     for r in ev_reps[1:]:
         u = u.unionByName(r)
     u.write.mode("overwrite").parquet(str(out_dir / "events.parquet"))
+    manifest.write_text(json.dumps(want))
 
 
 def time_query(spark, name: str, sf_dir: str) -> float:
