@@ -5,10 +5,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is fully executed (collected to the driver) so the timing
 covers scan → shuffle → aggregate → result, the same path the driver
-measures. Each query runs REPS (default 3) times and reports the
-MEDIAN, so one GC pause / JIT warm-up / session-contention blip can't
-masquerade as a plan regression (round-2 lesson: a 3.6x swing on a
-query whose code hadn't changed).
+measures. Each query runs one UNTIMED warm rep (absorbs per-query
+codegen/JIT compile — a first-execution cost a long-lived cluster
+never re-pays) then REPS (default 3) timed reps and reports the
+MEDIAN, so one GC pause / cold compile / session-contention blip
+can't masquerade as a plan regression (round-2 lesson: a 3.6x swing
+on a query whose code hadn't changed; round-5 lesson: a 25s cold
+compile poisoning a median of 3).
 """
 
 from __future__ import annotations
@@ -70,6 +73,17 @@ def main() -> None:
         samples: list[float] = []
         n = 0
         try:
+            # one UNTIMED warm rep per query: whole-stage-codegen
+            # compile + JVM JIT of this query's specific generated code
+            # is a first-execution-only cost a long-lived cluster never
+            # re-pays (measured: doc_quality_scores 7.6s cold vs 0.8s
+            # steady in a fresh session), and under session contention
+            # it can poison a median of 3 (BENCH_r05's 12.25s outlier).
+            # Queries that deliberately time non-amortized work (e.g.
+            # ann_ivf_topk's inline centroid derivation) still pay that
+            # work inside every timed rep — only per-session compile
+            # cost is absorbed.
+            n = len(q.fn(spark, sf_dir).collect())
             for _ in range(reps):
                 t0 = time.time()
                 df = q.fn(spark, sf_dir)

@@ -27,6 +27,7 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 @register(
     "event_funnel_conversion",
+    bench=True,
     tags=("events", "funnel", "behavior"),
     doc="Ordered 3-step funnel view → click → purchase per user: each "
     "step's timestamp is the FIRST qualifying event strictly after "

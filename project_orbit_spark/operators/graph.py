@@ -224,6 +224,7 @@ def _pr_oracle_sql() -> str:
 
 @register(
     "pagerank_link_graph",
+    bench=True,
     tags=("graph", "iterative"),
     doc="Fixed-point PageRank (d=0.85, 5 power iterations) over a "
     "deterministic synthetic link graph (each page links to 3 "

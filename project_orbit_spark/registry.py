@@ -64,6 +64,7 @@ _QUERY_MODULES = (
     "project_orbit_spark.functions.json_walk",
     "project_orbit_spark.sources.ats",
     "project_orbit_spark.sources.frontier",
+    "project_orbit_spark.sources.roundtrip",
     "project_orbit_spark.similarity.cosine",
     "project_orbit_spark.similarity.retrieval",
     "project_orbit_spark.similarity.lsh",
