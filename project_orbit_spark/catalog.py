@@ -76,11 +76,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming sources need an explicit schema, so the physical ``ts``
     vintage (long nanos vs native timestamp) is sniffed from a batch
     read of the same file and the raw stream schema branches on it.
-    Streams from the ``events.parquet`` path directly (like the batch
-    sniff) so it works whether that path is a single file or a
-    directory of part files — a basename pathGlobFilter over ``sf_dir``
-    would list zero files in the directory layout, and a bare directory
-    glob would sweep in every other table's parquet.
+    ``events.parquet`` ships in two LAYOUTS too: a single file (the
+    testdata) and a directory of part files (scale-probe / fixture
+    synthesis). The streaming file source requires a directory
+    basePath, so the directory layout streams the path itself, while
+    the single-file layout streams ``sf_dir`` with a basename
+    pathGlobFilter (which would list zero files in the directory
+    layout — and a bare directory glob would sweep in every other
+    table's parquet).
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -94,7 +97,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"event_id long, ts {'long' if nanos else ts_type.simpleString()}, "
         "user_id long, event_type string, value double, props string"
     )
-    stream = spark.readStream.schema(raw_schema).parquet(path)
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if nanos:
         return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))

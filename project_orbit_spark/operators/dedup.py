@@ -594,6 +594,12 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_pairs(_near_dup_corpus(spark, sf_dir), n_words=1, band_bits=8)
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ every-11th doc with a ' tail' suffix (doc_id+100000)
+    — the deterministic near-dup injection both simhash tiers share."""
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     near = (
         d.filter(F.col("doc_id") % 11 == 0)
@@ -603,33 +609,49 @@ def simhash_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat("text", F.lit(" tail")).alias("text"),
         )
     )
-    corpus = d.unionByName(near)
+    return d.unionByName(near)
+
+
+def _simhash_pairs(corpus: DataFrame, *, n_words: int, band_bits: int) -> DataFrame:
+    """(doc_id, lang, text) → (left_id, right_id, hamming ≤ 3) simhash
+    near-dup pairs at width ``32 * n_words`` bits with ``band_bits``-bit
+    pigeonhole bands. The 64-bit hash is represented as n_words 32-bit
+    WORDS (md5 hex slices) because the vote arithmetic runs in float64,
+    which holds 32-bit ints exactly but not 64-bit ones — the word
+    split keeps the derivation portable (DuckDB mirrors the same hex
+    slices). Banding stays lossless for hamming ≤ 3 as long as there
+    are ≥ 4 bands: 3 differing bits touch ≤ 3 bands, so every
+    qualifying pair shares ≥ 1 exact band."""
+    n_bits = 32 * n_words
+    n_bands = n_bits // band_bits
+    assert n_bands >= 4, "pigeonhole needs >= 4 bands for hamming <= 3"
     toks = F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
-    # per-token 32-bit hash (md5 hex prefix → decimal) computed ONCE;
-    # the repartition is a CollapseProject barrier — without it the
-    # md5+conv expression re-inlines into all 32 bit-vote lambdas
-    # (32× the hash work, same hazard as the MinHash path above)
-    hashed = corpus.select(
-        "doc_id",
-        "lang",
-        F.transform(
-            toks,
-            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("double"),
-        ).alias("th"),
-    ).repartition(32, "doc_id")
+    # per-token 32-bit word hashes (md5 hex slices → decimal) computed
+    # ONCE; the repartition is a CollapseProject barrier — without it
+    # the md5+conv expression re-inlines into all n_bits bit-vote
+    # lambdas (n_bits× the hash work, same hazard as the MinHash path)
+    # NB: the per-word lambda must be built by a factory taking the hex
+    # offset — a default-arg lambda (t, off=...) would be treated by
+    # F.transform as its two-parameter (element, index) form
+    def word_hash(off: int):
+        return lambda t: F.conv(F.substring(F.md5(t), 1 + off, 8), 16, 10).cast("double")
+
+    word_cols = [
+        F.transform(toks, word_hash(8 * w)).alias(f"th{w}") for w in range(n_words)
+    ]
+    hashed = corpus.select("doc_id", "lang", *word_cols).repartition(32, "doc_id")
+
     # bit i of simhash: majority vote of bit i across token hashes.
     # bit(i) via floor(h / 2^i) % 2 — the shift builtins require a
     # literal shift amount, and 2^i stays exact in float64 for i < 53
-    sh = hashed.select(
-        "doc_id",
-        "lang",
-        F.transform(
+    def word_votes(word: str) -> Column:
+        return F.transform(
             F.sequence(F.lit(0), F.lit(31)),
             lambda i: F.when(
                 2
                 * F.size(
                     F.filter(
-                        F.col("th"),
+                        F.col(word),
                         lambda h: F.floor(h / F.pow(F.lit(2.0), i.cast("double"))).cast(
                             "long"
                         )
@@ -637,20 +659,24 @@ def simhash_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                         == 1,
                     )
                 )
-                >= F.size("th"),
+                >= F.size(word),
                 1,
             )
             .otherwise(0)
             .cast("int"),
-        ).alias("bits"),
+        )
+
+    bits = word_votes("th0") if n_words == 1 else F.concat(
+        *[word_votes(f"th{w}") for w in range(n_words)]
     )
-    # pigeonhole banding: 4 bands × 8 bits; band value packed to an int
+    sh = hashed.select("doc_id", "lang", bits.alias("bits"))
+    # pigeonhole banding: band value packed to an int (≤ 16 bits fits)
     band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(3)),
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda bidx: F.struct(
             bidx.cast("int").alias("band_idx"),
             F.aggregate(
-                F.slice(F.col("bits"), bidx * 8 + 1, 8),
+                F.slice(F.col("bits"), bidx * band_bits + 1, band_bits),
                 F.lit(0),
                 lambda s, v: s * 2 + v,
             ).alias("band_val"),
@@ -693,6 +719,58 @@ def simhash_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .orderBy("left_id", "right_id")
     )
+
+
+@register(
+    "simhash64_hamming_dups",
+    tags=("dedup", "simhash"),
+    doc="The 64-bit SimHash tier SCALE.md prescribes for 100 TB: two "
+    "32-bit md5-hex-slice words per token (float64 vote arithmetic "
+    "holds 32-bit ints exactly; 64-bit ones it can't, so the width is "
+    "built from words), 4×16-bit pigeonhole bands — 256× more bucket "
+    "values than the 32-bit tier's 8-bit bands, and an unrelated-pair "
+    "collision probability at hamming ≤ 3 of ~1e-14 vs ~1.3e-6, which "
+    "is what keeps the RESULT SET (not just the candidate set) linear "
+    "in corpus size at 100 TB. Same injected corpus and pair contract "
+    "as simhash_hamming_dups; banding is lossless (≥4 bands ⇒ every "
+    "hamming-≤3 pair shares an exact band).",
+    oracle="""
+        WITH corpus AS (
+          SELECT doc_id, lang, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, lang, text || ' tail'
+          FROM documents WHERE doc_id % 11 = 0
+        ),
+        tok AS (
+          SELECT doc_id, lang,
+                 list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+          FROM corpus
+        ),
+        sh AS (
+          SELECT doc_id, lang,
+                 [CASE WHEN 2 * len([t for t in toks
+                        IF ((CAST(('0x' || substring(md5(t), 1, 8)) AS UBIGINT) >> i) & 1) = 1])
+                        >= len(toks)
+                       THEN 1 ELSE 0 END
+                  for i in range(0, 32)]
+                 ||
+                 [CASE WHEN 2 * len([t for t in toks
+                        IF ((CAST(('0x' || substring(md5(t), 9, 8)) AS UBIGINT) >> i) & 1) = 1])
+                        >= len(toks)
+                       THEN 1 ELSE 0 END
+                  for i in range(0, 32)] AS bits
+          FROM tok
+        )
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               CAST(len([i for i in range(1, 65) if a.bits[i] != b.bits[i]]) AS BIGINT)
+                 AS hamming
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len([i for i in range(1, 65) if a.bits[i] != b.bits[i]]) <= 3
+        ORDER BY left_id, right_id
+    """,
+)
+def simhash64_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_pairs(_near_dup_corpus(spark, sf_dir), n_words=2, band_bits=16)
 
 
 @register(

@@ -18,8 +18,11 @@ Conventions (SURVEY.md §7 risk register):
 from __future__ import annotations
 
 import importlib
+import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -79,32 +82,35 @@ _QUERY_MODULES = (
 
 _loaded = False
 
-# Queries the round-1 driver already hash-verified (CORRECTNESS_r01.json).
-# The driver samples the FIRST 50 entries of queries() in dict order, so
-# query_map()/oracle_map() order not-yet-driver-verified queries first:
-# combined with the r01 record this puts the whole registry on the official
-# correctness record. Purely an ordering hint — every query stays registered.
-_DRIVER_VERIFIED_R01 = frozenset(
-    {
-        "above_segment_avg_customers", "anti_join_no_orders",
-        "approx_distinct_sketch", "approx_percentile_sketch", "asof_event_join",
-        "asof_latest_order", "chunk_documents", "chunk_vector_ids",
-        "cube_order_stats", "dedup_first_wins_docs", "dim_chain_counts",
-        "doc_hashes", "doc_slug_ids", "event_type_histogram", "exact_dup_groups",
-        "funding_summary_max_by", "fuzzy_translate_join", "json_props_extraction",
-        "keyword_paragraph_filter", "levenshtein_name_dedup",
-        "minhash_lsh_near_dups", "mktsegment_share", "money_roundtrip",
-        "multi_distinct_aggregates", "name_lookup_first_match", "nation_set_ops",
-        "ngram_jaccard_pairs", "order_gap_leadlag", "order_value_percentiles",
-        "page_stats_arrays", "payload_order_counts", "pivot_daily_event_matrix",
-        "q18_large_order_customers", "q1_pricing_summary", "q3_top_revenue_orders",
-        "q5_revenue_by_nation", "q6_forecast_revenue", "rank_family_quartiles",
-        "risk_lexicon_scan", "rolling_30d_revenue", "rollup_order_stats",
-        "running_char_budget", "salted_skew_join", "semi_join_returned_orders",
-        "sentiment_ratio", "simhash_hamming_dups", "substring_theta_join",
-        "title_excerpt_picker", "token_stats", "topk_orders_per_priority",
-    }
-)
+# The driver hash-checks the FIRST 50 queries() entries per round. To
+# keep every query's latest record fresh (no query older than ~3 rounds),
+# the sort key after the per-round priority list is LEAST-RECENTLY-
+# VERIFIED: the round each query last had a green CORRECTNESS row,
+# computed from the official CORRECTNESS_r*.json records at the repo
+# root. Never-verified queries sort first (round 0).
+
+
+def _last_verified() -> dict[str, int]:
+    """query -> latest round with a green driver record (hash pass, or
+    the by-design rows-only record for oracle-less queries)."""
+    out: dict[str, int] = {}
+    root = Path(__file__).resolve().parent.parent
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rec = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rec.items():
+            green = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if green:
+                out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
 def register(
@@ -146,19 +152,27 @@ def get_query(name: str) -> Query:
     return _REGISTRY[name]
 
 
-# The driver hash-checks the FIRST 50 queries() entries per round, so
-# this is a deliberately curated list rebuilt each round: queries that
-# erred last round first, then every query whose code path changed
-# this round or last, then new round additions — so the union of
-# CORRECTNESS_r01..r05 keeps the whole registry on the official record
-# with every changed query re-verified after its change.
+# Per-round priority head: queries that erred last round, every query
+# whose code path changed this round, and this round's additions —
+# these MUST land in the driver's first-50 sample. Rebuilt each round.
 _DRIVER_PRIORITY = (
-    # --- erred in CORRECTNESS_r04 (events loader bug, fixed r5) ---
+    # --- new in round 6: source/sink connectors on the hash record ---
+    "seed_scan_company_ids",        # r6: S1 seed JSON scan + company_id
+    "rss_feed_items",               # r6: S4 RSS/Atom dual-dialect parse
+    "corpus_scan_path_keys",        # r6: S7 wholetext walk, path keys
+    "tagged_union_sources",         # r6: S8 null-filled tagged union
+    "partitioned_sink_roundtrip",   # r6: S11-S13 partitionBy round-trip
+    "append_log_sink_roundtrip",    # r6: S14 append-mode 2x check
+    "simhash64_hamming_dups",       # r6: 64-bit / 4x16-band tier
+    "session_windows_30m_salted",   # r6: skew-hardened day-split sessions
+    # --- changed in round 6 ---
+    "incremental_minhash_dedup",    # r6: persisted warm_band_index path
+    "simhash_hamming_dups",         # r6: refactored through _simhash_pairs
+    # every query on the events loader path (catalog.py r6: integer
+    # `ts div 1000` truncation + layout-branched stream source)
     "tumbling_hourly_counts",
     "sliding_window_counts",
     "events_value_histogram",
-    # --- every other query on the events loader path (catalog.py
-    #     changed in r5: dtype-branch for the regenerated testdata) ---
     "event_type_histogram",
     "sentiment_ratio",
     "multi_distinct_aggregates",
@@ -172,38 +186,23 @@ _DRIVER_PRIORITY = (
     "stateful_running_user_totals",
     "interval_join_click_view",
     "stream_enrich_events",
-    # --- changed in r4, not yet driver re-verified ---
-    "html_article_extract",       # r4: html.escape in _article_page
-    "html_job_cards",             # r4: same template-escaping change
-    "ann_ivf_topk_warm",          # r4: applicationId cache rekey
-    "ann_ivf_topk",               # r4: shares the rekeyed cache path
-    # --- round-5 additions ---
-    "rag_dashboard_gold",         # r5: composed retrieve→generate→patch
-    "silver_typed_quarantine",    # r5: typed validation skip-row split
-    "ats_probe_frontier",         # r5: S3 frontier-table generator
-    "dedup_canonical_corpus",     # r5: composed pairs→clusters→canonical
-    "simhash_hamming_dups",       # r5: widened 16→32-bit fingerprint
-    "user_highwater_events",      # r5: stateful prefix-max emitter
-    "risk_report_gold",           # r5: composed §3.3 risk fan-out
-    "event_funnel_conversion",    # r5: ordered min-after-min funnel
-    "user_retention_cohorts",     # r5: first-seen cohort retention
-    "pagerank_link_graph",        # r5: fixed-point iterative PageRank
-    "jsonld_entity_walk",         # r5: by-value walker closures
-    "html_meta_inventory",        # r5: by-value template closures
-    "html_field_extraction",      # r5: same module, re-verify
-    "html_main_text",             # r5: by-value template closures
-    "ats_html_vendor_jobs",       # r5: driver-side extractor construction
+    "user_highwater_events",
+    "event_funnel_conversion",
+    "user_retention_cohorts",
 )
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    """Changed/flagship queries first, then not-yet-driver-verified
-    (registration order kept within each group), then the r1-verified
-    remainder — so a first-N driver sample maximizes fresh coverage."""
+    """This round's erred/changed/new queries first, then everything
+    else least-recently-verified-first (ties in registration order) —
+    so the driver's first-50 sample re-verifies every change AND
+    rotates the stalest records back onto the official record."""
     prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+    last = _last_verified()
+    reg_idx = {n: i for i, n in enumerate(names)}
     return sorted(
         names,
-        key=lambda n: (0, prio[n]) if n in prio else (1, int(n in _DRIVER_VERIFIED_R01)),
+        key=lambda n: (0, prio[n], 0) if n in prio else (1, last.get(n, 0), reg_idx[n]),
     )
 
 

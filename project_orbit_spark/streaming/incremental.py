@@ -321,3 +321,55 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap1.unionByName(snap2), key="c_custkey", attrs=["c_mktsegment", "acctbal"]
     )
     return hist.orderBy("c_custkey", "valid_from")
+
+
+# ---------------------------------------------------------------------------
+# Lake-format MERGE gate
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    key: str,
+) -> str:
+    """CDC upsert with an explicit lake-format gate.
+
+    When the ``delta`` package is importable (delta-spark + its JVM
+    jars), the upsert is a real ``MERGE INTO`` on a Delta table —
+    transactional, file-level data skipping on the key's stats, no
+    table rewrite, and safe under concurrent writers; with partition
+    or ZORDER clustering on the key the touched-file set is O(batch),
+    which is the 100 TB contract. This substrate does not ship the
+    delta package (mirroring the transformWithStateInPandas/protobuf
+    gate in streaming/stateful.py), so the fallback is the parquet
+    read → anti-join → union → staged-rewrite upsert
+    (sources/connectors.py::upsert_parquet) — same final table
+    contents, but a full-table rewrite per batch: correct and
+    idempotent, acceptable at fixture scale, NOT the 100 TB plan.
+    docs/SCALE.md records the upgrade path.
+
+    Returns which path executed: ``"delta_merge"`` or
+    ``"parquet_rewrite"`` — callers and tests assert on it so the
+    gate is visible, never silent.
+    """
+    try:
+        from delta.tables import DeltaTable  # noqa: PLC0415
+    except ImportError:
+        from project_orbit_spark.sources.connectors import upsert_parquet
+
+        upsert_parquet(spark, target_path, batch, key)
+        return "parquet_rewrite"
+
+    if DeltaTable.isDeltaTable(spark, target_path):
+        (
+            DeltaTable.forPath(spark, target_path)
+            .alias("t")
+            .merge(batch.alias("s"), f"t.{key} = s.{key}")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+    else:
+        batch.write.format("delta").mode("overwrite").save(target_path)
+    return "delta_merge"

@@ -170,6 +170,64 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_windows_30m_salted",
+    bench=True,
+    tags=("streaming", "session", "skew"),
+    doc="Skew-hardened sessionization: the session key is pre-split by "
+    "event DAY, so one hyperactive user's window state shards across "
+    "days instead of funneling through a single task (the 10× probe "
+    "measured the unsalted variant at 3.5× — real per-user merge "
+    "work; this is the pressure valve when one key's state outgrows "
+    "a task). The documented trade: sessions cannot span midnight — "
+    "a session crossing the boundary splits in two, identically in "
+    "the oracle (gaps-and-islands partitioned by user AND day). In "
+    "streaming form the day column also bounds state lifetime to the "
+    "watermark horizon per (user, day) shard.",
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, ts, value,
+                 CASE WHEN lag(ts) OVER (
+                        PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts) IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER (
+                             PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts))
+                           >= 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+        ),
+        sessions AS (
+          SELECT user_id, day, ts, value,
+                 CAST(sum(is_new) OVER (
+                   PARTITION BY user_id, day ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+          FROM flagged
+        )
+        SELECT user_id,
+               strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S') AS last_event,
+               count(*) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM sessions
+        GROUP BY user_id, day, session_id
+        ORDER BY user_id, session_start
+    """,
+)
+def session_windows_30m_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id", "day")
+        .agg(
+            F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+            F.date_format(F.max("ts"), TS_FMT).alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events", "session_value")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
     "sliding_30d_mentions",
     tags=("streaming", "window"),
     doc="A2/ST4 30-day mention count (ref "

@@ -46,13 +46,15 @@ QUERIES = (
     "exact_dup_groups",       # hash-groupBy dedup
     "minhash_lsh_near_dups",  # banded LSH near-dup
     "incremental_minhash_dedup",  # O(new) batch-vs-index dedup
-    "simhash_hamming_dups",   # simhash dedup
+    "simhash_hamming_dups",   # simhash dedup (32-bit tier)
+    "simhash64_hamming_dups", # simhash dedup (64-bit / 4x16 bands tier)
     "ann_ivf_topk",           # IVF ANN (cold: includes centroid derive)
     "cosine_topk_exact",      # brute-force top-k baseline
     "bm25_keyword_topk",      # lexical retrieval
     "hybrid_rrf_topk",        # fused retrieval
     "tumbling_hourly_counts", # event-time window agg
     "session_windows_30m",    # session windows
+    "session_windows_30m_salted",  # day-split skew-hardened sessions
     "doc_quality_scores",     # text-quality scoring (map-only)
     "dedup_canonical_corpus", # composed pairs→clusters→canonical
     "rag_dashboard_gold",     # composed retrieve→generate→patch
