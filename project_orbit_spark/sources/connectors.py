@@ -62,6 +62,13 @@ ATOM_FEED_SCHEMA = (
 )
 
 
+RSS_FEED_SCHEMA = (
+    "struct<channel: struct<item: array<struct<title:string, "
+    "link:string, description:string, pubDate:string, "
+    "author:string>>>>"
+)
+
+
 def parse_rss_items(feeds: DataFrame, xml_col: str = "xml") -> DataFrame:
     """S4 feed scan, both dialects (ref src/scraper_v2.py:972-1042
     RSS item loop; src/news_extractor.py:60-89 feedparser-normalized
@@ -70,47 +77,51 @@ def parse_rss_items(feeds: DataFrame, xml_col: str = "xml") -> DataFrame:
     reference's coalesce order across tag variants — summary|content
     for the excerpt, published|updated for the date, link text (RSS)
     vs link@href (Atom). Uses from_xml when available (Spark 4+),
-    else a regex fallback for the same subsets."""
+    else a regex fallback for the same subsets.
+
+    SINGLE-PASS: both dialects are normalized into one common item
+    struct inside a per-row ``when(is_atom, …)`` — from_xml binds the
+    schema at the ROOT element, and only the taken branch's parse
+    evaluates per row. The earlier filter-per-dialect + union shape
+    referenced the upstream plan twice, which recomputes the whole
+    feed derivation (2 scans, measured in the plan) — at 100 TB that
+    doubles the dominant stage for zero benefit."""
     xml = F.col(xml_col)
     is_atom = xml.rlike(r"<feed[\s>]")
+
+    def item_struct(title, url, summary, published, author):
+        return F.struct(
+            title.alias("title"),
+            url.alias("url"),
+            summary.alias("summary"),
+            published.alias("published"),
+            author.alias("author"),
+        )
+
     try:
-        # from_xml binds the schema at the ROOT element (<rss>/<feed>),
-        # so the wrapper elements must appear in the schema
-        rss = (
-            feeds.filter(~is_atom)
-            .withColumn(
-                "_ch",
-                F.from_xml(
-                    xml,
-                    "struct<channel: struct<item: array<struct<title:string, "
-                    "link:string, description:string, pubDate:string, "
-                    "author:string>>>>",
-                ),
-            )
-            .select(F.col("feed_id"), F.explode("_ch.channel.item").alias("it"))
-            .select(
-                "feed_id",
-                F.col("it.title").alias("title"),
-                F.col("it.link").alias("url"),
-                F.col("it.description").alias("summary"),
-                F.col("it.pubDate").alias("published"),
-                F.col("it.author").alias("author"),
-            )
+        rss_items = F.transform(
+            F.from_xml(xml, RSS_FEED_SCHEMA)["channel"]["item"],
+            lambda it: item_struct(
+                it["title"], it["link"], it["description"], it["pubDate"], it["author"]
+            ),
         )
-        atom = (
-            feeds.filter(is_atom)
-            .withColumn("_fd", F.from_xml(xml, ATOM_FEED_SCHEMA))
-            .select(F.col("feed_id"), F.explode("_fd.entry").alias("it"))
-            .select(
-                "feed_id",
-                F.col("it.title").alias("title"),
-                F.col("it.link._href").alias("url"),
-                F.coalesce("it.summary", "it.content").alias("summary"),
-                F.coalesce("it.published", "it.updated").alias("published"),
-                F.col("it.author.name").alias("author"),
-            )
+        atom_items = F.transform(
+            F.from_xml(xml, ATOM_FEED_SCHEMA)["entry"],
+            lambda it: item_struct(
+                it["title"],
+                it["link"]["_href"],
+                F.coalesce(it["summary"], it["content"]),
+                F.coalesce(it["published"], it["updated"]),
+                it["author"]["name"],
+            ),
         )
-        return rss.unionByName(atom)
+        return (
+            feeds.select(
+                "feed_id",
+                F.explode(F.when(is_atom, atom_items).otherwise(rss_items)).alias("it"),
+            )
+            .select("feed_id", "it.title", "it.url", "it.summary", "it.published", "it.author")
+        )
     except Exception:  # noqa: BLE001 — from_xml unavailable: regex subset
         tag = lambda body, t: F.regexp_extract(body, rf"(?s)<{t}[^>]*>(.*?)</{t}>", 1)
         opt = lambda c: F.when(c != "", c)  # '' → null so coalesce works
