@@ -202,3 +202,35 @@ def test_pagerank_iterations_keep_equi_joins(spark):
     f = facts("pagerank_link_graph", spark)
     assert "CartesianProduct" not in f.text
     assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_feed_parse_is_single_pass(spark):
+    # the dual-dialect parse must normalize both dialects in ONE
+    # projection over ONE upstream derivation — the filter-per-dialect
+    # + union shape scans/aggregates the corpus twice (regression
+    # caught by plan inspection in round 6)
+    f = facts("rss_feed_items", spark)
+    assert f.text.count("documents.parquet") == 1, "feed derivation must not run twice"
+    assert "CartesianProduct" not in f.text
+
+
+def test_incremental_dedup_broadcasts_the_batch(spark):
+    # the O(new) contract: the small new batch is the broadcast side
+    # of the band join against the persisted index
+    f = facts("incremental_minhash_dedup", spark)
+    assert f.n_broadcast_joins >= 1, "new batch must broadcast into the band join"
+    assert "CartesianProduct" not in f.text
+
+
+def test_simhash64_join_is_banded_not_cartesian(spark):
+    f = facts("simhash64_hamming_dups", spark)
+    assert "CartesianProduct" not in f.text
+    assert "band" in f.text, "candidates must come from the band-bucket equi join"
+
+
+def test_salted_sessions_shuffle_includes_day(spark):
+    # the skew hardening is real only if the day column is part of the
+    # session grouping key (shards a hot user's state across days)
+    f = facts("session_windows_30m_salted", spark)
+    assert "day" in f.text
+    assert "CartesianProduct" not in f.text
