@@ -268,3 +268,55 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 3)
         .orderBy("doc_id", "r")
     )
+
+
+@register(
+    "unigram_logprob_scores",
+    tags=("text", "quality", "langmodel"),
+    doc="Unigram language-model quality scoring (the CCNet/Gopher-"
+    "style perplexity filter tier, extending F11's static gates with "
+    "a corpus-relative signal): per-token log p(token) under the "
+    "corpus's own unigram distribution, averaged per document — "
+    "boilerplate and gibberish score low, modal text scores high. "
+    "Plan shape at 100 TB: the frequency table is one hash aggregate "
+    "on token (map-side partials collapse the Zipf head before the "
+    "shuffle) and is a persisted vocabulary artifact in production; "
+    "the score pass joins tokens back to it — a 1-row-per-key build "
+    "side, so AQE picks broadcast when the vocab fits and the skew "
+    "on hot tokens like 'the' is probe-side only (no bucket blowup). "
+    "avg rounded 4dp per the registry's float-summation convention.",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+          FROM documents
+        ),
+        freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
+        SELECT t.doc_id,
+               count(*) AS n_toks,
+               round(avg(ln(f.cnt::DOUBLE / tot.total)), 4) AS avg_logprob
+        FROM tok t JOIN freq f USING (token), tot
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """,
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    tok = d.select("doc_id", F.explode(toks).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    scored = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("cnt").cast("double") / F.col("total")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -165,6 +165,7 @@ _DRIVER_PRIORITY = (
     "append_log_sink_roundtrip",    # r6: S14 append-mode 2x check
     "simhash64_hamming_dups",       # r6: 64-bit / 4x16-band tier
     "session_windows_30m_salted",   # r6: skew-hardened day-split sessions
+    "unigram_logprob_scores",       # r6: CCNet-style unigram LM quality tier
     # --- changed in round 6 ---
     "incremental_minhash_dedup",    # r6: persisted warm_band_index path
     "simhash_hamming_dups",         # r6: refactored through _simhash_pairs
