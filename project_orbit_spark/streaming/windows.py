@@ -213,9 +213,17 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def session_windows_30m_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    ev = load(spark, sf_dir, "events")
+    return _sessionize_by_day(ev).orderBy("user_id", "session_start")
+
+
+def _sessionize_by_day(ev: DataFrame) -> DataFrame:
+    """Day-salted 30-min sessionization core, shared by the batch query
+    and the streaming face (no ORDER BY — append-mode streams reject
+    sorts; the batch face adds it)."""
     return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id", "day")
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id", "day")
         .agg(
             F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
             F.date_format(F.max("ts"), TS_FMT).alias("last_event"),
@@ -223,8 +231,20 @@ def session_windows_30m_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("session_value"),
         )
         .select("user_id", "session_start", "last_event", "n_events", "session_value")
-        .orderBy("user_id", "session_start")
     )
+
+
+def stream_session_windows(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming face of ``session_windows_30m_salted``: readStream +
+    watermark + merging session_window state. The day salt doubles as
+    the state-retention boundary — a (user, day) shard's state can be
+    dropped once the watermark passes midnight. Run with
+    ``.writeStream.trigger(availableNow=True)`` for the cron-style
+    incremental execution (ST3)."""
+    stream = read_events_stream(spark, sf_dir)
+    return _sessionize_by_day(stream.withWatermark("ts", watermark))
 
 
 @register(

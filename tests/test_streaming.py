@@ -250,3 +250,33 @@ def test_stream_highwater_matches_batch(spark):
     }
     assert got == batch
     assert len(got) > 0
+
+
+@pytest.mark.timeout(240)
+def test_stream_session_windows_matches_batch(spark):
+    from project_orbit_spark.streaming.windows import (
+        session_windows_30m_salted,
+        stream_session_windows,
+    )
+
+    stream_df = stream_session_windows(spark, SF_DIR)
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("sessions_smoke")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("select * from sessions_smoke").collect()
+    )
+    batch = sorted(
+        tuple(r) for r in session_windows_30m_salted(spark, SF_DIR).collect()
+    )
+    assert got == batch
+    assert len(got) > 0
