@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_orbit_spark.catalog import load
+from project_orbit_spark.operators.dedup import _MINHASH_PAIRS_BODY
 from project_orbit_spark.registry import register
 
 # md5-byte stub embedding reproduced in SQL (dims 1-4 of inference.py's
@@ -520,3 +521,112 @@ def risk_report_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "risk_class")
     )
+
+
+@register(
+    "corpus_curation_gold",
+    bench=True,
+    tags=("pipeline", "corpus", "dedup", "quality"),
+    doc="The full training-corpus curation pass composed as ONE plan — "
+    "quality gate → near-dup canonicalization → split assignment, the "
+    "pipeline a 100 TB pretraining corpus runs end-to-end (extends the "
+    "reference's ingest chain §3.1 with the curation stages its "
+    "platform stops short of). Stage order is the scale-critical part: "
+    "the cheap codegen quality gate (doc_quality_scores' exact "
+    "formula) runs FIRST so the expensive MinHash pair stage only "
+    "shingles surviving docs; pairs → connected components → "
+    "cluster-min canonical (operators/graph.py); survivors get the "
+    "deterministic md5-bucket 80/10/10 split (train_val_test_split's "
+    "formula — membership stays a pure function of the row). Every "
+    "doc gets a verdict: dropped_quality | removed_dup | kept, with "
+    "the split only on kept docs. Oracle = the same three stages' "
+    "oracle CTEs chained (quality scored CTE + _MINHASH_PAIRS_BODY + "
+    "recursive closure + bucket CASE).",
+    oracle=f"""
+        WITH RECURSIVE scored AS (
+          SELECT doc_id, lang, text,
+                 0.4 * least(n_chars::DOUBLE / 500.0, 1.0)
+                 + 0.3 * least(
+                     (len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                      t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+                      / nullif(len(string_split_regex(trim(lower(text)), '\\s+')), 0)::DOUBLE)
+                     * 4, 1.0)
+                 + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                          / nullif(length(text), 0)::DOUBLE) AS q
+          FROM documents
+        ),
+        corpus AS (SELECT doc_id, text FROM scored WHERE q >= 0.5),
+        {_MINHASH_PAIRS_BODY},
+        edges AS (
+          SELECT left_id AS src, right_id AS dst FROM pairs
+          UNION
+          SELECT right_id AS src, left_id AS dst FROM pairs
+        ),
+        reach(node, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        labels AS (
+          SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+        ),
+        verdict AS (
+          SELECT s.doc_id, s.lang,
+                 floor(s.q * 10000) / 10000 AS quality,
+                 CASE WHEN s.q < 0.5 THEN 'dropped_quality'
+                      WHEN coalesce(l.cluster_id, s.doc_id) != s.doc_id THEN 'removed_dup'
+                      ELSE 'kept' END AS status
+          FROM scored s LEFT JOIN labels l USING (doc_id)
+        )
+        SELECT doc_id, lang, quality, status,
+               CASE WHEN status = 'kept' THEN
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val'
+                      ELSE 'test' END
+               END AS split
+        FROM (
+          SELECT *,
+                 CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS UBIGINT) AS BIGINT) % 100 AS bucket
+          FROM verdict
+        )
+        ORDER BY doc_id
+    """,
+)
+def corpus_curation_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.functions.textquality import quality_score
+    from project_orbit_spark.operators.corpus import hash_bucket
+    from project_orbit_spark.operators.dedup import minhash_pairs
+    from project_orbit_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", "text", quality_score(F.col("text"), F.col("n_chars")).alias("q")
+    )
+    kept_q = scored.filter(F.col("q") >= 0.5).select("doc_id", "text")
+    pairs = minhash_pairs(kept_q)
+    edges = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    labels = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    canonical = F.coalesce("cluster_id", F.col("doc_id"))
+    verdict = scored.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        (F.floor(F.col("q") * 10000) / 10000).alias("quality"),
+        F.when(F.col("q") < 0.5, "dropped_quality")
+        .when(canonical != F.col("doc_id"), "removed_dup")
+        .otherwise("kept")
+        .alias("status"),
+    )
+    bucket = hash_bucket(F.col("doc_id"))
+    return verdict.select(
+        "doc_id",
+        "lang",
+        "quality",
+        "status",
+        F.when(
+            F.col("status") == "kept",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+        ).alias("split"),
+    ).orderBy("doc_id")

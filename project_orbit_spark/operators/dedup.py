@@ -291,17 +291,13 @@ _DUCK_SIG_ENTRIES = ",\n                 ".join(
     for a, b in MINHASH_PAIRS
 )
 
-# Shared oracle CTE ending in `pairs(left_id, right_id, est_jaccard)`:
-# the MinHash pair query selects from it directly; the cluster query
-# layers a recursive connected-components CTE on top of the same
-# candidate definition, so both stay in lockstep if the family changes.
-_MINHASH_PAIRS_CTE = f"""corpus AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 100000 AS doc_id, text || ' near duplicate suffix tail'
-          FROM documents WHERE doc_id % 9 = 0
-        ),
-        shingled AS (
+# Corpus-parameterized oracle CTE body: expects a preceding
+# `corpus(doc_id, text)` CTE and ends in
+# `pairs(left_id, right_id, est_jaccard)`. The MinHash pair query, the
+# cluster query, and the curation pipeline each prepend their own
+# corpus definition, so every consumer stays in lockstep if the hash
+# family changes.
+_MINHASH_PAIRS_BODY = f"""shingled AS (
           SELECT doc_id,
                  list_distinct([
                    array_to_string(t[i:i+2], ' ')
@@ -343,6 +339,15 @@ _MINHASH_PAIRS_CTE = f"""corpus AS (
           )
           WHERE est_jaccard >= 0.5
         )"""
+
+# The dup-injected corpus variant the standalone dedup queries share.
+_MINHASH_PAIRS_CTE = f"""corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text || ' near duplicate suffix tail'
+          FROM documents WHERE doc_id % 9 = 0
+        ),
+        {_MINHASH_PAIRS_BODY}"""
 
 
 def _banded_signatures(corpus: DataFrame) -> DataFrame:
@@ -407,7 +412,15 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat("text", F.lit(" near duplicate suffix tail")).alias("text"),
         )
     )
-    corpus = d.unionByName(near)
+    return minhash_pairs(d.unionByName(near)).orderBy("left_id", "right_id")
+
+
+def minhash_pairs(corpus: DataFrame) -> DataFrame:
+    """(doc_id, text) → near-dup pairs (left_id, right_id,
+    est_jaccard ≥ 0.5) via the banded MinHash family — the reusable
+    pair stage the standalone query, the cluster pipeline, and the
+    curation pipeline all share (mirrors the oracle's
+    _MINHASH_PAIRS_BODY)."""
     # barrier rationale (72s → 8s CollapseProject fix): _banded_signatures
     banded = _banded_signatures(corpus)
 
@@ -434,15 +447,11 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda s, v: s + v,
     )
-    return (
-        cand.select(
-            "left_id",
-            "right_id",
-            F.round(matches.cast("double") / 12.0, 4).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= 0.5)
-        .orderBy("left_id", "right_id")
-    )
+    return cand.select(
+        "left_id",
+        "right_id",
+        F.round(matches.cast("double") / 12.0, 4).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= 0.5)
 
 
 _BAND_INDEX_CACHE: dict[tuple[str, str], DataFrame] = register_df_cache({})
