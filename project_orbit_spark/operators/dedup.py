@@ -621,19 +621,10 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(near)
 
 
-def _simhash_pairs(corpus: DataFrame, *, n_words: int, band_bits: int) -> DataFrame:
-    """(doc_id, lang, text) → (left_id, right_id, hamming ≤ 3) simhash
-    near-dup pairs at width ``32 * n_words`` bits with ``band_bits``-bit
-    pigeonhole bands. The 64-bit hash is represented as n_words 32-bit
-    WORDS (md5 hex slices) because the vote arithmetic runs in float64,
-    which holds 32-bit ints exactly but not 64-bit ones — the word
-    split keeps the derivation portable (DuckDB mirrors the same hex
-    slices). Banding stays lossless for hamming ≤ 3 as long as there
-    are ≥ 4 bands: 3 differing bits touch ≤ 3 bands, so every
-    qualifying pair shares ≥ 1 exact band."""
-    n_bits = 32 * n_words
-    n_bands = n_bits // band_bits
-    assert n_bands >= 4, "pigeonhole needs >= 4 bands for hamming <= 3"
+def simhash_bits(corpus: DataFrame, *, n_words: int) -> DataFrame:
+    """(doc_id, lang, text) → (doc_id, lang, bits array<int> of length
+    32·n_words): the simhash fingerprint derivation shared by the pair
+    builder and the banding-losslessness property test."""
     toks = F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
     # per-token 32-bit word hashes (md5 hex slices → decimal) computed
     # ONCE; the repartition is a CollapseProject barrier — without it
@@ -678,7 +669,23 @@ def _simhash_pairs(corpus: DataFrame, *, n_words: int, band_bits: int) -> DataFr
     bits = word_votes("th0") if n_words == 1 else F.concat(
         *[word_votes(f"th{w}") for w in range(n_words)]
     )
-    sh = hashed.select("doc_id", "lang", bits.alias("bits"))
+    return hashed.select("doc_id", "lang", bits.alias("bits"))
+
+
+def _simhash_pairs(corpus: DataFrame, *, n_words: int, band_bits: int) -> DataFrame:
+    """(doc_id, lang, text) → (left_id, right_id, hamming ≤ 3) simhash
+    near-dup pairs at width ``32 * n_words`` bits with ``band_bits``-bit
+    pigeonhole bands. The 64-bit hash is represented as n_words 32-bit
+    WORDS (md5 hex slices) because the vote arithmetic runs in float64,
+    which holds 32-bit ints exactly but not 64-bit ones — the word
+    split keeps the derivation portable (DuckDB mirrors the same hex
+    slices). Banding stays lossless for hamming ≤ 3 as long as there
+    are ≥ 4 bands: 3 differing bits touch ≤ 3 bands, so every
+    qualifying pair shares ≥ 1 exact band."""
+    n_bits = 32 * n_words
+    n_bands = n_bits // band_bits
+    assert n_bands >= 4, "pigeonhole needs >= 4 bands for hamming <= 3"
+    sh = simhash_bits(corpus, n_words=n_words)
     # pigeonhole banding: band value packed to an int (≤ 16 bits fits)
     band_keys = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),

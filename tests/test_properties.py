@@ -307,3 +307,43 @@ def test_simhash_pigeonhole_banding_is_lossless(fingerprint, flip_bits):
     bands_a = [(fingerprint >> (8 * i)) & 0xFF for i in range(4)]
     bands_b = [(other >> (8 * i)) & 0xFF for i in range(4)]
     assert any(x == y for x, y in zip(bands_a, bands_b))
+
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.text(alphabet="abcdefg ", min_size=5, max_size=60),
+        min_size=4,
+        max_size=16,
+    )
+)
+def test_simhash_banding_is_lossless_both_tiers(spark, texts):
+    # the pigeonhole claim: for hamming <= 3 with >= 4 bands, the
+    # banded candidate join finds EXACTLY the pairs a brute-force
+    # all-pairs comparison of the fingerprints finds — on arbitrary
+    # corpora, for both the 32-bit and 64-bit tiers
+    from project_orbit_spark.operators.dedup import _simhash_pairs, simhash_bits
+
+    rows = [(i, "xx", t) for i, t in enumerate(texts) if t.strip()]
+    if len(rows) < 2:
+        return
+    corpus = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    for n_words, band_bits in ((1, 8), (2, 16)):
+        bits = {
+            r["doc_id"]: r["bits"]
+            for r in simhash_bits(corpus, n_words=n_words).collect()
+        }
+        brute = set()
+        ids = sorted(bits)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                ham = sum(x != y for x, y in zip(bits[a], bits[b]))
+                if ham <= 3:
+                    brute.add((a, b, ham))
+        banded = {
+            (r["left_id"], r["right_id"], r["hamming"])
+            for r in _simhash_pairs(
+                corpus, n_words=n_words, band_bits=band_bits
+            ).collect()
+        }
+        assert banded == brute
