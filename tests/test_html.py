@@ -232,3 +232,52 @@ class TestTemplateEscaping:
         text = "5 < 7 & 7 > 5 &copy; twice"
         row = run(make_article_extractor(), _article_page(2, text)).iloc[0]
         assert row["word_count"] == len(text.split())
+
+
+class TestTagSoupFuzz:
+    """Hypothesis tag-soup fuzz: every extractor in the family must
+    TOTAL-FUNCTION over arbitrary interleavings of broken markup —
+    never raise, always one output row per input row with the full
+    schema — because at 100 TB a parser that throws on one page kills
+    a 10^5-row Arrow batch with it (the reference leans on
+    BeautifulSoup's tolerance, src/scraper_v2.py:120-466; the stdlib
+    state machines must earn the same property)."""
+
+    def _soup(self, draw_bits: list[str]) -> str:
+        return "".join(draw_bits)
+
+    def test_extractors_never_raise_on_tag_soup(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from project_orbit_spark.functions.html_extract import (
+            make_html_extractor,
+        )
+
+        frag = st.sampled_from(
+            [
+                "<div>", "</div>", "<p>", "</p>", "<a href='x'>", "</a>",
+                "<A HREF=x>", "<title>", "</title>", "<meta name=description>",
+                "<meta name='description' content='d'>", "<h1>", "</h2>",
+                "<table>", "<tr><td>", "</table>", "<script type=application/ld+json>",
+                "{not json", "</script>", "text ", "&amp;", "&bogus;", "<",
+                ">", "<!---->", "<!--", "<![CDATA[x]]>", "<br/>", "<img src>",
+            ]
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.lists(frag, min_size=0, max_size=40))
+        def check(bits):
+            html = self._soup(bits)
+            # per-page extractors: exactly one row out per row in
+            for maker in (
+                make_html_extractor,
+                make_meta_extractor,
+                make_article_extractor,
+            ):
+                assert len(run(maker(), html)) == 1
+            # the job extractor FANS OUT (one page -> many jobs): zero
+            # rows on job-free soup is correct; must still not raise
+            run_all(make_job_extractor(), [html])
+
+        check()
