@@ -53,6 +53,37 @@ def parse_money(s: Column) -> Column:
     return num * mult
 
 
+def parse_money_loose(s: Column) -> Column:
+    """C2 money parser, the reference's FULL normalization ladder
+    (src/scraper_v2.py:2835-2864) as pure codegen expressions:
+    lowercase → strip leading qualifier words (about/around/…/almost)
+    → remove us$/usd/~/$/commas → multiplier by CONTAINMENT in the
+    reference's precedence order (billion|bn ≫ million|mn|m ≫
+    thousand|k — containment, not word match, mirroring the Python
+    `token in normalized` checks) → strip multiplier tokens → cast.
+    Non-numeric residue yields NULL (the reference returns None).
+    Subset note: the residue gate accepts plain decimals only — the
+    reference's float() would also take exponent forms, which never
+    occur in money phrases."""
+    norm = F.trim(F.lower(s))
+    norm = F.regexp_replace(
+        norm, r"^(about|around|approximately|nearly|over|more than|up to|almost)\s+", ""
+    )
+    norm = F.trim(F.regexp_replace(norm, r"us\$|usd|[~$,]", ""))
+    mult = (
+        F.when(norm.contains("billion") | norm.contains("bn"), F.lit(1e9))
+        .when(
+            norm.contains("million") | norm.contains("mn") | norm.contains("m"),
+            F.lit(1e6),
+        )
+        .when(norm.contains("thousand") | norm.contains("k"), F.lit(1e3))
+        .otherwise(F.lit(1.0))
+    )
+    num = F.trim(F.regexp_replace(norm, r"(billion|million|thousand|bn|mn|m|k)", ""))
+    value = F.when(num.rlike(r"^[0-9]+(\.[0-9]+)?$"), num.cast("double"))
+    return value * mult
+
+
 def slugify(s: Column, max_len: int = 30) -> Column:
     """C13 slug/id generation (ref
     src/structured_extraction_v2.py:3004-3008):
@@ -269,6 +300,81 @@ def money_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "money_str",
         F.round(parse_money(F.col("money_str")), 2).alias("parsed_usd"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "money_phrase_parsing",
+    tags=("text", "regex"),
+    doc="C2 money parser over reference-style PHRASES (ref "
+    "src/scraper_v2.py:2835-2864 full ladder, vs money_roundtrip's "
+    "suffix grammar): qualifier words, ~, usd prefixes, and word/"
+    "abbreviation multipliers (million/bn/thousand/m) templated "
+    "deterministically from orders, parsed by parse_money_loose; the "
+    "oracle reproduces the same normalization in SQL, so precedence "
+    "or stripping drift breaks the hash.",
+    oracle="""
+        WITH phrased AS (
+          SELECT o_orderkey,
+                 CASE o_orderkey % 5
+                   WHEN 0 THEN 'about $' || amt || ' million'
+                   WHEN 1 THEN '~$' || amt || 'bn'
+                   WHEN 2 THEN 'USD ' || amt || ' thousand'
+                   WHEN 3 THEN 'up to $' || amt || 'M'
+                   ELSE '$' || amt
+                 END AS phrase
+          FROM (
+            SELECT o_orderkey,
+                   CAST(CAST(floor(o_totalprice) AS BIGINT) % 900 + 1 AS VARCHAR)
+                     || '.' || CAST(CAST(floor(o_totalprice) AS BIGINT) % 10 AS VARCHAR)
+                     AS amt
+            FROM orders WHERE o_orderkey % 97 = 0
+          )
+        ),
+        normed AS (
+          SELECT o_orderkey, phrase,
+                 trim(regexp_replace(
+                   regexp_replace(trim(lower(phrase)),
+                     '^(about|around|approximately|nearly|over|more than|up to|almost)\\s+', ''),
+                   'us\\$|usd|[~$,]', '', 'g')) AS norm
+          FROM phrased
+        )
+        SELECT o_orderkey, phrase,
+               round(
+                 CASE WHEN regexp_matches(num, '^[0-9]+(\\.[0-9]+)?$')
+                      THEN CAST(num AS DOUBLE) END * mult, 2) AS parsed_usd
+        FROM (
+          SELECT o_orderkey, phrase,
+                 CASE WHEN norm LIKE '%billion%' OR norm LIKE '%bn%' THEN 1e9
+                      WHEN norm LIKE '%million%' OR norm LIKE '%mn%'
+                           OR norm LIKE '%m%' THEN 1e6
+                      WHEN norm LIKE '%thousand%' OR norm LIKE '%k%' THEN 1e3
+                      ELSE 1.0 END AS mult,
+                 trim(regexp_replace(norm,
+                   '(billion|million|thousand|bn|mn|m|k)', '', 'g')) AS num
+          FROM normed
+        )
+        ORDER BY o_orderkey
+    """,
+)
+def money_phrase_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    whole = F.floor("o_totalprice").cast("long")
+    amt = F.concat(
+        (whole % 900 + 1).cast("string"), F.lit("."), (whole % 10).cast("string")
+    )
+    phrase = (
+        F.when(F.col("o_orderkey") % 5 == 0, F.concat(F.lit("about $"), amt, F.lit(" million")))
+        .when(F.col("o_orderkey") % 5 == 1, F.concat(F.lit("~$"), amt, F.lit("bn")))
+        .when(F.col("o_orderkey") % 5 == 2, F.concat(F.lit("USD "), amt, F.lit(" thousand")))
+        .when(F.col("o_orderkey") % 5 == 3, F.concat(F.lit("up to $"), amt, F.lit("M")))
+        .otherwise(F.concat(F.lit("$"), amt))
+    )
+    labeled = o.select("o_orderkey", phrase.alias("phrase"))
+    return labeled.select(
+        "o_orderkey",
+        "phrase",
+        F.round(parse_money_loose(F.col("phrase")), 2).alias("parsed_usd"),
     ).orderBy("o_orderkey")
 
 

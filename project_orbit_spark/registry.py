@@ -167,6 +167,7 @@ _DRIVER_PRIORITY = (
     "session_windows_30m_salted",   # r6: skew-hardened day-split sessions
     "unigram_logprob_scores",       # r6: CCNet-style unigram LM quality tier
     "corpus_curation_gold",         # r6: composed quality->dedup->split pass
+    "money_phrase_parsing",         # r6: reference full money-ladder grammar
     "minhash_lsh_near_dups",        # r6: refactored through minhash_pairs
     # --- changed in round 6 ---
     "incremental_minhash_dedup",    # r6: persisted warm_band_index path

@@ -64,9 +64,25 @@ QUERIES = (
     "pack_sequences_budget",    # sharded sequence packing
     "benchmark_contamination",  # broadcast 8-gram contamination scan
     "corpus_shuffle_shards",    # deterministic training shuffle
+    # relational star-schema facts (customer/orders/lineitem replicated
+    # with consistent keys; dims stay base-size and broadcast)
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q18_large_order_customers",
+    "payload_assembly_nested",
+    "rolling_30d_revenue",
+    "order_value_percentiles",
 )
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3")))
+
+
+_SYNTH_TABLES = ("documents", "embeddings", "events", "customer", "orders", "lineitem")
+# dims stay at base size (broadcast sides are bounded by business
+# reality, not data growth — the realistic 100 TB shape)
+_PASSTHROUGH_TABLES = ("region", "nation", "supplier", "part")
 
 
 def synthesize(spark, sf_dir: str, out_dir: Path, k: int) -> None:
@@ -74,9 +90,9 @@ def synthesize(spark, sf_dir: str, out_dir: Path, k: int) -> None:
     # sf_dir) — existence alone would silently time a stale corpus
     # while labeling the ratios with the new K.
     manifest = out_dir / "manifest.json"
-    want = {"k": k, "sf_dir": str(sf_dir)}
+    want = {"k": k, "sf_dir": str(sf_dir), "tables": list(_SYNTH_TABLES)}
     if (
-        all((out_dir / f"{t}.parquet").exists() for t in ("documents", "embeddings", "events"))
+        all((out_dir / f"{t}.parquet").exists() for t in _SYNTH_TABLES)
         and manifest.exists()
         and json.loads(manifest.read_text()) == want
     ):
@@ -138,6 +154,52 @@ def synthesize(spark, sf_dir: str, out_dir: Path, k: int) -> None:
     for r in ev_reps[1:]:
         u = u.unionByName(r)
     u.write.mode("overwrite").parquet(str(out_dir / "events.parquet"))
+
+    # Relational star-schema facts: replicate customer/orders/lineitem
+    # with CONSISTENT id offsets per replica (each replica's orders
+    # point at its own customers, lineitems at its own orders), dim
+    # keys (nation/supplier/part) untouched — so the join topology
+    # replicates instead of densifying, and broadcast dims stay
+    # base-size, the realistic 100 TB shape.
+    cust = load(spark, sf_dir, "customer")
+    n_cust = cust.agg(F.max("c_custkey")).first()[0] + 1
+    u = None
+    for i in range(k):
+        r = cust.select(
+            (F.col("c_custkey") + i * n_cust).alias("c_custkey"),
+            "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        )
+        u = r if u is None else u.unionByName(r)
+    u.write.mode("overwrite").parquet(str(out_dir / "customer.parquet"))
+
+    orders = load(spark, sf_dir, "orders")
+    n_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    u = None
+    for i in range(k):
+        r = orders.select(
+            (F.col("o_orderkey") + i * n_ord).alias("o_orderkey"),
+            (F.col("o_custkey") + i * n_cust).alias("o_custkey"),
+            "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+        )
+        u = r if u is None else u.unionByName(r)
+    u.write.mode("overwrite").parquet(str(out_dir / "orders.parquet"))
+
+    li = load(spark, sf_dir, "lineitem")
+    u = None
+    for i in range(k):
+        r = li.select(
+            (F.col("l_orderkey") + i * n_ord).alias("l_orderkey"),
+            "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate",
+        )
+        u = r if u is None else u.unionByName(r)
+    u.write.mode("overwrite").parquet(str(out_dir / "lineitem.parquet"))
+
+    for t in _PASSTHROUGH_TABLES:
+        load(spark, sf_dir, t).write.mode("overwrite").parquet(
+            str(out_dir / f"{t}.parquet")
+        )
     manifest.write_text(json.dumps(want))
 
 
