@@ -168,6 +168,7 @@ _DRIVER_PRIORITY = (
     "unigram_logprob_scores",       # r6: CCNet-style unigram LM quality tier
     "corpus_curation_gold",         # r6: composed quality->dedup->split pass
     "money_phrase_parsing",         # r6: reference full money-ladder grammar
+    "image_header_probe",           # r6: real PNG/JPEG byte-level dim sniffing
     "minhash_lsh_near_dups",        # r6: refactored through minhash_pairs
     # --- changed in round 6 ---
     "incremental_minhash_dedup",    # r6: persisted warm_band_index path
