@@ -957,3 +957,162 @@ def html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "block_id")
     )
+
+
+CLASS_JOBS_SCHEMA = "doc_id long, job_id string, title string, location string"
+
+
+def make_class_pattern_job_extractor():
+    """The reference's third job-extraction tier (BambooHR/Workable/
+    iCIMS markup, src/ats_extractor.py:663-666): job ELEMENTS —
+    div/li/tr whose class matches job|position|opening|listing
+    (case-insensitive) or carrying a data-job-id attribute — with the
+    title from the first heading inside the element and the location
+    from a class~location child. Complements the table tier (header-
+    sniffed) and the link tier (/job/ hrefs) in make_job_extractor.
+    Closure-built so it pickles by value."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
+        import pandas as _pd
+        from html.parser import HTMLParser
+
+        job_class = _re.compile(r"job|position|opening|listing", _re.I)
+        loc_class = _re.compile(r"location", _re.I)
+
+        class ClassJobParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.jobs: list[dict] = []
+                self._depth = 0          # tag depth inside the open job element
+                self._tag: str | None = None
+                self._job: dict | None = None
+                self._title: list[str] | None = None
+                self._loc: list[str] | None = None
+
+            def handle_starttag(self, tag, attrs):
+                a = dict(attrs)
+                if self._job is None:
+                    if tag in ("div", "li", "tr") and (
+                        job_class.search(a.get("class", "")) or "data-job-id" in a
+                    ):
+                        self._job = {
+                            "job_id": a.get("data-job-id"),
+                            "title": None,
+                            "location": None,
+                        }
+                        self._tag = tag
+                        self._depth = 0
+                    return
+                self._depth += 1
+                if tag in ("h1", "h2", "h3", "h4") and self._job["title"] is None:
+                    self._title = []
+                elif loc_class.search(a.get("class", "")) and self._job["location"] is None:
+                    self._loc = []
+
+            def handle_endtag(self, tag):
+                if self._job is None:
+                    return
+                if self._title is not None and tag in ("h1", "h2", "h3", "h4"):
+                    self._job["title"] = "".join(self._title).strip()
+                    self._title = None
+                elif self._loc is not None:
+                    self._job["location"] = "".join(self._loc).strip()
+                    self._loc = None
+                if self._depth == 0 and tag == self._tag:
+                    if self._job["title"]:  # an element with no heading is not a job
+                        self.jobs.append(self._job)
+                    self._job = None
+                else:
+                    self._depth = max(0, self._depth - 1)
+
+            def handle_data(self, data):
+                if self._title is not None:
+                    self._title.append(data)
+                elif self._loc is not None:
+                    self._loc.append(data)
+
+        for pdf in batches:
+            out = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                p = ClassJobParser()
+                p.feed(html)
+                for j in p.jobs:
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "job_id": j["job_id"],
+                            "title": j["title"],
+                            "location": j["location"],
+                        }
+                    )
+            yield (
+                _pd.DataFrame(out)
+                if out
+                else _pd.DataFrame(
+                    {"doc_id": _pd.Series(dtype="int64"),
+                     "job_id": _pd.Series(dtype="object"),
+                     "title": _pd.Series(dtype="object"),
+                     "location": _pd.Series(dtype="object")}
+                )
+            )
+
+    return extract
+
+
+@register(
+    "html_class_pattern_jobs",
+    tags=("html", "source", "pandas_udf"),
+    doc="S5/C18 class-pattern job tier (ref src/ats_extractor.py:"
+    "663-666: find_all class_=re.compile('job|position|opening|"
+    "listing') + data-job-id elements): listing pages templated from "
+    "documents with three element variants (matching class + id, "
+    "matching class only, NON-matching class rescued by data-job-id) "
+    "plus a nav-item decoy that must NOT extract; the stdlib parser "
+    "walks elements statefully and the oracle re-derives the planted "
+    "fields from doc_id arithmetic.",
+    oracle="""
+        SELECT d.doc_id,
+               CASE WHEN j0 % 4 = 1 THEN NULL
+                    ELSE 'J' || d.doc_id || '-' || j0 END AS job_id,
+               'Role ' || d.doc_id || '-' || j0 AS title,
+               'City ' || (d.doc_id + j0) % 50 AS location
+        FROM documents d, UNNEST(range(0, d.doc_id % 3 + 1)) AS t(j0)
+        ORDER BY doc_id, title
+    """,
+)
+def html_class_pattern_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    inner = make_class_pattern_job_extractor()
+
+    def template_then_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def listing_page(doc_id: int) -> str:
+            blocks = ['<div class="nav-item"><h3>Decoy</h3></div>']
+            for j0 in range(doc_id % 3 + 1):
+                cls, with_id = [
+                    ("job-listing", True),   # matching class + id
+                    ("position-card", False),  # matching class only
+                    ("row", True),           # rescued by data-job-id
+                    ("opening-row", True),
+                ][j0 % 4]
+                idattr = f' data-job-id="J{doc_id}-{j0}"' if with_id else ""
+                blocks.append(
+                    f'<li class="{cls}"{idattr}><h3>Role {doc_id}-{j0}</h3>'
+                    f'<span class="location">City {(doc_id + j0) % 50}</span></li>'
+                )
+            return "<html><body><ul>" + "".join(blocks) + "</ul></body></html>"
+
+        def paged():
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "html": pdf["doc_id"].map(listing_page)}
+                )
+
+        yield from inner(paged())
+
+    return d.mapInPandas(template_then_parse, CLASS_JOBS_SCHEMA).orderBy(
+        "doc_id", "title"
+    )

@@ -169,6 +169,7 @@ _DRIVER_PRIORITY = (
     "corpus_curation_gold",         # r6: composed quality->dedup->split pass
     "money_phrase_parsing",         # r6: reference full money-ladder grammar
     "image_header_probe",           # r6: real PNG/JPEG byte-level dim sniffing
+    "html_class_pattern_jobs",      # r6: class-pattern job-element tier
     "minhash_lsh_near_dups",        # r6: refactored through minhash_pairs
     # --- changed in round 6 ---
     "incremental_minhash_dedup",    # r6: persisted warm_band_index path

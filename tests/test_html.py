@@ -276,8 +276,13 @@ class TestTagSoupFuzz:
                 make_article_extractor,
             ):
                 assert len(run(maker(), html)) == 1
-            # the job extractor FANS OUT (one page -> many jobs): zero
+            # the job extractors FAN OUT (one page -> many jobs): zero
             # rows on job-free soup is correct; must still not raise
+            from project_orbit_spark.functions.html_extract import (
+                make_class_pattern_job_extractor,
+            )
+
             run_all(make_job_extractor(), [html])
+            run_all(make_class_pattern_job_extractor(), [html])
 
         check()
