@@ -103,6 +103,13 @@ def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+    return _sliding_counts(ev).orderBy("window_start", "event_type")
+
+
+def _sliding_counts(ev: DataFrame) -> DataFrame:
+    """1h × 30min sliding-window core shared by the batch query and the
+    streaming face (ORDER BY stays out — append-mode streams reject
+    sorts; the batch face adds it)."""
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
@@ -115,8 +122,19 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("window_start", "event_type")
     )
+
+
+def stream_sliding_counts(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming face of ``sliding_window_counts``: readStream +
+    watermark; each event updates two overlapping windows, and state
+    per (window, type) is dropped once the watermark passes the
+    window end. Run with ``.trigger(availableNow=True)`` for the
+    cron-style incremental execution (ST3)."""
+    stream = read_events_stream(spark, sf_dir)
+    return _sliding_counts(stream.withWatermark("ts", watermark))
 
 
 @register(

@@ -280,3 +280,29 @@ def test_stream_session_windows_matches_batch(spark):
     )
     assert got == batch
     assert len(got) > 0
+
+
+@pytest.mark.timeout(240)
+def test_stream_sliding_counts_matches_batch(spark):
+    from project_orbit_spark.streaming.windows import (
+        sliding_window_counts,
+        stream_sliding_counts,
+    )
+
+    stream_df = stream_sliding_counts(spark, SF_DIR)
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("sliding_smoke")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.sql("select * from sliding_smoke").collect())
+    batch = sorted(tuple(r) for r in sliding_window_counts(spark, SF_DIR).collect())
+    assert got == batch
+    assert len(got) > 0
