@@ -972,3 +972,96 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
         F.when(F.col("doc_id") == canonical, "kept").otherwise("removed").alias("status"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_quality_canonical",
+    tags=("dedup", "quality", "graph", "pipeline"),
+    doc="Quality-aware canonical selection: within each near-dup "
+    "cluster keep the HIGHEST-quality member (4dp-quantized "
+    "doc_quality score, doc_id tie-break), not the lowest id — the "
+    "curation semantics a real corpus wants, since the 'copy' worth "
+    "keeping is the cleanest one, not the first-crawled one. Ranking "
+    "uses the quantized score so cross-engine float ulps can't flip "
+    "ranks. Same injected corpus and cluster machinery as "
+    "dedup_canonical_corpus (minhash_pairs → connected components); "
+    "only the representative rule differs.",
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+        edges AS (
+          SELECT left_id AS src, right_id AS dst FROM pairs
+          UNION
+          SELECT right_id AS src, left_id AS dst FROM pairs
+        ),
+        reach(node, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        labels AS (
+          SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+        ),
+        scored AS (
+          SELECT doc_id,
+                 floor((
+                   0.4 * least(length(text)::DOUBLE / 500.0, 1.0)
+                   + 0.3 * least(
+                       (len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                        t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+                        / nullif(len(string_split_regex(trim(lower(text)), '\\s+')), 0)::DOUBLE)
+                       * 4, 1.0)
+                   + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                            / nullif(length(text), 0)::DOUBLE)) * 10000) / 10000 AS quality
+          FROM corpus
+        ),
+        ranked AS (
+          SELECT s.doc_id,
+                 coalesce(l.cluster_id, s.doc_id) AS cluster_id,
+                 s.quality,
+                 row_number() OVER (
+                   PARTITION BY coalesce(l.cluster_id, s.doc_id)
+                   ORDER BY s.quality DESC, s.doc_id) AS rk
+          FROM scored s LEFT JOIN labels l USING (doc_id)
+        )
+        SELECT doc_id, cluster_id, quality,
+               CASE WHEN rk = 1 THEN 'kept' ELSE 'removed' END AS status
+        FROM ranked
+        ORDER BY doc_id
+    """,
+)
+def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.functions.textquality import quality_score
+    from project_orbit_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" near duplicate suffix tail")).alias("text"),
+    )
+    corpus = d.unionByName(near)
+    # n_chars == length(text) on the fixture (checked), and the
+    # injected rows have no stored n_chars — derive it uniformly
+    scored = corpus.select(
+        "doc_id",
+        (
+            F.floor(quality_score(F.col("text"), F.length("text")) * 10000) / 10000
+        ).alias("quality"),
+    )
+    pairs = minhash_pairs(corpus)
+    edges = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    labels = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.join(F.broadcast(labels), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            F.when(F.col("rk") == 1, "kept").otherwise("removed").alias("status"),
+        )
+        .orderBy("doc_id")
+    )

@@ -170,6 +170,7 @@ _DRIVER_PRIORITY = (
     "money_phrase_parsing",         # r6: reference full money-ladder grammar
     "image_header_probe",           # r6: real PNG/JPEG byte-level dim sniffing
     "html_class_pattern_jobs",      # r6: class-pattern job-element tier
+    "dedup_quality_canonical",      # r6: best-member canonical rule
     "minhash_lsh_near_dups",        # r6: refactored through minhash_pairs
     # --- changed in round 6 ---
     "incremental_minhash_dedup",    # r6: persisted warm_band_index path
