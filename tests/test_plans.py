@@ -234,3 +234,34 @@ def test_salted_sessions_shuffle_includes_day(spark):
     f = facts("session_windows_30m_salted", spark)
     assert "day" in f.text
     assert "CartesianProduct" not in f.text
+
+
+def test_curation_gold_is_gated_before_pairs(spark):
+    # the quality filter must sit below the shingle/hash derivation so
+    # the expensive pair stage only sees surviving docs; and the
+    # cluster join-back must broadcast
+    f = facts("corpus_curation_gold", spark)
+    assert "CartesianProduct" not in f.text
+    assert f.n_broadcast_joins >= 1, "cluster labels must broadcast onto the spine"
+
+
+def test_quality_canonical_no_cartesian(spark):
+    f = facts("dedup_quality_canonical", spark)
+    assert "CartesianProduct" not in f.text
+    assert f.n_broadcast_joins >= 1
+
+
+def test_unigram_scores_stats_broadcast(spark):
+    # the 1-row total must broadcast; the token->freq join may be
+    # broadcast or shuffle (AQE decides by vocab size) but never cartesian
+    f = facts("unigram_logprob_scores", spark)
+    assert "CartesianProduct" not in f.text.replace("BroadcastNestedLoopJoin", "")
+    assert f.partial_agg
+
+
+def test_image_header_probe_is_map_only(spark):
+    # byte sniffing is a scan -> mapInPandas -> sort; no joins at all
+    f = facts("image_header_probe", spark)
+    assert f.n_broadcast_joins == 0
+    assert f.n_sortmerge_joins == 0
+    assert "CartesianProduct" not in f.text
