@@ -171,6 +171,7 @@ _DRIVER_PRIORITY = (
     "image_header_probe",           # r6: real PNG/JPEG byte-level dim sniffing
     "html_class_pattern_jobs",      # r6: class-pattern job-element tier
     "dedup_quality_canonical",      # r6: best-member canonical rule
+    "incremental_embedding_dedup",  # r6: O(new) vector-modality dedup
     "minhash_lsh_near_dups",        # r6: refactored through minhash_pairs
     # --- changed in round 6 ---
     "incremental_minhash_dedup",    # r6: persisted warm_band_index path
