@@ -458,68 +458,3 @@ def label_centroids_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("label", "dim")
     )
 
-
-_EMB_INDEX_CACHE: dict[tuple[str, str], DataFrame] = register_df_cache({})
-
-
-def warm_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The existing corpus's (vec_id, label, emb) vectors, persisted
-    once per (session, sf_dir) — at 100 TB this is the stored,
-    cluster-bucketed vector index the offline job maintains, not
-    something each incoming batch re-reads and re-plans. Mirrors
-    dedup.warm_band_index / warm_centroids; released via
-    session.clear_df_caches()."""
-    key = (cache_token(spark), sf_dir)
-    if key not in _EMB_INDEX_CACHE:
-        e = _emb(spark, sf_dir).select("vec_id", "label", "emb").persist()
-        e.count()
-        _EMB_INDEX_CACHE[key] = e
-    return _EMB_INDEX_CACHE[key]
-
-
-@register(
-    "incremental_embedding_dedup",
-    tags=("similarity", "dedup", "incremental"),
-    doc="Incremental embedding near-dup check — the O(new) daily-batch "
-    "contract of incremental_minhash_dedup generalized to the vector "
-    "modality: an incoming batch (every-25th vector cloned at "
-    "vec_id+10000) joins the EXISTING corpus's persisted vector index "
-    "only, blocked by cluster label (new×index within blocks, never "
-    "index×index, never global N²). The batch side broadcasts; the "
-    "prepare hook warms the index outside the bench timer.",
-    oracle=f"""
-        WITH {_DUCK_EMB},
-        new_batch AS (
-          SELECT vec_id + 10000 AS new_id, label, emb
-          FROM emb WHERE vec_id % 25 = 0
-        )
-        SELECT n.new_id, e.vec_id AS match_id,
-               round(list_cosine_similarity(n.emb, e.emb), 6) AS score
-        FROM new_batch n
-        JOIN emb e ON e.label = n.label
-        WHERE round(list_cosine_similarity(n.emb, e.emb), 6) >= 0.999
-        ORDER BY new_id, match_id
-    """,
-    prepare=lambda spark, sf_dir: warm_embedding_index(spark, sf_dir) and None,
-)
-def incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    new_b = (
-        _emb(spark, sf_dir)
-        .filter(F.col("vec_id") % 25 == 0)
-        .select(
-            (F.col("vec_id") + 10000).alias("new_id"),
-            "label",
-            F.col("emb").alias("ne"),
-        )
-    )
-    idx = warm_embedding_index(spark, sf_dir).select(
-        F.col("vec_id").alias("match_id"), "label", F.col("emb").alias("ie")
-    )
-    score = F.round(cosine(F.col("ne"), F.col("ie")), 6)
-    return (
-        F.broadcast(new_b)
-        .join(idx, "label")
-        .select("new_id", "match_id", score.alias("score"))
-        .filter(F.col("score") >= 0.999)
-        .orderBy("new_id", "match_id")
-    )

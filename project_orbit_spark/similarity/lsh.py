@@ -31,7 +31,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_orbit_spark.registry import register
-from project_orbit_spark.similarity.cosine import as_double, cosine
+from project_orbit_spark.session import cache_token, register_df_cache
+from project_orbit_spark.similarity.cosine import _emb, as_double, cosine
 
 N_PLANES = 3
 
@@ -234,4 +235,97 @@ def lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("qid", "cid", "n_hits", F.round("score", 6).alias("score"), "rank")
         .orderBy("qid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental vector dedup — O(new) batch vs persisted, LSH-sub-blocked index
+
+_EMB_INDEX_CACHE: dict[tuple[str, str], DataFrame] = register_df_cache({})
+
+
+def warm_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The existing corpus's (vec_id, label, bucket, emb) vectors with
+    their precomputed 4-plane LSH sub-bucket, persisted once per
+    (session, sf_dir) — at 100 TB this is the stored, bucketed vector
+    index the offline job maintains (bucketing computed at INDEX time,
+    not per incoming batch). Mirrors dedup.warm_band_index /
+    cosine.warm_centroids; released via session.clear_df_caches()."""
+    key = (cache_token(spark), sf_dir)
+    if key not in _EMB_INDEX_CACHE:
+        e = (
+            _emb(spark, sf_dir)
+            .select("vec_id", "label", lsh_bucket(F.col("emb"), 4).alias("bucket"), "emb")
+            .persist()
+        )
+        e.count()
+        _EMB_INDEX_CACHE[key] = e
+    return _EMB_INDEX_CACHE[key]
+
+
+@register(
+    "incremental_embedding_dedup",
+    tags=("similarity", "dedup", "incremental", "lsh"),
+    doc="Incremental embedding near-dup check — the O(new) daily-batch "
+    "contract of incremental_minhash_dedup generalized to the vector "
+    "modality: an incoming batch (every-25th vector cloned at "
+    "vec_id+10000) joins the EXISTING corpus's persisted vector index "
+    "only, blocked on (label, 4-plane LSH sub-bucket). The sub-bucket "
+    "matters at scale and was found by measurement: label-only "
+    "blocking has CONSTANT cardinality, so both sides of each block "
+    "fatten with the corpus and the 30x probe measured 20.5x — "
+    "quadratic-in-scale pair enumeration, not O(new). The hyperplane "
+    "sub-bucket multiplies block count 16x here, and the plane count "
+    "is the width knob that grows with the corpus (the simhash "
+    "32->64 pattern). Recall trade, stated: a near-dup pair "
+    "straddling a hyperplane is missed (exact clones never are — "
+    "identical vectors share every sign bit); multi-table probing is "
+    "the standard cure, as in lsh_multitable_topk. The oracle runs "
+    "the SAME blocking, so the result is deterministic and "
+    "hash-checked. Batch side broadcasts; prepare hook warms the "
+    "index outside the bench timer.",
+    oracle=f"""
+        WITH emb AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS emb
+          FROM embeddings
+        ),
+        indexed AS (
+          SELECT vec_id, label, {_duck_bucket("emb", 4, 0)} AS bucket, emb
+          FROM emb
+        ),
+        new_batch AS (
+          SELECT vec_id + 10000 AS new_id, label,
+                 {_duck_bucket("emb", 4, 0)} AS bucket, emb
+          FROM emb WHERE vec_id % 25 = 0
+        )
+        SELECT n.new_id, i.vec_id AS match_id,
+               round(list_cosine_similarity(n.emb, i.emb), 6) AS score
+        FROM new_batch n
+        JOIN indexed i ON i.label = n.label AND i.bucket = n.bucket
+        WHERE round(list_cosine_similarity(n.emb, i.emb), 6) >= 0.999
+        ORDER BY new_id, match_id
+    """,
+    prepare=lambda spark, sf_dir: warm_embedding_index(spark, sf_dir) and None,
+)
+def incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    new_b = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") % 25 == 0)
+        .select(
+            (F.col("vec_id") + 10000).alias("new_id"),
+            "label",
+            lsh_bucket(F.col("emb"), 4).alias("bucket"),
+            F.col("emb").alias("ne"),
+        )
+    )
+    idx = warm_embedding_index(spark, sf_dir).select(
+        F.col("vec_id").alias("match_id"), "label", "bucket", F.col("emb").alias("ie")
+    )
+    score = F.round(cosine(F.col("ne"), F.col("ie")), 6)
+    return (
+        F.broadcast(new_b)
+        .join(idx, ["label", "bucket"])
+        .select("new_id", "match_id", score.alias("score"))
+        .filter(F.col("score") >= 0.999)
+        .orderBy("new_id", "match_id")
     )
