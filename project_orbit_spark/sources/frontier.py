@@ -126,3 +126,146 @@ def ats_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier.join(fanin, ["company", "probe_url"]).select(
         "company", "page_type", "probe_order", "probe_url", "n_types_for_url"
     ).orderBy("company", "page_type", "probe_order")
+
+
+# Feed-candidate grid, verbatim from the reference's dynamic company
+# profile (company_profiles.py:48-50: base_paths × feed_names).
+FEED_BASE_PATHS: tuple[str, ...] = ("/blog", "/news", "/press", "/feed", "")
+FEED_NAMES: tuple[str, ...] = ("rss.xml", "feed.xml", "rss", "feed", "atom.xml", "index.xml")
+
+_FEED_GRID_ROWS = [(bp, fn) for bp in FEED_BASE_PATHS for fn in FEED_NAMES]
+_FEED_GRID_VALUES = ", ".join(f"('{bp}', '{fn}')" for bp, fn in _FEED_GRID_ROWS)
+
+
+def _feed_homepage_html(source):
+    """Template a deterministic homepage per company with head
+    ``<link>`` tags: an RSS alternate when len(source) is even, an Atom
+    alternate (at a path OUTSIDE the candidate grid) when len(source) %
+    3 == 0, plus two decoys (stylesheet, text/html alternate) that the
+    type filter must reject."""
+    even = F.length(source) % 2 == 0
+    third = F.length(source) % 3 == 0
+    return F.concat(
+        F.lit("<html><head><title>"), source, F.lit(" home</title>"),
+        F.lit('<link rel="stylesheet" href="/style.css">'),
+        F.when(
+            even,
+            F.lit('<link rel="alternate" type="application/rss+xml" href="/blog/rss.xml">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            third,
+            F.lit('<link rel="alternate" type="application/atom+xml" href="/updates/atom.xml">'),
+        ).otherwise(F.lit("")),
+        F.lit('<link rel="alternate" type="text/html" href="/mobile">'),
+        F.lit("</head><body><p>"), source, F.lit(" welcome</p></body></html>"),
+    )
+
+
+def _make_feed_link_extractor():
+    """Feed autodiscovery parse as a closure (pickled by value). The
+    reference scans ``<link>`` tags whose *type* contains rss/atom/xml
+    (news_extractor.py:30-40) and resolves hrefs against the base URL
+    with urljoin; same filter and root-relative resolution here, via
+    the stdlib event parser."""
+
+    def extract(batches):
+        import pandas as _pd
+        from html.parser import HTMLParser
+
+        class LinkParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.hrefs: list[str] = []
+
+            def handle_starttag(self, tag, attrs):
+                if tag != "link":
+                    return
+                a = dict(attrs)
+                t = (a.get("type") or "").lower()
+                if ("rss" in t or "atom" in t or "xml" in t) and a.get("href"):
+                    self.hrefs.append(a["href"])
+
+        def parse_one(row):
+            p = LinkParser()
+            p.feed(row["html"])
+            base = f"https://{row['company']}.com"
+            return [
+                h if h.startswith("http") else base + h for h in p.hrefs
+            ]
+
+        for pdf in batches:
+            out = _pd.DataFrame(
+                {
+                    "company": pdf["company"],
+                    "feed_url": pdf.apply(parse_one, axis=1),
+                }
+            )
+            yield out.explode("feed_url").dropna(subset=["feed_url"])
+
+    return extract
+
+
+@register(
+    "feed_autodiscovery",
+    tags=("source", "frontier", "pandas_udf"),
+    doc="Blog-feed autodiscovery (ref news_extractor.py:30-57 "
+    "find_rss_feeds + company_profiles.py:44-55 feed grid): per-company "
+    "templated homepage head is parsed for <link> tags whose type "
+    "contains rss/atom/xml (decoy stylesheet/text-html links rejected), "
+    "hrefs resolved root-relative; discovered feeds union the 30-slot "
+    "base_path x feed_name candidate grid, deduped per (company, url) "
+    "with link_tag provenance winning over pattern. Scale shape: "
+    "companies are a bounded distinct of documents.source; the grid is "
+    "a 30-row broadcast; the parse is one Arrow batch per company "
+    "partition.",
+    oracle=f"""
+        WITH companies AS (SELECT DISTINCT source FROM documents),
+        disc AS (
+          SELECT source AS company,
+                 'https://' || source || '.com/blog/rss.xml' AS feed_url,
+                 'link_tag' AS via
+          FROM companies WHERE length(source) % 2 = 0
+          UNION ALL
+          SELECT source, 'https://' || source || '.com/updates/atom.xml',
+                 'link_tag'
+          FROM companies WHERE length(source) % 3 = 0
+        ),
+        grid AS (
+          SELECT c.source AS company,
+                 'https://' || c.source || '.com' || g.bp || '/' || g.fn
+                   AS feed_url,
+                 'pattern' AS via
+          FROM companies c
+          CROSS JOIN (VALUES {_FEED_GRID_VALUES}) AS g(bp, fn)
+        )
+        SELECT company, feed_url, min(via) AS via
+        FROM (SELECT * FROM disc UNION ALL SELECT * FROM grid)
+        GROUP BY company, feed_url
+        ORDER BY company, feed_url
+    """,
+)
+def feed_autodiscovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    companies = (
+        load(spark, sf_dir, "documents").select(F.col("source").alias("company")).distinct()
+    )
+    pages = companies.select(
+        "company", _feed_homepage_html(F.col("company")).alias("html")
+    )
+    discovered = pages.mapInPandas(
+        _make_feed_link_extractor(), "company string, feed_url string"
+    ).withColumn("via", F.lit("link_tag"))
+    grid = spark.createDataFrame(_FEED_GRID_ROWS, "bp string, fn string")
+    candidates = companies.crossJoin(F.broadcast(grid)).select(
+        "company",
+        F.concat(
+            F.lit("https://"), F.col("company"), F.lit(".com"),
+            F.col("bp"), F.lit("/"), F.col("fn"),
+        ).alias("feed_url"),
+        F.lit("pattern").alias("via"),
+    )
+    return (
+        discovered.unionByName(candidates)
+        .groupBy("company", "feed_url")
+        .agg(F.min("via").alias("via"))
+        .orderBy("company", "feed_url")
+    )

@@ -214,3 +214,38 @@ def test_write_zordered_skips_on_both_columns(spark, tmp_path):
         assert avg < 0.75, f"avg {c} span {avg:.2f} — no skipping power"
 
     assert spark.read.parquet(out).count() == 20000
+
+
+def test_feed_autodiscovery_semantics(spark):
+    # The link-tag filter must keep rss/atom/xml types, reject the
+    # stylesheet and text/html decoys, and the dedupe must prefer
+    # link_tag provenance when a discovered feed collides with a
+    # pattern-grid candidate (ref news_extractor.py:30-57).
+    from project_orbit_spark.sources.frontier import feed_autodiscovery
+
+    from tests.conftest import SF_DIR
+
+    out = feed_autodiscovery(spark, SF_DIR).collect()
+    by_company: dict = {}
+    for r in out:
+        by_company.setdefault(r["company"], {})[r["feed_url"]] = r["via"]
+    for company, feeds in by_company.items():
+        base = f"https://{company}.com"
+        # decoys never surface
+        assert base + "/style.css" not in feeds
+        assert base + "/mobile" not in feeds
+        # grid candidates always present (30 per company)
+        assert feeds.get(base + "/news/feed") == "pattern"
+        n_grid = sum(1 for v in feeds.values() if v == "pattern")
+        if len(company) % 2 == 0:
+            # discovered rss collides with the grid slot -> link_tag wins
+            assert feeds.get(base + "/blog/rss.xml") == "link_tag"
+            assert n_grid == 29
+        else:
+            assert feeds.get(base + "/blog/rss.xml") == "pattern"
+            assert n_grid == 30
+        if len(company) % 3 == 0:
+            # atom href lives outside the grid -> net-new discovery
+            assert feeds.get(base + "/updates/atom.xml") == "link_tag"
+        else:
+            assert base + "/updates/atom.xml" not in feeds

@@ -265,3 +265,11 @@ def test_image_header_probe_is_map_only(spark):
     assert f.n_broadcast_joins == 0
     assert f.n_sortmerge_joins == 0
     assert "CartesianProduct" not in f.text
+
+
+def test_feed_autodiscovery_grid_broadcasts(spark):
+    # 30-row feed grid must be the broadcast side of the candidate
+    # crossJoin; companies (bounded distinct) never shuffle against it
+    f = facts("feed_autodiscovery", spark)
+    assert f.n_broadcast_joins >= 1 or "BroadcastNestedLoopJoin" in f.text
+    assert "CartesianProduct" not in f.text
