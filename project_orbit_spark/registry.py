@@ -173,6 +173,8 @@ _DRIVER_PRIORITY = (
     "dedup_quality_canonical",      # r6: best-member canonical rule
     "incremental_embedding_dedup",  # r6: O(new) vector-modality dedup
     "minhash_lsh_near_dups",        # r6: refactored through minhash_pairs
+    "feed_autodiscovery",           # r6: link-tag parse ∪ candidate grid
+    "context_snippets_format",      # r6: rag_search snippet formatting
     # --- changed in round 6 ---
     "incremental_minhash_dedup",    # r6: persisted warm_band_index path
     "simhash_hamming_dups",         # r6: refactored through _simhash_pairs

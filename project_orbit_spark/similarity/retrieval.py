@@ -157,6 +157,127 @@ def query_enhancement_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_EMBED4_RETR = (
+    "[CAST(('0x' || substring(md5({t}), 1, 2)) AS UBIGINT) / 256.0, "
+    "CAST(('0x' || substring(md5({t}), 3, 2)) AS UBIGINT) / 256.0, "
+    "CAST(('0x' || substring(md5({t}), 5, 2)) AS UBIGINT) / 256.0, "
+    "CAST(('0x' || substring(md5({t}), 7, 2)) AS UBIGINT) / 256.0]"
+)
+
+
+def _embed4_expr(col):
+    """JVM-expression face of the 4-dim md5-byte stub embedding
+    (inference.py hash_embedding_provider; SQL face above)."""
+    return F.array(
+        *[
+            F.conv(F.substring(F.md5(col), 1 + 2 * i, 2), 16, 10).cast("double") / 256.0
+            for i in range(4)
+        ]
+    )
+
+
+@register(
+    "context_snippets_format",
+    tags=("retrieval", "text", "report"),
+    doc="Context-snippet formatting (ref src/rag_search.py:75-103 "
+    "format_context_snippets over rag_search_company results): per "
+    "company, rank its documents by stub-embedding cosine against the "
+    "E3-enhanced query, keep the top 3, and render each as '[Snippet i "
+    "| Score: x.xxx | Source: company/doc]' + the text truncated at "
+    "500 chars with an ellipsis, joined by a '---' separator line. The "
+    "3-decimal score is built from an integer milli-score (identical "
+    "digit-by-digit in both engines — no float-format dependence). "
+    "Scale shape: embeddings are pure expressions over the scan, the "
+    "only shuffle is the per-company window; k is constant so the "
+    "collect_list state is bounded.",
+    oracle=f"""
+        WITH scored AS (
+          SELECT source, doc_id, text,
+                 list_cosine_similarity(
+                   {_DUCK_EMBED4_RETR.format(t="text")},
+                   {_DUCK_EMBED4_RETR.format(t="source || ' funding rounds investors'")}
+                 ) AS score
+          FROM documents
+        ),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY score DESC, doc_id) AS rank
+          FROM scored
+        ),
+        fmt AS (
+          SELECT source, rank,
+                 '[Snippet ' || CAST(rank AS VARCHAR)
+                 || ' | Score: '
+                 || CAST(CAST(round(score * 1000) AS BIGINT) // 1000 AS VARCHAR)
+                 || '.'
+                 || lpad(CAST(CAST(round(score * 1000) AS BIGINT) % 1000 AS VARCHAR), 3, '0')
+                 || ' | Source: ' || source || '/' || CAST(doc_id AS VARCHAR) || ']'
+                 || chr(10)
+                 || CASE WHEN length(text) > 500
+                         THEN substring(text, 1, 500) || '...'
+                         ELSE text END AS snippet
+          FROM ranked WHERE rank <= 3
+        )
+        SELECT source AS company,
+               CAST(count(*) AS BIGINT) AS n_snippets,
+               string_agg(snippet, chr(10) || '---' || chr(10) ORDER BY rank)
+                 AS context
+        FROM fmt
+        GROUP BY source
+        ORDER BY company
+    """,
+)
+def context_snippets_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from project_orbit_spark.catalog import load
+    from project_orbit_spark.similarity.cosine import cosine
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        "doc_id",
+        "text",
+        cosine(
+            _embed4_expr(F.col("text")),
+            _embed4_expr(F.concat(F.col("source"), F.lit(" funding rounds investors"))),
+        ).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+    millis = F.round(F.col("score") * 1000).cast("long")
+    snippet = F.concat(
+        F.lit("[Snippet "), F.col("rank").cast("string"),
+        F.lit(" | Score: "),
+        F.expr("cast(cast(round(score * 1000) as bigint) div 1000 as string)"),
+        F.lit("."),
+        F.lpad((millis % 1000).cast("string"), 3, "0"),
+        F.lit(" | Source: "), F.col("source"), F.lit("/"),
+        F.col("doc_id").cast("string"), F.lit("]"),
+        F.lit("\n"),
+        F.when(
+            F.length("text") > 500, F.concat(F.substring("text", 1, 500), F.lit("..."))
+        ).otherwise(F.col("text")),
+    )
+    return (
+        ranked.select("source", "rank", snippet.alias("snippet"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_snippets"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "snippet"))),
+                    lambda s: s["snippet"],
+                ),
+                "\n---\n",
+            ).alias("context"),
+        )
+        .select(F.col("source").alias("company"), "n_snippets", "context")
+        .orderBy("company")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Lexical retrieval — BM25 over an inverted-index-shaped plan.
 

@@ -249,3 +249,25 @@ def test_feed_autodiscovery_semantics(spark):
             assert feeds.get(base + "/updates/atom.xml") == "link_tag"
         else:
             assert base + "/updates/atom.xml" not in feeds
+
+
+def test_context_snippets_format_shape(spark):
+    # header/separator contract of the formatted context string
+    # (ref rag_search.py:75-103): one '---' separator between
+    # consecutive snippets, headers numbered from 1, 3-decimal score
+    import re
+
+    from tests.conftest import SF_DIR
+    from project_orbit_spark.similarity.retrieval import context_snippets_format
+
+    rows = context_snippets_format(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        blocks = r["context"].split("\n---\n")
+        assert len(blocks) == r["n_snippets"]
+        for i, b in enumerate(blocks, start=1):
+            m = re.match(
+                rf"\[Snippet {i} \| Score: -?\d+\.\d{{3}} \| Source: {re.escape(r['company'])}/\d+\]\n",
+                b,
+            )
+            assert m, b[:80]

@@ -273,3 +273,11 @@ def test_feed_autodiscovery_grid_broadcasts(spark):
     f = facts("feed_autodiscovery", spark)
     assert f.n_broadcast_joins >= 1 or "BroadcastNestedLoopJoin" in f.text
     assert "CartesianProduct" not in f.text
+
+
+def test_context_snippets_single_window_no_joins(spark):
+    # embeddings are pure expressions over the scan: no joins anywhere;
+    # the per-company window + bounded groupBy are the only shuffles
+    f = facts("context_snippets_format", spark)
+    assert "Join" not in f.text
+    assert "CartesianProduct" not in f.text
