@@ -175,6 +175,7 @@ _DRIVER_PRIORITY = (
     "minhash_lsh_near_dups",        # r6: refactored through minhash_pairs
     "feed_autodiscovery",           # r6: link-tag parse ∪ candidate grid
     "context_snippets_format",      # r6: rag_search snippet formatting
+    "blog_index_article_links",     # r6: index-page article-link harvest
     # --- changed in round 6 ---
     "incremental_minhash_dedup",    # r6: persisted warm_band_index path
     "simhash_hamming_dups",         # r6: refactored through _simhash_pairs

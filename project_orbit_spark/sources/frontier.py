@@ -244,6 +244,141 @@ def _make_feed_link_extractor():
         ORDER BY company, feed_url
     """,
 )
+def _make_index_link_harvester():
+    """Blog-index article-link harvest as a closure (pickled by
+    value). Mirrors the reference's selector walk + three filters
+    (news_extractor.py:91-129): anchors inside <article> scope,
+    same-domain only, skip /category/ /tag/ /author/ /page/ /search
+    /archive, keep only URLs with an article keyword, dedupe
+    preserving first-seen order."""
+
+    def extract(batches):
+        import pandas as _pd
+        from html.parser import HTMLParser
+        from urllib.parse import urljoin, urlparse
+
+        SKIP = ("/category/", "/tag/", "/author/", "/page/", "/search", "/archive")
+        KEEP = ("/blog/", "/news/", "/post/", "/article/")
+
+        class IndexParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.depth = 0
+                self.hrefs: list[str] = []
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "article":
+                    self.depth += 1
+                elif tag == "a" and self.depth > 0:
+                    href = dict(attrs).get("href")
+                    if href:
+                        self.hrefs.append(href)
+
+            def handle_endtag(self, tag):
+                if tag == "article" and self.depth > 0:
+                    self.depth -= 1
+
+        def harvest(row):
+            base = f"https://{row['company']}.com/blog"
+            host = urlparse(base).netloc
+            p = IndexParser()
+            p.feed(row["html"])
+            seen: list[str] = []
+            for href in p.hrefs:
+                full = urljoin(base, href)
+                if urlparse(full).netloc != host:
+                    continue
+                low = href.lower()
+                if any(s in low for s in SKIP):
+                    continue
+                if not any(k in low for k in KEEP):
+                    continue
+                if full not in seen:
+                    seen.append(full)
+            return seen
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                for pos, url in enumerate(harvest(row), start=1):
+                    rows.append(
+                        {"company": row["company"], "article_url": url, "position": pos}
+                    )
+            yield _pd.DataFrame(
+                rows, columns=["company", "article_url", "position"]
+            ).astype({"position": "int64"}) if rows else _pd.DataFrame(
+                {"company": _pd.Series(dtype="str"),
+                 "article_url": _pd.Series(dtype="str"),
+                 "position": _pd.Series(dtype="int64")}
+            )
+
+    return extract
+
+
+@register(
+    "blog_index_article_links",
+    tags=("source", "frontier", "pandas_udf"),
+    doc="Blog-index article-link harvest (ref news_extractor.py:91-129 "
+    "extract_article_links_from_index): per-company templated index "
+    "page of <article> cards (each linking its post twice — the "
+    "reference's overlapping selectors — plus category / external / "
+    "non-article decoy anchors), parsed for in-article anchors, then "
+    "same-domain filter, skip-list, article-keyword check, and "
+    "first-seen-order dedupe. Scale shape: the page build is one "
+    "bounded per-company groupBy; the harvest is map-only over "
+    "companies; output positions re-derive in SQL as row_number over "
+    "doc order.",
+    oracle="""
+        SELECT source AS company,
+               'https://' || source || '.com/blog/post-' || CAST(doc_id AS VARCHAR)
+                 AS article_url,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                 AS position
+        FROM documents
+        ORDER BY company, position
+    """,
+)
+def blog_index_article_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    card = F.concat(
+        F.lit('<article class="post"><h2><a href="/blog/post-'),
+        F.col("doc_id").cast("string"),
+        F.lit('">t</a></h2><a href="/blog/post-'),
+        F.col("doc_id").cast("string"),
+        F.lit('">read more</a><a href="/blog/category/eng">cat</a></article>'),
+    )
+    pages = (
+        d.select(F.col("source").alias("company"), "doc_id", card.alias("card"))
+        .groupBy("company")
+        .agg(
+            F.concat(
+                F.lit("<html><body><main>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "card"))),
+                        lambda s: s["card"],
+                    ),
+                    "",
+                ),
+                # decoys outside any filter's reach: external host,
+                # same-domain non-article, paging link
+                F.lit('<article><a href="https://other.example/blog/x">ext</a>'
+                      '<a href="/about">about</a>'
+                      '<a href="/blog/page/2">next</a></article>'
+                      '<a href="/blog/post-999999">outside-article</a>'
+                      "</main></body></html>"),
+            ).alias("html")
+        )
+    )
+    return (
+        pages.mapInPandas(
+            _make_index_link_harvester(),
+            "company string, article_url string, position long",
+        )
+        .orderBy("company", "position")
+    )
+
+
 def feed_autodiscovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     companies = (
         load(spark, sf_dir, "documents").select(F.col("source").alias("company")).distinct()

@@ -271,3 +271,19 @@ def test_context_snippets_format_shape(spark):
                 b,
             )
             assert m, b[:80]
+
+
+def test_blog_index_harvest_filters(spark):
+    # decoys must never surface: external host, non-article path,
+    # skip-listed paging/category links, anchors outside <article>
+    from tests.conftest import SF_DIR
+    from project_orbit_spark.sources.frontier import blog_index_article_links
+
+    rows = blog_index_article_links(spark, SF_DIR).collect()
+    assert rows
+    urls = [r["article_url"] for r in rows]
+    assert all("/blog/post-" in u for u in urls)
+    assert not any("other.example" in u or "999999" in u for u in urls)
+    assert not any("/category/" in u or "/page/" in u or "/about" in u for u in urls)
+    # dedupe: each post linked twice in the template, harvested once
+    assert len(urls) == len(set(urls))
