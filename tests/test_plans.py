@@ -275,9 +275,11 @@ def test_feed_autodiscovery_grid_broadcasts(spark):
     assert "CartesianProduct" not in f.text
 
 
-def test_context_snippets_single_window_no_joins(spark):
+def test_context_snippets_salted_topk_no_joins(spark):
     # embeddings are pure expressions over the scan: no joins anywhere;
-    # the per-company window + bounded groupBy are the only shuffles
+    # phase-1 rank must partition on the salt key so a mega-company
+    # never funnels through one partition
     f = facts("context_snippets_format", spark)
     assert "Join" not in f.text
     assert "CartesianProduct" not in f.text
+    assert "salt" in f.text
