@@ -244,6 +244,33 @@ def _make_feed_link_extractor():
         ORDER BY company, feed_url
     """,
 )
+def feed_autodiscovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    companies = (
+        load(spark, sf_dir, "documents").select(F.col("source").alias("company")).distinct()
+    )
+    pages = companies.select(
+        "company", _feed_homepage_html(F.col("company")).alias("html")
+    )
+    discovered = pages.mapInPandas(
+        _make_feed_link_extractor(), "company string, feed_url string"
+    ).withColumn("via", F.lit("link_tag"))
+    grid = spark.createDataFrame(_FEED_GRID_ROWS, "bp string, fn string")
+    candidates = companies.crossJoin(F.broadcast(grid)).select(
+        "company",
+        F.concat(
+            F.lit("https://"), F.col("company"), F.lit(".com"),
+            F.col("bp"), F.lit("/"), F.col("fn"),
+        ).alias("feed_url"),
+        F.lit("pattern").alias("via"),
+    )
+    return (
+        discovered.unionByName(candidates)
+        .groupBy("company", "feed_url")
+        .agg(F.min("via").alias("via"))
+        .orderBy("company", "feed_url")
+    )
+
+
 def _make_index_link_harvester():
     """Blog-index article-link harvest as a closure (pickled by
     value). Mirrors the reference's selector walk + three filters
@@ -376,31 +403,4 @@ def blog_index_article_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             "company string, article_url string, position long",
         )
         .orderBy("company", "position")
-    )
-
-
-def feed_autodiscovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    companies = (
-        load(spark, sf_dir, "documents").select(F.col("source").alias("company")).distinct()
-    )
-    pages = companies.select(
-        "company", _feed_homepage_html(F.col("company")).alias("html")
-    )
-    discovered = pages.mapInPandas(
-        _make_feed_link_extractor(), "company string, feed_url string"
-    ).withColumn("via", F.lit("link_tag"))
-    grid = spark.createDataFrame(_FEED_GRID_ROWS, "bp string, fn string")
-    candidates = companies.crossJoin(F.broadcast(grid)).select(
-        "company",
-        F.concat(
-            F.lit("https://"), F.col("company"), F.lit(".com"),
-            F.col("bp"), F.lit("/"), F.col("fn"),
-        ).alias("feed_url"),
-        F.lit("pattern").alias("via"),
-    )
-    return (
-        discovered.unionByName(candidates)
-        .groupBy("company", "feed_url")
-        .agg(F.min("via").alias("via"))
-        .orderBy("company", "feed_url")
     )

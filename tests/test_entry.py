@@ -76,3 +76,19 @@ def test_retry_wrapper_exhausts_and_raises():
     wrapped = with_retries(always_fails, max_retries=2, sleep=lambda _d: None)
     with _pytest.raises(TimeoutError):
         wrapped()
+
+
+def test_registered_fn_names_match_registry_names():
+    # guards against a decorator landing on the wrong def (a round-6
+    # regression: an insertion between @register and its def silently
+    # re-pointed feed_autodiscovery at a closure factory). Known
+    # deliberate aliases are listed explicitly.
+    from project_orbit_spark import registry
+
+    aliases = {
+        "bloom_pruned_join": "bloom_pruned_join_query",
+        "stream_enrich_events": "stream_enrich_events_batch",
+    }
+    for name, q in registry.all_queries().items():
+        expect = aliases.get(name, name)
+        assert q.fn.__name__ == expect, (name, q.fn.__name__)
