@@ -351,22 +351,42 @@ def _make_index_link_harvester():
     "reference's overlapping selectors — plus category / external / "
     "non-article decoy anchors), parsed for in-article anchors, then "
     "same-domain filter, skip-list, article-keyword check, and "
-    "first-seen-order dedupe. Scale shape: the page build is one "
-    "bounded per-company groupBy; the harvest is map-only over "
+    "first-seen-order dedupe. An index page lists at most max_articles "
+    "= 50 posts (the reference's CompanyProfile default, company_"
+    "profiles.py:18), enforced as a two-phase salted head-50 per "
+    "company — which also bounds the per-company collect_list at any "
+    "corpus size. Scale shape: the page build is one bounded "
+    "per-company groupBy over ≤50 rows; the harvest is map-only over "
     "companies; output positions re-derive in SQL as row_number over "
     "doc order.",
     oracle="""
-        SELECT source AS company,
-               'https://' || source || '.com/blog/post-' || CAST(doc_id AS VARCHAR)
-                 AS article_url,
-               row_number() OVER (PARTITION BY source ORDER BY doc_id)
-                 AS position
-        FROM documents
+        SELECT company, article_url, position FROM (
+          SELECT source AS company,
+                 'https://' || source || '.com/blog/post-' || CAST(doc_id AS VARCHAR)
+                   AS article_url,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS position
+          FROM documents
+        ) t
+        WHERE position <= 50
         ORDER BY company, position
     """,
 )
 def blog_index_article_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    d0 = load(spark, sf_dir, "documents")
+    # max_articles=50 head per company, two-phase so no company's full
+    # corpus ever funnels through one partition
+    salted = d0.withColumn("salt", (F.col("doc_id") % 16).cast("int"))
+    w1 = Window.partitionBy("source", "salt").orderBy(F.asc("doc_id"))
+    partial = (
+        salted.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= 50)
+        .drop("salt", "r1")
+    )
+    w2 = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    d = partial.withColumn("r2", F.row_number().over(w2)).filter(F.col("r2") <= 50)
     card = F.concat(
         F.lit('<article class="post"><h2><a href="/blog/post-'),
         F.col("doc_id").cast("string"),
