@@ -1065,3 +1065,112 @@ def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "repeated_span_mining",
+    tags=("dedup", "corpus", "text"),
+    doc="Cross-document repeated n-gram span mining — the exact-"
+    "substring training-data dedup primitive (Lee et al. 2022 style; "
+    "extends the reference's intra-page sha256 exact dup, scraper_v2"
+    ".py:1138, to sub-document granularity): every 8-token rolling "
+    "window is hashed to 60 bits; spans seen in ≥2 distinct docs "
+    "surface with an exemplar recovered by rejoining the top-100 "
+    "hashes (broadcast) back to the span stream. Scale shape: the agg "
+    "branch shuffles only the 8-byte hash (Catalyst prunes the span "
+    "text off that branch); the exemplar join is a broadcast of 100 "
+    "keys; no pairwise comparisons anywhere — candidate structure is "
+    "hash-bucketed exactly like the MinHash band join.",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        spans AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 array_to_string(list_slice(toks, i, i + 7), ' ') AS span
+          FROM tok, UNNEST(range(1, greatest(len(toks) - 7, 0) + 1)) AS t(i)
+        ),
+        hashed AS (
+          SELECT doc_id, pos, span,
+                 CAST(CAST(('0x' || substring(md5(span), 1, 15)) AS UBIGINT)
+                      AS BIGINT) AS span_hash
+          FROM spans
+        ),
+        agg AS (
+          SELECT span_hash,
+                 count(DISTINCT doc_id) AS n_docs,
+                 count(*) AS n_occurrences
+          FROM hashed GROUP BY span_hash
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        top AS (
+          SELECT * FROM agg
+          ORDER BY n_docs DESC, n_occurrences DESC, span_hash
+          LIMIT 100
+        ),
+        ex AS (
+          SELECT span_hash, span, doc_id, pos,
+                 row_number() OVER (
+                   PARTITION BY span_hash ORDER BY doc_id, pos) AS rn
+          FROM hashed
+          WHERE span_hash IN (SELECT span_hash FROM top)
+        )
+        SELECT t.span_hash, t.n_docs, t.n_occurrences,
+               e.span AS exemplar, e.doc_id AS first_doc, e.pos AS first_pos
+        FROM top t JOIN ex e USING (span_hash)
+        WHERE e.rn = 1
+        ORDER BY n_docs DESC, n_occurrences DESC, span_hash
+    """,
+)
+def repeated_span_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W = 8
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= W)
+    spans = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - W + 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, W)),
+            )
+        ).alias("p", "span"),
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).cast("long").alias("pos"),
+        "span",
+        F.conv(F.substring(F.md5("span"), 1, 15), 16, 10).cast("long").alias("span_hash"),
+    )
+    agg = (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    top = agg.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span_hash")
+    ).limit(100)
+    wx = Window.partitionBy("span_hash").orderBy("doc_id", "pos")
+    exemplar = (
+        spans.join(F.broadcast(top.select("span_hash")), "span_hash")
+        .withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") == 1)
+        .select(
+            "span_hash",
+            F.col("span").alias("exemplar"),
+            F.col("doc_id").alias("first_doc"),
+            F.col("pos").alias("first_pos"),
+        )
+    )
+    return (
+        top.join(exemplar, "span_hash")
+        .select(
+            "span_hash", "n_docs", "n_occurrences",
+            "exemplar", "first_doc", "first_pos",
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span_hash"))
+    )

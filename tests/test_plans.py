@@ -283,3 +283,12 @@ def test_context_snippets_salted_topk_no_joins(spark):
     assert "Join" not in f.text
     assert "CartesianProduct" not in f.text
     assert "salt" in f.text
+
+
+def test_repeated_span_mining_hash_shuffle_broadcast_exemplar(spark):
+    # the agg branch must shuffle hashes with a map-side partial; the
+    # exemplar rejoin must broadcast the 100 surviving keys
+    f = facts("repeated_span_mining", spark)
+    assert f.partial_agg
+    assert f.n_broadcast_joins >= 1
+    assert "CartesianProduct" not in f.text
