@@ -1069,6 +1069,7 @@ def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "repeated_span_mining",
+    bench=True,
     tags=("dedup", "corpus", "text"),
     doc="Cross-document repeated n-gram span mining — the exact-"
     "substring training-data dedup primitive (Lee et al. 2022 style; "
