@@ -1067,6 +1067,32 @@ def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_W = 8
+
+
+def _span_hashes(df: DataFrame) -> DataFrame:
+    """(doc_id, pos, span, span_hash) for every 8-token rolling window
+    of ``text`` — the shared stream under both the batch span miner
+    and the incremental contamination check. 60-bit md5-prefix hash,
+    engine-identical."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    t = df.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= _SPAN_W)
+    return t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - _SPAN_W + 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, _SPAN_W)),
+            )
+        ).alias("p", "span"),
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).cast("long").alias("pos"),
+        "span",
+        F.conv(F.substring(F.md5("span"), 1, 15), 16, 10).cast("long").alias("span_hash"),
+    )
+
+
 @register(
     "repeated_span_mining",
     bench=True,
@@ -1126,24 +1152,8 @@ def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def repeated_span_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    W = 8
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= W)
-    spans = t.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - W + 1),
-                lambda i: F.concat_ws(" ", F.slice("toks", i, W)),
-            )
-        ).alias("p", "span"),
-    ).select(
-        "doc_id",
-        (F.col("p") + 1).cast("long").alias("pos"),
-        "span",
-        F.conv(F.substring(F.md5("span"), 1, 15), 16, 10).cast("long").alias("span_hash"),
-    )
+    spans = _span_hashes(d)
     agg = (
         spans.groupBy("span_hash")
         .agg(
@@ -1174,4 +1184,102 @@ def repeated_span_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exemplar", "first_doc", "first_pos",
         )
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span_hash"))
+    )
+
+
+_SPAN_INDEX_CACHE: dict[tuple[str, str], DataFrame] = register_df_cache({})
+
+
+def warm_span_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The existing corpus's distinct span-hash set, persisted once per
+    (session, sf_dir) — at 100 TB a stored index artifact the offline
+    span-mining job refreshes (same contract as warm_band_index)."""
+    key = (cache_token(spark), sf_dir)
+    if key not in _SPAN_INDEX_CACHE:
+        d = load(spark, sf_dir, "documents").select("doc_id", "text")
+        idx = _span_hashes(d).select("span_hash").distinct().persist()
+        idx.count()
+        _SPAN_INDEX_CACHE[key] = idx
+    return _SPAN_INDEX_CACHE[key]
+
+
+@register(
+    "incremental_span_contamination",
+    tags=("dedup", "corpus", "incremental"),
+    doc="Incremental span-contamination check — the O(new) face of "
+    "repeated_span_mining and the third instance of the engine's "
+    "incremental-dedup contract (minhash bands, embedding LSH blocks, "
+    "now span hashes): an incoming batch's distinct 8-token span "
+    "hashes probe the EXISTING corpus's persisted span index; per new "
+    "doc the fraction of its spans already present measures how much "
+    "of it is copied corpus text (the sub-document analog of the "
+    "reference's per-page content-hash change check, dags/orbit_daily"
+    "_update_dag.py:188-200). The batch side broadcasts; the index is "
+    "scanned map-only — new×index only, never index×index.",
+    prepare=lambda spark, sf_dir: warm_span_index(spark, sf_dir) and None,
+    oracle="""
+        WITH base_tok AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        base_idx AS (
+          SELECT DISTINCT
+                 CAST(CAST(('0x' || substring(md5(
+                   array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15))
+                   AS UBIGINT) AS BIGINT) AS span_hash
+          FROM base_tok,
+               UNNEST(range(1, greatest(len(toks) - 7, 0) + 1)) AS t(i)
+        ),
+        new_tok AS (
+          SELECT doc_id + 100000 AS doc_id,
+                 string_split_regex(trim(lower(
+                   text || ' span contamination tail')), '\\s+') AS toks
+          FROM documents WHERE doc_id % 9 = 0
+        ),
+        new_spans AS (
+          SELECT DISTINCT doc_id,
+                 CAST(CAST(('0x' || substring(md5(
+                   array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15))
+                   AS UBIGINT) AS BIGINT) AS span_hash
+          FROM new_tok,
+               UNNEST(range(1, greatest(len(toks) - 7, 0) + 1)) AS t(i)
+        )
+        SELECT n.doc_id AS new_id,
+               count(*) AS n_spans,
+               count(b.span_hash) AS n_index_hits,
+               round(count(b.span_hash)::DOUBLE / count(*), 4) AS dup_ratio
+        FROM new_spans n LEFT JOIN base_idx b USING (span_hash)
+        GROUP BY n.doc_id
+        ORDER BY new_id
+    """,
+)
+def incremental_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    near = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" span contamination tail")).alias("text"),
+    )
+    new_spans = (
+        _span_hashes(near).select("doc_id", "span_hash").dropDuplicates()
+    )
+    idx = warm_span_index(spark, sf_dir)
+    hits = (
+        F.broadcast(new_spans)
+        .join(idx, "span_hash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_index_hits"))
+    )
+    totals = new_spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("new_id"),
+            "n_spans",
+            F.coalesce("n_index_hits", F.lit(0)).alias("n_index_hits"),
+            F.round(
+                F.coalesce("n_index_hits", F.lit(0)).cast("double") / F.col("n_spans"), 4
+            ).alias("dup_ratio"),
+        )
+        .orderBy("new_id")
     )

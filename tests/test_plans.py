@@ -292,3 +292,11 @@ def test_repeated_span_mining_hash_shuffle_broadcast_exemplar(spark):
     assert f.partial_agg
     assert f.n_broadcast_joins >= 1
     assert "CartesianProduct" not in f.text
+
+
+def test_incremental_span_probe_broadcasts_batch(spark):
+    # the new batch must broadcast into the persisted index probe —
+    # new×index only, never a shuffle of the index side
+    f = facts("incremental_span_contamination", spark)
+    assert f.n_broadcast_joins >= 1
+    assert "CartesianProduct" not in f.text

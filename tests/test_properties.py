@@ -347,3 +347,19 @@ def test_simhash_banding_is_lossless_both_tiers(spark, texts):
             ).collect()
         }
         assert banded == brute
+
+
+def test_span_contamination_detects_copies(spark):
+    """A doc that is a copy of corpus text plus a short tail must show
+    a high copied-span fraction; the ratio is in (0, 1]."""
+    from tests.conftest import SF_DIR
+    from project_orbit_spark.operators.dedup import incremental_span_contamination
+
+    rows = incremental_span_contamination(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["dup_ratio"] <= 1.0
+        assert r["n_index_hits"] <= r["n_spans"]
+    # on average the copies dominate: most windows predate the tail
+    avg = sum(r["dup_ratio"] for r in rows) / len(rows)
+    assert avg > 0.5, avg
