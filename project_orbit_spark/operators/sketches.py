@@ -1,20 +1,25 @@
 """Sketch-based approximate aggregation — the 100 TB tier where exact
 distinct counts and percentiles stop being affordable.
 
-These are the two operators whose results are *legitimately*
-non-deterministic across engines (HLL++ and KLL/GK sketches), so they
-are registered WITHOUT DuckDB oracles — the driver records the weaker
-rows-only check, and tests/test_sketches.py bounds the error against
-the exact answer instead (3×rsd relative for every HLL++ column; 2%
-relative value error for approx_percentile at accuracy 10k).
+HLL++ and KLL/GK results are *legitimately* non-deterministic across
+engines, so those two are registered WITHOUT DuckDB oracles — the
+driver records the weaker rows-only check, and tests/test_sketches.py
+bounds the error against the exact answer instead (3×rsd relative for
+every HLL++ column; 2% relative value error for approx_percentile at
+accuracy 10k).  ``heavy_hitters_two_pass`` is the third sketch but
+carries a FULL oracle: the exact second pass makes the Misra-Gries
+candidate stage semantically invisible (see its docstring).
 
-Scale notes: both are single-pass, mergeable, fixed-memory aggregates
-— partial sketches merge at the reducer, so they shuffle O(sketch)
-bytes per group instead of O(distinct values).
+Scale notes: all are single-pass (or two-scan), mergeable,
+fixed-memory summaries — partial sketches merge at the reducer, so
+they shuffle O(sketch) bytes per group instead of O(distinct values).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -65,4 +70,92 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("pcts", 3), 2).alias("ap99"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass heavy hitters: Misra-Gries candidates, exact confirmation.
+# ---------------------------------------------------------------------------
+
+_MG_CAP = 1024  # summary capacity per partition; must be >= _HH_K
+_HH_K = 500  # report items with count > n/K (share > 0.2%)
+
+
+def _mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition Misra-Gries summary over the ``item`` column,
+    vectorized batch-wise: exact value_counts per Arrow batch merged
+    into the running summary, then the standard mergeable-summaries
+    compression (subtract the (cap+1)-th largest weight, drop <=0).
+    Any item with partition count > n_p/(cap+1) survives — the
+    guarantee the second pass relies on."""
+    acc: pd.Series | None = None
+    for pdf in batches:
+        counts = pdf["item"].value_counts()
+        acc = counts if acc is None else acc.add(counts, fill_value=0)
+        if len(acc) > _MG_CAP:
+            kth = acc.nlargest(_MG_CAP + 1).iloc[-1]
+            acc = acc - kth
+            acc = acc[acc > 0]
+    if acc is not None and len(acc):
+        yield pd.DataFrame({"item": acc.index.astype(str)})
+
+
+@register(
+    "heavy_hitters_two_pass",
+    tags=("agg", "sketch", "skew"),
+    doc="Frequent-item detection without a full-cardinality shuffle — "
+    "the classic two-pass heavy hitters. Pass 1 (map-only, zero "
+    "shuffle): per-partition Misra-Gries summaries (capacity 1024) "
+    "over a derived hot/cold SKU item (the salted_skew_join skew "
+    "recipe: every 20th part collapses onto 7 hot ids, the rest stay "
+    "unique — so the ~1.9k cold items genuinely overflow the summary "
+    "and get pruned). Pass 2: exact counts of the <=cap*P candidate "
+    "union only, filtered to count*K > n (K=500). MG guarantees "
+    "every item above n/(cap+1) survives some partition summary, and "
+    "cap >= K, so the exact pass sees every true heavy hitter and "
+    "discards every sketch false positive: the output is IDENTICAL "
+    "to the naive GROUP BY ... HAVING — which is exactly what the "
+    "oracle runs. At 100 TB the naive plan shuffles one row per "
+    "distinct item (trillions); this plan shuffles only candidate "
+    "partials, O(cap x partitions).",
+    oracle=f"""
+        WITH items AS (
+          SELECT CASE WHEN l_partkey % 20 = 0
+                      THEN 'hot_' || CAST(l_partkey % 7 AS VARCHAR)
+                      ELSE 'cold_' || CAST(l_partkey AS VARCHAR) END AS item
+          FROM lineitem
+        ),
+        tot AS (SELECT count(*) AS n FROM items)
+        SELECT item, count(*) AS cnt,
+               round(1.0 * count(*) / (SELECT n FROM tot), 6) AS share
+        FROM items
+        GROUP BY item
+        HAVING count(*) * {_HH_K} > (SELECT n FROM tot)
+        ORDER BY cnt DESC, item
+    """,
+)
+def heavy_hitters_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.when(
+            F.col("l_partkey") % 20 == 0,
+            F.concat(F.lit("hot_"), (F.col("l_partkey") % 7).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold_"), F.col("l_partkey").cast("string")))
+        .alias("item")
+    )
+    candidates = items.mapInPandas(_mg_candidates, "item string").distinct()
+    total = items.agg(F.count("*").alias("n"))
+    return (
+        items.join(F.broadcast(candidates), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * _HH_K > F.col("n"))
+        .select(
+            "item",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), "item")
     )
