@@ -81,23 +81,30 @@ _MG_CAP = 1024  # summary capacity per partition; must be >= _HH_K
 _HH_K = 500  # report items with count > n/K (share > 0.2%)
 
 
-def _mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def make_mg_candidates(cap: int = _MG_CAP):
     """Per-partition Misra-Gries summary over the ``item`` column,
     vectorized batch-wise: exact value_counts per Arrow batch merged
     into the running summary, then the standard mergeable-summaries
     compression (subtract the (cap+1)-th largest weight, drop <=0).
     Any item with partition count > n_p/(cap+1) survives — the
-    guarantee the second pass relies on."""
-    acc: pd.Series | None = None
-    for pdf in batches:
-        counts = pdf["item"].value_counts()
-        acc = counts if acc is None else acc.add(counts, fill_value=0)
-        if len(acc) > _MG_CAP:
-            kth = acc.nlargest(_MG_CAP + 1).iloc[-1]
-            acc = acc - kth
-            acc = acc[acc > 0]
-    if acc is not None and len(acc):
-        yield pd.DataFrame({"item": acc.index.astype(str)})
+    guarantee the second pass relies on. Returned as a *closure* so
+    cloudpickle serializes it by value (workers can't import this
+    package; same discipline as multimodal/binary_ops.py)."""
+    import pandas as pd  # noqa: PLC0415 — runs on the worker
+
+    def mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            counts = pdf["item"].value_counts()
+            acc = counts if acc is None else acc.add(counts, fill_value=0)
+            if len(acc) > cap:
+                kth = acc.nlargest(cap + 1).iloc[-1]
+                acc = acc - kth
+                acc = acc[acc > 0]
+        if acc is not None and len(acc):
+            yield pd.DataFrame({"item": acc.index.astype(str)})
+
+    return mg_candidates
 
 
 @register(
@@ -144,7 +151,7 @@ def heavy_hitters_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("cold_"), F.col("l_partkey").cast("string")))
         .alias("item")
     )
-    candidates = items.mapInPandas(_mg_candidates, "item string").distinct()
+    candidates = items.mapInPandas(make_mg_candidates(), "item string").distinct()
     total = items.agg(F.count("*").alias("n"))
     return (
         items.join(F.broadcast(candidates), "item", "left_semi")

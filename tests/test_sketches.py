@@ -67,7 +67,7 @@ def test_approx_percentiles_near_exact(spark):
 def test_mg_kernel_capacity_and_guarantee():
     import pandas as pd
 
-    from project_orbit_spark.operators.sketches import _MG_CAP, _mg_candidates
+    from project_orbit_spark.operators.sketches import _MG_CAP, make_mg_candidates
 
     # adversarial stream: one true heavy item (20% of the stream)
     # buried in a long tail of unique items, split across batches
@@ -80,7 +80,7 @@ def test_mg_kernel_capacity_and_guarantee():
     batches = [
         pd.DataFrame({"item": stream[i : i + 2048]}) for i in range(0, len(stream), 2048)
     ]
-    out = list(_mg_candidates(iter(batches)))
+    out = list(make_mg_candidates()(iter(batches)))
     assert out, "summary must be non-empty"
     cands = set(out[0]["item"])
     assert len(cands) <= _MG_CAP, "summary exceeded capacity"
