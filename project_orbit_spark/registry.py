@@ -179,6 +179,7 @@ _DRIVER_PRIORITY = (
     "repeated_span_mining",         # r6: cross-doc n-gram span dedup
     "incremental_span_contamination",  # r6: O(new) span-index probe
     "heavy_hitters_two_pass",       # r6: MG candidates + exact confirm
+    "ann_ivf_pq_topk",              # r6: product-quantized IVF tier
     # --- changed in round 6 ---
     "incremental_minhash_dedup",    # r6: persisted warm_band_index path
     "simhash_hamming_dups",         # r6: refactored through _simhash_pairs

@@ -458,3 +458,161 @@ def label_centroids_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("label", "dim")
     )
 
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized scoring inside the routed bucket.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_DSUB = 16  # dims per subspace (embeddings fixture is 64-dim)
+
+
+def pq_reconstructions(e: DataFrame) -> DataFrame:
+    """Product-quantization index build, oracle-deterministically:
+    split each vector into _PQ_M contiguous subvectors; the codebook
+    for subspace s is the per-label mean subvector (components rounded
+    6dp, the centroids() discipline — label-derived codewords instead
+    of k-means training keep the build SQL-expressible and so
+    hash-checkable); each vector's code word per subspace is its
+    nearest codeword (euclidean, code_label tie-break); the stored
+    "reconstruction" is the concatenation of its codewords. At 100 TB
+    the recon table is the index artifact: 4 small ints per vector
+    (codebook ids) instead of 64 floats — 64× memory compression —
+    built map-side under a broadcast codebook, no shuffle wider than
+    the vec_id groupBy."""
+    sub = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.array(*[F.slice("emb", s * _PQ_DSUB + 1, _PQ_DSUB) for s in range(_PQ_M)])
+        ).alias("s", "subv"),
+    )
+    codebook = (
+        sub.select("s", "label", F.posexplode("subv").alias("dim", "val"))
+        .groupBy("s", "label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("cval"))
+        .groupBy("s", "label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))), lambda x: x["cval"]
+            ).alias("cw")
+        )
+        .withColumnRenamed("label", "code_label")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("dist"), F.asc("code_label"))
+    codes = (
+        sub.join(F.broadcast(codebook), "s")
+        .withColumn("dist", euclidean(F.col("subv"), F.col("cw")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cw")
+    )
+    return codes.groupBy("vec_id").agg(
+        F.flatten(
+            F.transform(F.array_sort(F.collect_list(F.struct("s", "cw"))), lambda x: x["cw"])
+        ).alias("recon")
+    )
+
+
+_PQ_ORACLE = f"""
+        WITH {_DUCK_EMB},
+        {_DUCK_CENTROIDS},
+        sub AS (
+          SELECT vec_id, label, s, emb[s*{_PQ_DSUB}+1 : s*{_PQ_DSUB}+{_PQ_DSUB}] AS subv
+          FROM emb, UNNEST([0,1,2,3]) AS t(s)
+        ),
+        codebook AS (
+          SELECT s, label AS code_label, list(cval ORDER BY dim) AS cw
+          FROM (
+            SELECT s, label, i AS dim, round(avg(subv[i]), 6) AS cval
+            FROM sub, UNNEST(range(1, {_PQ_DSUB} + 1)) AS t(i)
+            GROUP BY s, label, i
+          )
+          GROUP BY s, label
+        ),
+        codes AS (
+          SELECT vec_id, s, cw FROM (
+            SELECT v.vec_id, v.s, c.cw,
+                   row_number() OVER (PARTITION BY v.vec_id, v.s
+                     ORDER BY list_distance(v.subv, c.cw), c.code_label) AS rn
+            FROM sub v JOIN codebook c USING (s)
+          ) WHERE rn = 1
+        ),
+        recon AS (
+          SELECT vec_id, flatten(list(cw ORDER BY s)) AS recon
+          FROM codes GROUP BY vec_id
+        ),
+        q AS (SELECT vec_id AS qid, emb AS qe FROM emb WHERE vec_id < 5),
+        routed AS (
+          SELECT qid, qe, bucket FROM (
+            SELECT q.qid, q.qe, c.label AS bucket,
+                   row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY list_distance(q.qe, c.cvec), c.label) AS rn
+            FROM q CROSS JOIN centroids c
+          ) WHERE rn = 1
+        )
+        SELECT qid, bucket, cid, round(score, 6) AS score, rank
+        FROM (
+          SELECT r.qid, r.bucket, e.vec_id AS cid,
+                 list_cosine_similarity(r.qe, rc.recon) AS score,
+                 row_number() OVER (
+                   PARTITION BY r.qid
+                   ORDER BY list_cosine_similarity(r.qe, rc.recon) DESC, e.vec_id) AS rank
+          FROM routed r
+          JOIN emb e ON e.label = r.bucket AND e.vec_id != r.qid
+          JOIN recon rc ON rc.vec_id = e.vec_id
+        ) t
+        WHERE rank <= 5
+        ORDER BY qid, rank
+    """
+
+
+@register(
+    "ann_ivf_pq_topk",
+    tags=("similarity", "ann", "pq"),
+    doc="IVF-PQ approximate top-k — the memory tier the 100 TB ANN "
+    "path actually ships (FAISS-style): route each query to its "
+    "nearest coarse centroid (broadcast), then score the bucket "
+    "against PRODUCT-QUANTIZED reconstructions instead of raw "
+    "vectors (asymmetric distance: raw query x quantized corpus). "
+    "Codebooks are label-derived per subspace (see "
+    "pq_reconstructions) so the whole build + search is declared in "
+    "SQL too and the approximation is hash-checked, not just "
+    "rows-only; quantization loss vs exact IVF is bounded in "
+    "tests/test_pq.py. Same output shape as ann_ivf_topk. Ties from "
+    "identical reconstructions (vectors sharing all 4 codewords) "
+    "break deterministically on cid in both engines.",
+    oracle=_PQ_ORACLE,
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    recon = pq_reconstructions(e)
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("emb").alias("qe"))
+    routed_w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("bucket"))
+    routed = (
+        q.crossJoin(F.broadcast(centroids(e).withColumnRenamed("label", "bucket")))
+        .withColumn("dist", euclidean(F.col("qe"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(routed_w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "qe", "bucket")
+    )
+    scored = (
+        F.broadcast(routed)
+        .join(e, (e.label == F.col("bucket")) & (e.vec_id != F.col("qid")))
+        .join(recon, "vec_id")
+        .select(
+            "qid",
+            "bucket",
+            F.col("vec_id").alias("cid"),
+            cosine(F.col("qe"), F.col("recon")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "bucket", "cid", F.round("score", 6).alias("score"), "rank")
+        .orderBy("qid", "rank")
+    )
