@@ -18,8 +18,11 @@ they shuffle O(sketch) bytes per group instead of O(distinct values).
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import TYPE_CHECKING
 
-import pandas as pd
+if TYPE_CHECKING:
+    import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -109,6 +112,7 @@ def make_mg_candidates(cap: int = _MG_CAP):
 
 @register(
     "heavy_hitters_two_pass",
+    bench=True,
     tags=("agg", "sketch", "skew"),
     doc="Frequent-item detection without a full-cardinality shuffle — "
     "the classic two-pass heavy hitters. Pass 1 (map-only, zero "

@@ -571,6 +571,7 @@ _PQ_ORACLE = f"""
 
 @register(
     "ann_ivf_pq_topk",
+    bench=True,
     tags=("similarity", "ann", "pq"),
     doc="IVF-PQ approximate top-k — the memory tier the 100 TB ANN "
     "path actually ships (FAISS-style): route each query to its "

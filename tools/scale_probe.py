@@ -63,6 +63,8 @@ QUERIES = (
     "pagerank_link_graph",      # iterative fixed-point PageRank
     "pack_sequences_budget",    # sharded sequence packing
     "benchmark_contamination",  # broadcast 8-gram contamination scan
+    "heavy_hitters_two_pass",   # MG candidates + exact confirm
+    "ann_ivf_pq_topk",          # IVF-PQ quantized scoring tier
     "corpus_shuffle_shards",    # deterministic training shuffle
     # relational star-schema facts (customer/orders/lineitem replicated
     # with consistent keys; dims stay base-size and broadcast)
