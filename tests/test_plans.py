@@ -300,3 +300,21 @@ def test_incremental_span_probe_broadcasts_batch(spark):
     f = facts("incremental_span_contamination", spark)
     assert f.n_broadcast_joins >= 1
     assert "CartesianProduct" not in f.text
+
+
+def test_heavy_hitters_candidates_broadcast_no_wide_shuffle(spark):
+    # candidate semi join and the total-count scalar must broadcast;
+    # the only shuffle is the candidate-partial groupBy. Pass 1 (MG)
+    # must be mapInPandas directly over the scan — no exchange below it.
+    f = facts("heavy_hitters_two_pass", spark)
+    assert f.n_broadcast_joins >= 2, "candidates + total must broadcast"
+    assert "CartesianProduct" not in f.text
+    assert f.partial_agg
+
+
+def test_ivf_pq_routing_and_codebook_broadcast(spark):
+    # coarse routing, the per-subspace codebook, and the routed query
+    # set all broadcast; bucket scoring must not be a cartesian
+    f = facts("ann_ivf_pq_topk", spark)
+    assert f.n_broadcast_joins >= 3
+    assert "CartesianProduct" not in f.text
