@@ -306,3 +306,61 @@ def test_stream_sliding_counts_matches_batch(spark):
     batch = sorted(tuple(r) for r in sliding_window_counts(spark, SF_DIR).collect())
     assert got == batch
     assert len(got) > 0
+
+
+@pytest.mark.timeout(240)
+def test_stream_restart_from_checkpoint_processes_only_new_files(spark, tmp_path):
+    """Mid-stream crash recovery — the OTHER half of exactly-once that
+    the fresh-checkpoint rerun test can't see: stop after batch 1,
+    land a new source file, restart with the SAME checkpoint. The
+    file-source offset log must skip everything already committed
+    (second run sees only the new file's rows) and the upsert sink
+    must leave every key exactly once."""
+    from pyspark.sql import functions as F
+
+    from project_orbit_spark.sources.connectors import upsert_parquet
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("user_id")
+    )
+    base.write.parquet(src)
+
+    seen_per_run: list[int] = []
+
+    def run_available_now():
+        seen = {"rows": 0}
+
+        def apply(batch_df, batch_id):  # noqa: ARG001
+            seen["rows"] += batch_df.count()
+            upsert_parquet(spark, state, batch_df, "event_id")
+
+        q = (
+            spark.readStream.schema("event_id long, user_id long")
+            .parquet(src)
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        seen_per_run.append(seen["rows"])
+
+    run_available_now()
+    assert seen_per_run[0] == 100
+    # "crash" (stream is stopped), new data lands — including 10
+    # UPDATED keys that must overwrite, not duplicate
+    more = spark.range(90, 150).select(
+        F.col("id").alias("event_id"), F.lit(99).alias("user_id")
+    )
+    more.write.mode("append").parquet(src)
+    run_available_now()
+    assert seen_per_run[1] == 60, "restart must process ONLY the new file"
+    final = spark.read.parquet(state)
+    assert final.count() == 150
+    assert final.select(F.countDistinct("event_id")).collect()[0][0] == 150
+    # the 10 overlapping keys carry the new run's value (upsert wins)
+    assert final.filter((F.col("event_id") >= 90) & (F.col("event_id") < 100))\
+        .filter(F.col("user_id") == 99).count() == 10
