@@ -617,3 +617,68 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "bucket", "cid", F.round("score", 6).alias("score"), "rank")
         .orderBy("qid", "rank")
     )
+
+
+_PQ_RECON_CACHE: dict[tuple[str, str], DataFrame] = register_df_cache({})
+
+
+def warm_pq_recons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precompute + persist the PQ reconstruction table once per
+    (session, sf_dir) — at 100 TB the PQ index is the stored serving
+    artifact (codebooks train offline; vectors encode at ingest), so
+    the steady-state query cost is routing + one bucket of ADC
+    scoring, which is what the _warm twin times."""
+    key = (cache_token(spark), sf_dir)
+    if key not in _PQ_RECON_CACHE:
+        r = pq_reconstructions(_emb(spark, sf_dir)).persist()
+        r.count()
+        _PQ_RECON_CACHE[key] = r
+    return _PQ_RECON_CACHE[key]
+
+
+@register(
+    "ann_ivf_pq_topk_warm",
+    bench=True,
+    tags=("similarity", "ann", "pq"),
+    doc="ann_ivf_pq_topk with the PQ reconstruction table AND coarse "
+    "centroids persisted ahead of time (prepare hook, outside the "
+    "bench timer): measures the steady-state IVF-PQ serving cost "
+    "alone. Same output, same oracle as the cold twin.",
+    oracle=_PQ_ORACLE,
+    prepare=lambda spark, sf_dir: (
+        warm_centroids(spark, sf_dir),
+        warm_pq_recons(spark, sf_dir),
+    )
+    and None,
+)
+def ann_ivf_pq_topk_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    recon = warm_pq_recons(spark, sf_dir)
+    cent = warm_centroids(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("emb").alias("qe"))
+    routed_w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("bucket"))
+    routed = (
+        q.crossJoin(F.broadcast(cent.withColumnRenamed("label", "bucket")))
+        .withColumn("dist", euclidean(F.col("qe"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(routed_w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "qe", "bucket")
+    )
+    scored = (
+        F.broadcast(routed)
+        .join(e, (e.label == F.col("bucket")) & (e.vec_id != F.col("qid")))
+        .join(recon, "vec_id")
+        .select(
+            "qid",
+            "bucket",
+            F.col("vec_id").alias("cid"),
+            cosine(F.col("qe"), F.col("recon")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "bucket", "cid", F.round("score", 6).alias("score"), "rank")
+        .orderBy("qid", "rank")
+    )
