@@ -5,6 +5,7 @@ than DuckDB oracles."""
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import functions as F
 
@@ -116,9 +117,16 @@ def test_partitioned_and_append_sinks(spark, tmp_path):
     write_partitioned(df, out, partition_cols=["company_id", "page_type"])
     back = spark.read.parquet(out)
     assert back.count() == 2
-    # partition pruning: reading one partition touches only its files
+    # partition pruning: the predicate must land in the scan's
+    # PartitionFilters (directory-level skip), not a post-scan Filter —
+    # at 100 TB that's the difference between listing 2 directories
+    # and scanning the table
     one = back.filter((F.col("company_id") == "acme") & (F.col("page_type") == "jobs"))
     assert one.count() == 1
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m, plan
+    assert "company_id" in m.group(1) and "acme" in m.group(1), m.group(1)
 
     log = str(tmp_path / "log")
     write_append_log(df.select("company_id", "dt"), log)
