@@ -334,3 +334,53 @@ def stream_upsert_foreachbatch(
         upsert_parquet(spark, state_path, batch_df, key)
 
     return stream_df.writeStream.foreachBatch(apply)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_col: str = "dt",
+    max_records_per_file: int | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction for the append-log sink family (S14) —
+    the maintenance op every append-mode layout eventually needs:
+    each daily append lands one-or-more new files per partition, and
+    at 100 TB a year of appends turns scans into a
+    file-listing/open-overhead problem long before a byte problem.
+
+    Rewrites the log with rows repartitioned ON the partition column
+    (all rows of a partition hash to one task, so each partition dir
+    collapses to one file; ``max_records_per_file`` re-splits
+    oversized partitions at write time via Spark's own
+    maxRecordsPerFile), then swaps the directory. Contents are
+    byte-for-byte the same relation — which is exactly what the
+    compaction_log_roundtrip oracle checks. The swap is
+    NOT transactional (readers racing the swap see the old or new
+    listing, a brief window of neither on a posix rename chain) — on
+    a lake format this op is Delta OPTIMIZE / Iceberg rewrite_data_
+    files, transactional by design; same upgrade gate as merge_upsert.
+
+    Returns (data_files_before, data_files_after).
+    """
+    import glob
+    import os
+    import shutil
+
+    def _count_files(p: str) -> int:
+        return sum(1 for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+
+    before = _count_files(path)
+    df = spark.read.parquet(path)
+    writer = df.repartition(F.col(partition_col)).write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    staging = path.rstrip("/") + ".compacting"
+    shutil.rmtree(staging, ignore_errors=True)
+    writer.partitionBy(partition_col).parquet(staging)
+    old = path.rstrip("/") + ".precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return before, _count_files(path)

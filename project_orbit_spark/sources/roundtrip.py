@@ -385,3 +385,49 @@ def append_log_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("dt").cast("string").alias("dt"), "n_rows", "n_users")
         .orderBy("dt")
     )
+
+
+@register(
+    "compaction_log_roundtrip",
+    tags=("sink", "append", "maintenance"),
+    doc="S14 follow-on: the double-appended daily log (>=2 files per "
+    "day) compacted by connectors.compact_parquet (repartition on the "
+    "partition column -> one file per day, directory swap), then read "
+    "back and aggregated — the oracle is the SAME per-day expectation "
+    "as append_log_sink_roundtrip, so compaction passing means the "
+    "rewrite changed the file layout and nothing else. File-count "
+    "shrinkage itself is asserted in tests/test_connectors.py (counts "
+    "are layout-dependent, so they stay out of the hashed output).",
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d') AS dt,
+               2 * count(*) AS n_rows,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE event_type = 'error'
+        GROUP BY dt
+        ORDER BY dt
+    """,
+)
+def compaction_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.sources.connectors import compact_parquet
+
+    stage = _stage_dir(spark, "compaction_log")
+    shutil.rmtree(stage, ignore_errors=True)
+    errs = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+    )
+    write_append_log(errs, stage)
+    write_append_log(errs, stage)
+    compact_parquet(spark, stage, partition_col="dt")
+    back = spark.read.parquet(stage)
+    return (
+        back.groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(F.col("dt").cast("string").alias("dt"), "n_rows", "n_users")
+        .orderBy("dt")
+    )

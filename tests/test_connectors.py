@@ -295,3 +295,26 @@ def test_blog_index_harvest_filters(spark):
     assert not any("/category/" in u or "/page/" in u or "/about" in u for u in urls)
     # dedupe: each post linked twice in the template, harvested once
     assert len(urls) == len(set(urls))
+
+
+def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
+    from project_orbit_spark.sources.connectors import compact_parquet
+
+    log = str(tmp_path / "log")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d}") for i in range(300)], ["event_id", "dt"]
+    ).repartition(4)
+    for _ in range(3):  # 3 appends x 4 tasks -> many small files per day
+        write_append_log(df, log)
+    from project_orbit_spark.sources.connectors import compact_parquet as cp
+
+    before, after = cp(spark, log, partition_col="dt")
+    assert before > after
+    assert after <= 3, "one file per day partition after compaction"
+    back = spark.read.parquet(log)
+    assert back.count() == 900
+    assert back.select("dt").distinct().count() == 3
+    # re-splitting knob: oversized partitions break into bounded files
+    before2, after2 = cp(spark, log, partition_col="dt", max_records_per_file=100)
+    assert after2 >= 9  # 300 rows/day at <=100 rows/file
+    assert spark.read.parquet(log).count() == 900
