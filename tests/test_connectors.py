@@ -298,7 +298,7 @@ def test_blog_index_harvest_filters(spark):
 
 
 def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
-    from project_orbit_spark.sources.connectors import compact_parquet
+    from project_orbit_spark.sources.connectors import compact_parquet as cp
 
     log = str(tmp_path / "log")
     df = spark.createDataFrame(
@@ -306,8 +306,6 @@ def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
     ).repartition(4)
     for _ in range(3):  # 3 appends x 4 tasks -> many small files per day
         write_append_log(df, log)
-    from project_orbit_spark.sources.connectors import compact_parquet as cp
-
     before, after = cp(spark, log, partition_col="dt")
     assert before > after
     assert after <= 3, "one file per day partition after compaction"
