@@ -468,28 +468,28 @@ _PQ_M = 4  # subspaces
 _PQ_DSUB = 16  # dims per subspace (embeddings fixture is 64-dim)
 
 
-def pq_reconstructions(e: DataFrame) -> DataFrame:
-    """Product-quantization index build, oracle-deterministically:
-    split each vector into _PQ_M contiguous subvectors; the codebook
-    for subspace s is the per-label mean subvector (components rounded
-    6dp, the centroids() discipline — label-derived codewords instead
-    of k-means training keep the build SQL-expressible and so
-    hash-checkable); each vector's code word per subspace is its
-    nearest codeword (euclidean, code_label tie-break); the stored
-    "reconstruction" is the concatenation of its codewords. At 100 TB
-    the recon table is the index artifact: 4 small ints per vector
-    (codebook ids) instead of 64 floats — 64× memory compression —
-    built map-side under a broadcast codebook, no shuffle wider than
-    the vec_id groupBy."""
-    sub = e.select(
+def _pq_sub(e: DataFrame) -> DataFrame:
+    """(vec_id, label, s, subv): each vector split into _PQ_M
+    contiguous subvectors."""
+    return e.select(
         "vec_id",
         "label",
         F.posexplode(
             F.array(*[F.slice("emb", s * _PQ_DSUB + 1, _PQ_DSUB) for s in range(_PQ_M)])
         ).alias("s", "subv"),
     )
-    codebook = (
-        sub.select("s", "label", F.posexplode("subv").alias("dim", "val"))
+
+
+def pq_codebook(e: DataFrame) -> DataFrame:
+    """PQ codebook, oracle-deterministically: the codeword for
+    (subspace s, code_label) is the per-label mean subvector with
+    components rounded 6dp (the centroids() discipline). Label-derived
+    codewords instead of k-means training keep the build
+    SQL-expressible and so hash-checkable. Bounded: _PQ_M × n_labels
+    rows — always a broadcast side."""
+    return (
+        _pq_sub(e)
+        .select("s", "label", F.posexplode("subv").alias("dim", "val"))
         .groupBy("s", "label", "dim")
         .agg(F.round(F.avg("val"), 6).alias("cval"))
         .groupBy("s", "label")
@@ -500,18 +500,42 @@ def pq_reconstructions(e: DataFrame) -> DataFrame:
         )
         .withColumnRenamed("label", "code_label")
     )
+
+
+def pq_codes(e: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, s, code): each vector's nearest codeword id per
+    subspace (euclidean, code_label tie-break). THIS is the stored
+    index artifact at 100 TB — _PQ_M small ints per vector instead of
+    the raw floats (64 dims × float32 → 4 bytes of codes: 64×
+    compression) — computed map-side under the broadcast codebook."""
     w = Window.partitionBy("vec_id", "s").orderBy(F.asc("dist"), F.asc("code_label"))
-    codes = (
-        sub.join(F.broadcast(codebook), "s")
+    return (
+        _pq_sub(e)
+        .join(F.broadcast(codebook), "s")
         .withColumn("dist", euclidean(F.col("subv"), F.col("cw")))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "cw")
+        .select("vec_id", "s", F.col("code_label").alias("code"))
     )
-    return codes.groupBy("vec_id").agg(
-        F.flatten(
-            F.transform(F.array_sort(F.collect_list(F.struct("s", "cw"))), lambda x: x["cw"])
-        ).alias("recon")
+
+
+def pq_reconstructions(e: DataFrame, codebook: DataFrame | None = None, codes: DataFrame | None = None) -> DataFrame:
+    """(vec_id, recon): codewords looked up from the (broadcast)
+    codebook by stored code id, concatenated in subspace order —
+    query-time decode of the compressed index, the asymmetric-distance
+    read path. Callers pass persisted codes/codebook for the warm
+    (serving) path; defaults rebuild both inline (cold path)."""
+    cb = codebook if codebook is not None else pq_codebook(e)
+    cd = codes if codes is not None else pq_codes(e, cb)
+    return (
+        cd.join(F.broadcast(cb), (cd.s == cb.s) & (cd.code == cb.code_label))
+        .select("vec_id", cd.s.alias("s"), "cw")
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(F.array_sort(F.collect_list(F.struct("s", "cw"))), lambda x: x["cw"])
+            ).alias("recon")
+        )
     )
 
 
@@ -619,41 +643,51 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_RECON_CACHE: dict[tuple[str, str], DataFrame] = register_df_cache({})
+_PQ_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = register_df_cache({})
 
 
-def warm_pq_recons(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Precompute + persist the PQ reconstruction table once per
-    (session, sf_dir) — at 100 TB the PQ index is the stored serving
-    artifact (codebooks train offline; vectors encode at ingest), so
-    the steady-state query cost is routing + one bucket of ADC
-    scoring, which is what the _warm twin times."""
+def warm_pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Precompute + persist the PQ index — the CODES table (4 small
+    ints per vector, the 64×-compressed artifact) and the bounded
+    codebook — once per (session, sf_dir). At 100 TB codebooks train
+    offline and vectors encode at ingest; the steady-state query cost
+    is routing + codeword lookup + one bucket of asymmetric scoring,
+    which is what the _warm twin times. Persisting materialized
+    reconstructions instead would store 64 doubles per vector — twice
+    the RAW float32 vectors — defeating the point of PQ."""
     key = (cache_token(spark), sf_dir)
-    if key not in _PQ_RECON_CACHE:
-        r = pq_reconstructions(_emb(spark, sf_dir)).persist()
-        r.count()
-        _PQ_RECON_CACHE[key] = r
-    return _PQ_RECON_CACHE[key]
+    cb_key, cd_key = (*key, "codebook"), (*key, "codes")
+    if cd_key not in _PQ_INDEX_CACHE:
+        cb = pq_codebook(_emb(spark, sf_dir)).persist()
+        cb.count()
+        cd = pq_codes(_emb(spark, sf_dir), cb).persist()
+        cd.count()
+        _PQ_INDEX_CACHE[cb_key] = cb
+        _PQ_INDEX_CACHE[cd_key] = cd
+    return _PQ_INDEX_CACHE[cb_key], _PQ_INDEX_CACHE[cd_key]
 
 
 @register(
     "ann_ivf_pq_topk_warm",
     bench=True,
     tags=("similarity", "ann", "pq"),
-    doc="ann_ivf_pq_topk with the PQ reconstruction table AND coarse "
-    "centroids persisted ahead of time (prepare hook, outside the "
-    "bench timer): measures the steady-state IVF-PQ serving cost "
-    "alone. Same output, same oracle as the cold twin.",
+    doc="ann_ivf_pq_topk with the PQ index (codes + codebook) AND "
+    "coarse centroids persisted ahead of time (prepare hook, outside "
+    "the bench timer): measures the steady-state IVF-PQ serving cost "
+    "alone — routing, codeword lookup from the compressed codes, one "
+    "bucket of asymmetric scoring. Same output, same oracle as the "
+    "cold twin.",
     oracle=_PQ_ORACLE,
     prepare=lambda spark, sf_dir: (
         warm_centroids(spark, sf_dir),
-        warm_pq_recons(spark, sf_dir),
+        warm_pq_index(spark, sf_dir),
     )
     and None,
 )
 def ann_ivf_pq_topk_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    recon = warm_pq_recons(spark, sf_dir)
+    cb, cd = warm_pq_index(spark, sf_dir)
+    recon = pq_reconstructions(e, codebook=cb, codes=cd)
     cent = warm_centroids(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("emb").alias("qe"))
     routed_w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("bucket"))
