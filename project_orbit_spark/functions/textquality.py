@@ -320,3 +320,91 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "bigram_logprob_scores",
+    tags=("text", "quality", "langmodel"),
+    doc="Bigram-interpolated LM quality scoring — the next tier above "
+    "unigram_logprob_scores on the road to KenLM-style perplexity "
+    "filtering (CCNet trains 5-gram models; interpolation is the "
+    "same machinery at n=2): per-bigram "
+    "ln(0.7*p(w2|w1) + 0.3*p_uni(w2)) averaged per document, where "
+    "p(w2|w1) = c(w1,w2)/c(w1·) from the corpus itself. Bigrams are "
+    "formed ARRAY-SIDE (zip_with of two token-array slices in one "
+    "projection) so pairing needs no per-doc window shuffle and the "
+    "derived split() stays O(len) per document, not O(len^2) — the "
+    "CollapseProject discipline from operators/dedup.py. Plan at "
+    "100 TB: three count tables (bigram, context, unigram) are hash "
+    "aggregates with map-side partials; in production they are "
+    "persisted vocabulary artifacts, and the probe joins are "
+    "AQE-broadcast when the vocab fits. Docs with <2 tokens have no "
+    "bigrams and drop out, identically in both engines. avg rounded "
+    "4dp per the registry's float-summation convention.",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS ts
+          FROM documents
+        ),
+        big AS (
+          SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+          FROM base, UNNEST(range(1, len(ts))) AS t(i)
+        ),
+        tok AS (
+          SELECT doc_id, ts[i] AS token
+          FROM base, UNNEST(range(1, len(ts) + 1)) AS t(i)
+        ),
+        freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1)
+        SELECT b.doc_id,
+               count(*) AS n_bigrams,
+               round(avg(ln(
+                 0.7 * (c2.c2::DOUBLE / c1.c1) +
+                 0.3 * (f.cnt::DOUBLE / tot.total)
+               )), 4) AS avg_logprob
+        FROM big b
+        JOIN c2 USING (w1, w2)
+        JOIN c1 USING (w1)
+        JOIN freq f ON f.token = b.w2, tot
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id
+    """,
+)
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.lower("text")), r"\s+")
+    pair = F.zip_with(
+        F.slice(ts, 1, F.size(ts) - 1),
+        F.slice(ts, 2, F.size(ts) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = d.select("doc_id", F.explode(pair).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    tok = d.select("doc_id", F.explode(ts).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    lp = F.log(
+        0.7 * (F.col("c2").cast("double") / F.col("c1"))
+        + 0.3 * (F.col("cnt").cast("double") / F.col("total"))
+    )
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(freq, F.col("token") == F.col("w2"))
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -182,6 +182,7 @@ _DRIVER_PRIORITY = (
     "ann_ivf_pq_topk",              # r6: product-quantized IVF tier
     "ann_ivf_pq_topk_warm",         # r6: persisted PQ index serving cost
     "compaction_log_roundtrip",     # r6: small-file compaction maintenance op
+    "bigram_logprob_scores",        # r6: interpolated bigram LM quality tier
     # --- changed in round 6 ---
     "incremental_minhash_dedup",    # r6: persisted warm_band_index path
     "simhash_hamming_dups",         # r6: refactored through _simhash_pairs
