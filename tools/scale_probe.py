@@ -65,6 +65,7 @@ QUERIES = (
     "benchmark_contamination",  # broadcast 8-gram contamination scan
     "heavy_hitters_two_pass",   # MG candidates + exact confirm
     "ann_ivf_pq_topk",          # IVF-PQ quantized scoring tier
+    "bigram_logprob_scores",    # interpolated bigram LM quality tier
     "corpus_shuffle_shards",    # deterministic training shuffle
     # relational star-schema facts (customer/orders/lineitem replicated
     # with consistent keys; dims stay base-size and broadcast)
