@@ -703,3 +703,49 @@ def q18_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(50)
     )
+
+
+@register(
+    "order_count_distribution",
+    tags=("relational", "join", "agg"),
+    doc="TPC-H Q13-shaped activity distribution: customers LEFT "
+    "JOINed to their orders with a predicate INSIDE the join "
+    "condition (urgent-priority orders only) — the classic outer-join "
+    "semantics trap, since filtering in WHERE would silently drop the "
+    "zero-order customers the query exists to count — then a "
+    "two-level aggregation: orders per customer, customers per order "
+    "count. Scale shape: the first aggregate shuffles on the "
+    "high-cardinality customer key (map-side partials), the second is "
+    "tiny; the oracle catches any ON-vs-WHERE mistranslation because "
+    "the n_orders=0 row vanishes under the wrong semantics.",
+    oracle="""
+        SELECT n_orders, count(*) AS n_customers
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+          FROM customer c
+          LEFT JOIN orders o
+            ON o.o_custkey = c.c_custkey
+           AND o.o_orderpriority = '1-URGENT'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY n_orders
+        ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_customer = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey) & (o.o_orderpriority == "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_customer.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
