@@ -384,3 +384,35 @@ def compact_parquet(
     os.rename(staging, path)
     shutil.rmtree(old, ignore_errors=True)
     return before, _count_files(path)
+
+
+def expire_partitions(
+    spark: SparkSession,  # noqa: ARG001 — signature symmetry with the other sinks
+    path: str,
+    *,
+    partition_col: str = "dt",
+    keep_latest: int,
+) -> list[str]:
+    """Retention for the append-log layout — compaction's lifecycle
+    sibling: drop every ``partition_col=<value>`` directory except the
+    ``keep_latest`` lexicographically-newest values (dt strings are
+    ISO dates, so lexicographic = chronological). Directory-level
+    deletes only — never rewrites surviving data, so cost is O(dropped
+    partitions) regardless of table size, the property that makes
+    daily retention affordable at 100 TB. On a lake format this is
+    DELETE + VACUUM / expire_snapshots, transactional by design —
+    same upgrade gate as compact_parquet. Returns the dropped values
+    (oldest first) so callers can log/audit the retention action."""
+    import os
+    import shutil
+
+    prefix = f"{partition_col}="
+    vals = sorted(
+        e.name[len(prefix):]
+        for e in os.scandir(path)
+        if e.is_dir() and e.name.startswith(prefix)
+    )
+    drop = vals[:-keep_latest] if keep_latest > 0 else vals
+    for v in drop:
+        shutil.rmtree(os.path.join(path, prefix + v))
+    return drop

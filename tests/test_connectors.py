@@ -316,3 +316,23 @@ def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
     before2, after2 = cp(spark, log, partition_col="dt", max_records_per_file=100)
     assert after2 >= 9  # 300 rows/day at <=100 rows/file
     assert spark.read.parquet(log).count() == 900
+
+
+def test_expire_partitions_drops_oldest_keeps_rows(spark, tmp_path):
+    from project_orbit_spark.sources.connectors import expire_partitions
+
+    log = str(tmp_path / "log")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 5:02d}") for i in range(100)], ["event_id", "dt"]
+    )
+    write_append_log(df, log)
+    dropped = expire_partitions(spark, log, keep_latest=2)
+    assert dropped == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    back = spark.read.parquet(log)
+    # read-back infers the partition value as a DATE — compare as strings
+    days = {r["dt"] for r in back.select(F.col("dt").cast("string")).distinct().collect()}
+    assert days == {"2024-01-04", "2024-01-05"}
+    # surviving rows untouched (no rewrite): exact expected count
+    assert back.count() == df.filter(F.col("dt") > "2024-01-03").count()
+    # idempotent: nothing more to drop at the same horizon
+    assert expire_partitions(spark, log, keep_latest=2) == []
