@@ -10,9 +10,14 @@ accuracy 10k).  ``heavy_hitters_two_pass`` is the third sketch but
 carries a FULL oracle: the exact second pass makes the Misra-Gries
 candidate stage semantically invisible (see its docstring).
 
-Scale notes: all are single-pass (or two-scan), mergeable,
-fixed-memory summaries — partial sketches merge at the reducer, so
+Scale notes: the HLL++/percentile sketches are single-pass, mergeable,
+fixed-memory aggregates — partial sketches merge at the reducer, so
 they shuffle O(sketch) bytes per group instead of O(distinct values).
+Heavy hitters is two data scans (MG candidates, exact confirm) plus a
+column-pruned count(*) for the denominator (footer-metadata cheap on
+parquet); folding per-partition row counts into the MG summary would
+drop the count scan but make the summary a two-consumer plan that
+recomputes pass 1 — the wrong trade.
 """
 
 from __future__ import annotations

@@ -183,6 +183,7 @@ _DRIVER_PRIORITY = (
     "ann_ivf_pq_topk_warm",         # r6: persisted PQ index serving cost
     "compaction_log_roundtrip",     # r6: small-file compaction maintenance op
     "bigram_logprob_scores",        # r6: interpolated bigram LM quality tier
+    "order_count_distribution",     # r6: Q13-shape ON-clause outer join
     # --- changed in round 6 ---
     "incremental_minhash_dedup",    # r6: persisted warm_band_index path
     "simhash_hamming_dups",         # r6: refactored through _simhash_pairs

@@ -285,10 +285,13 @@ _IVF_ORACLE = f"""
     """
 
 
-def ivf_topk(e: DataFrame, cent: DataFrame) -> DataFrame:
+def ivf_topk(e: DataFrame, cent: DataFrame, recon: DataFrame | None = None) -> DataFrame:
     """IVF core against a caller-supplied centroid table: route each
-    query to its nearest centroid (broadcast routing), exact cosine
-    within that bucket only (nprobe=1)."""
+    query to its nearest centroid (broadcast routing), cosine within
+    that bucket only (nprobe=1). With ``recon``, bucket members score
+    against their PQ reconstructions instead of raw vectors — the
+    asymmetric-distance IVF-PQ read path; the routing, tie-break,
+    rank, and rounding contract stays single-source either way."""
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("emb").alias("qe"))
     routed_w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("bucket"))
     routed = (
@@ -298,10 +301,14 @@ def ivf_topk(e: DataFrame, cent: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("qid", "qe", "bucket")
     )
-    scored = F.broadcast(routed).join(
+    bucket = F.broadcast(routed).join(
         e, (e.label == F.col("bucket")) & (e.vec_id != F.col("qid"))
-    ).select(
-        "qid", "bucket", F.col("vec_id").alias("cid"), cosine(F.col("qe"), F.col("emb")).alias("score")
+    )
+    if recon is not None:
+        bucket = bucket.join(recon, "vec_id")
+    target = F.col("recon") if recon is not None else F.col("emb")
+    scored = bucket.select(
+        "qid", "bucket", F.col("vec_id").alias("cid"), cosine(F.col("qe"), target).alias("score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
     return (
@@ -613,34 +620,7 @@ _PQ_ORACLE = f"""
 )
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    recon = pq_reconstructions(e)
-    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("emb").alias("qe"))
-    routed_w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("bucket"))
-    routed = (
-        q.crossJoin(F.broadcast(centroids(e).withColumnRenamed("label", "bucket")))
-        .withColumn("dist", euclidean(F.col("qe"), F.col("cvec")))
-        .withColumn("rn", F.row_number().over(routed_w))
-        .filter(F.col("rn") == 1)
-        .select("qid", "qe", "bucket")
-    )
-    scored = (
-        F.broadcast(routed)
-        .join(e, (e.label == F.col("bucket")) & (e.vec_id != F.col("qid")))
-        .join(recon, "vec_id")
-        .select(
-            "qid",
-            "bucket",
-            F.col("vec_id").alias("cid"),
-            cosine(F.col("qe"), F.col("recon")).alias("score"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
-        .select("qid", "bucket", "cid", F.round("score", 6).alias("score"), "rank")
-        .orderBy("qid", "rank")
-    )
+    return ivf_topk(e, centroids(e), recon=pq_reconstructions(e))
 
 
 _PQ_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = register_df_cache({})
@@ -687,32 +667,8 @@ def warm_pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
 def ann_ivf_pq_topk_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     cb, cd = warm_pq_index(spark, sf_dir)
-    recon = pq_reconstructions(e, codebook=cb, codes=cd)
-    cent = warm_centroids(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("emb").alias("qe"))
-    routed_w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("bucket"))
-    routed = (
-        q.crossJoin(F.broadcast(cent.withColumnRenamed("label", "bucket")))
-        .withColumn("dist", euclidean(F.col("qe"), F.col("cvec")))
-        .withColumn("rn", F.row_number().over(routed_w))
-        .filter(F.col("rn") == 1)
-        .select("qid", "qe", "bucket")
-    )
-    scored = (
-        F.broadcast(routed)
-        .join(e, (e.label == F.col("bucket")) & (e.vec_id != F.col("qid")))
-        .join(recon, "vec_id")
-        .select(
-            "qid",
-            "bucket",
-            F.col("vec_id").alias("cid"),
-            cosine(F.col("qe"), F.col("recon")).alias("score"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
-        .select("qid", "bucket", "cid", F.round("score", 6).alias("score"), "rank")
-        .orderBy("qid", "rank")
+    return ivf_topk(
+        e,
+        warm_centroids(spark, sf_dir),
+        recon=pq_reconstructions(e, codebook=cb, codes=cd),
     )

@@ -406,13 +406,17 @@ def expire_partitions(
     import os
     import shutil
 
+    if keep_latest < 1:
+        # a dynamically-computed horizon underflowing to <=0 must not
+        # silently become "delete every partition"
+        raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
     prefix = f"{partition_col}="
     vals = sorted(
         e.name[len(prefix):]
         for e in os.scandir(path)
         if e.is_dir() and e.name.startswith(prefix)
     )
-    drop = vals[:-keep_latest] if keep_latest > 0 else vals
+    drop = vals[:-keep_latest]
     for v in drop:
         shutil.rmtree(os.path.join(path, prefix + v))
     return drop

@@ -44,11 +44,12 @@ def test_pq_recall_floor_vs_exact_ivf(spark):
     sf0.001/sf0.01 (label-derived codebooks over near-isotropic
     synthetic embeddings are a coarse quantizer). Floor well below
     the measurement but far above random (5/bucket_size ~ 0.1)."""
-    exact = {(r["qid"], r["cid"]) for r in ann_ivf_topk(spark, SF_DIR).collect()}
+    exact_rows = ann_ivf_topk(spark, SF_DIR).collect()
+    exact = {(r["qid"], r["cid"]) for r in exact_rows}
     pq_rows = ann_ivf_pq_topk(spark, SF_DIR).collect()
     pq = {(r["qid"], r["cid"]) for r in pq_rows}
     assert len(exact & pq) / len(exact) >= 0.15
     # same routing: PQ and exact IVF must agree on every query's bucket
-    exact_buckets = {r["qid"]: r["bucket"] for r in ann_ivf_topk(spark, SF_DIR).collect()}
+    exact_buckets = {r["qid"]: r["bucket"] for r in exact_rows}
     for r in pq_rows:
         assert r["bucket"] == exact_buckets[r["qid"]]

@@ -345,7 +345,10 @@ def test_stream_restart_from_checkpoint_processes_only_new_files(spark, tmp_path
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        finished = q.awaitTermination(120)
+        if not finished:
+            q.stop()
+        assert finished, "availableNow run did not finish within 120s"
         seen_per_run.append(seen["rows"])
 
     run_available_now()
