@@ -363,3 +363,31 @@ def test_span_contamination_detects_copies(spark):
     # on average the copies dominate: most windows predate the tail
     avg = sum(r["dup_ratio"] for r in rows) / len(rows)
     assert avg > 0.5, avg
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=2000),
+    st.integers(min_value=8, max_value=64),
+    st.integers(min_value=1, max_value=7),
+)
+def test_mg_summary_never_loses_a_heavy_item(stream, cap, n_batches):
+    """The Misra-Gries guarantee heavy_hitters_two_pass rests on,
+    adversarially: for ANY stream and ANY batch split, every item with
+    count > n/(cap+1) must survive the capacity-cap compression.
+    (Pure pandas kernel — no Spark job per example.)"""
+    import pandas as pd
+
+    from project_orbit_spark.operators.sketches import make_mg_candidates
+
+    items = [f"k{v}" for v in stream]
+    n = len(items)
+    step = max(1, n // n_batches)
+    batches = [pd.DataFrame({"item": items[i : i + step]}) for i in range(0, n, step)]
+    out = list(make_mg_candidates(cap)(iter(batches)))
+    cands = set(out[0]["item"]) if out else set()
+    assert len(cands) <= cap
+    counts = pd.Series(items).value_counts()
+    for item, cnt in counts.items():
+        if cnt > n / (cap + 1):
+            assert item in cands, (item, cnt, n, cap)
