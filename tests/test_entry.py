@@ -92,3 +92,16 @@ def test_registered_fn_names_match_registry_names():
     for name, q in registry.all_queries().items():
         expect = aliases.get(name, name)
         assert q.fn.__name__ == expect, (name, q.fn.__name__)
+
+
+def test_driver_priority_entries_are_registered():
+    # a typo'd _DRIVER_PRIORITY name is silently ignored by
+    # _driver_order, quietly dropping that query's guaranteed slot in
+    # the driver's first-50 sample — fail loudly instead
+    from project_orbit_spark import registry
+
+    qs = set(registry.all_queries())
+    missing = [n for n in registry._DRIVER_PRIORITY if n not in qs]
+    assert not missing, f"priority entries not in registry: {missing}"
+    # and the priority head must fit the driver's sample window
+    assert len(registry._DRIVER_PRIORITY) <= 50
