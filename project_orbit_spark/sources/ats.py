@@ -476,3 +476,90 @@ def ats_html_vendor_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "url")
     )
+
+
+@register(
+    "greenhouse_board_discovery",
+    tags=("source", "ats", "html"),
+    doc="Greenhouse board-token discovery (ref src/ats_extractor.py:"
+    "119-146): method 1 scans <script> bodies for the boardToken "
+    "assignment (either quote style, ':' or '='), method 2 falls back "
+    "to greenhouse.io iframe srcs' for= parameter, and a found token "
+    "derives the boards-api jobs endpoint the reference then fetches "
+    "(the fetch itself is the documented network seam). Templated "
+    "pages rotate discovery method by doc_id%3 and carry decoys — a "
+    "tokenless script everywhere and, on script pages, a greenhouse "
+    "iframe with a WRONG token — so the hash also pins the "
+    "reference's script-before-iframe precedence. All JVM regex "
+    "(regexp_extract_all + filter + get), no Python in the path.",
+    oracle="""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'script' WHEN 1 THEN 'iframe'
+                    ELSE 'none' END AS method,
+               CASE WHEN doc_id % 3 < 2 THEN 'board' || CAST(doc_id AS VARCHAR)
+                    END AS board_token,
+               CASE WHEN doc_id % 3 < 2
+                    THEN 'https://boards-api.greenhouse.io/v1/boards/board'
+                         || CAST(doc_id AS VARCHAR) || '/jobs'
+                    END AS api_url
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def greenhouse_board_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    tok = F.concat(F.lit("board"), F.col("doc_id").cast("string"))
+    # script assignment rotates quote/operator style so both regex arms
+    # of the reference pattern are exercised
+    script_a = F.concat(F.lit('<script>var c={"boardToken":"'), tok, F.lit('"};</script>'))
+    script_b = F.concat(F.lit("<script>boardToken = '"), tok, F.lit("';</script>"))
+    token_script = F.when(F.col("doc_id") % 2 == 0, script_a).otherwise(script_b)
+    decoy_script = F.lit("<script>var analytics = {ready: true};</script>")
+    gh_iframe = F.concat(
+        F.lit('<iframe src="https://boards.greenhouse.io/embed/job_board?for='),
+        tok,
+        F.lit('&b=1"></iframe>'),
+    )
+    wrong_iframe = F.concat(
+        F.lit('<iframe src="https://boards.greenhouse.io/embed/job_board?for=wrong'),
+        F.col("doc_id").cast("string"),
+        F.lit('"></iframe>'),
+    )
+    other_iframe = F.lit('<iframe src="https://maps.example.com/embed?q=hq"></iframe>')
+    variant = F.col("doc_id") % 3
+    html = F.concat(
+        F.lit("<html><head>"),
+        decoy_script,
+        F.when(variant == 0, F.concat(token_script, wrong_iframe))
+        .when(variant == 1, F.concat(gh_iframe))
+        .otherwise(other_iframe),
+        F.lit("</head><body>Careers</body></html>"),
+    )
+    page = d.select("doc_id", html.alias("html"))
+
+    scripts = F.regexp_extract_all("html", F.lit(r"(?s)<script[^>]*>(.*?)</script>"), 1)
+    first_tok_script = F.get(F.filter(scripts, lambda s: s.contains("boardToken")), 0)
+    script_token = F.nullif(
+        F.regexp_extract(
+            first_tok_script, r"""boardToken["']?\s*[:=]\s*["']([^"']+)["']""", 1
+        ),
+        F.lit(""),
+    )
+    iframes = F.regexp_extract_all("html", F.lit(r'<iframe[^>]*src="([^"]*)"'), 1)
+    first_gh = F.get(F.filter(iframes, lambda s: s.contains("greenhouse.io")), 0)
+    iframe_token = F.nullif(F.regexp_extract(first_gh, r'for=([^&"]+)', 1), F.lit(""))
+    token = F.coalesce(script_token, iframe_token)
+    return page.select(
+        "doc_id",
+        F.when(script_token.isNotNull(), "script")
+        .when(iframe_token.isNotNull(), "iframe")
+        .otherwise("none")
+        .alias("method"),
+        token.alias("board_token"),
+        F.when(
+            token.isNotNull(),
+            F.concat(
+                F.lit("https://boards-api.greenhouse.io/v1/boards/"), token, F.lit("/jobs")
+            ),
+        ).alias("api_url"),
+    ).orderBy("doc_id")
