@@ -1116,3 +1116,219 @@ def html_class_pattern_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(template_then_parse, CLASS_JOBS_SCHEMA).orderBy(
         "doc_id", "title"
     )
+
+
+NAV_SCHEMA = "doc_id long, region string, pos long, text string, href string, meta string"
+
+
+def make_nav_extractor():
+    """Navigation-structure extraction as a closure (pickled by value
+    for foreign-cwd workers). Mirrors extract_navigation_structure
+    (ref src/scraper_v2.py:905-947): anchors inside <nav>/<header>
+    elements become main_nav rows (meta = space-joined classes),
+    anchors inside the FIRST <footer> become footer rows (meta = the
+    reference's category, the stripped text lowercased), anchors
+    inside the first breadcrumb-classed <nav>/<ol>/<ul> become
+    breadcrumbs rows (meta null); hrefs resolve against the page base
+    with urljoin, matching the reference exactly; anchors outside all
+    three regions are ignored."""
+
+    def extract(batches):
+        import pandas as _pd
+        from html.parser import HTMLParser
+        from urllib.parse import urljoin
+
+        class NavParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.nav_depth = 0
+                self.footer_depth = 0
+                self.crumb_depth = 0
+                self.footers_seen = 0
+                self.crumb_container_taken = False
+                self.in_a: dict | None = None
+                self.rows: list[tuple[str, str, str, list[str]]] = []
+
+            def handle_starttag(self, tag, attrs):
+                a = dict(attrs)
+                cls = a.get("class", "")
+                if tag in ("nav", "ol", "ul") and "breadcrumb" in cls.lower():
+                    if not self.crumb_container_taken:
+                        self.crumb_depth += 1
+                        self.crumb_tag = tag
+                    return
+                if tag in ("nav", "header"):
+                    self.nav_depth += 1
+                elif tag == "footer":
+                    self.footers_seen += 1
+                    if self.footers_seen == 1:
+                        self.footer_depth += 1
+                elif tag == "a" and "href" in a:
+                    region = (
+                        "breadcrumbs"
+                        if self.crumb_depth
+                        else "footer"
+                        if self.footer_depth
+                        else "main_nav"
+                        if self.nav_depth
+                        else None
+                    )
+                    if region:
+                        self.in_a = {
+                            "region": region,
+                            "href": a["href"],
+                            "classes": a.get("class", "").split(),
+                            "text": [],
+                        }
+
+            def handle_data(self, data):
+                if self.in_a is not None:
+                    self.in_a["text"].append(data)
+
+            def handle_endtag(self, tag):
+                if tag == "a" and self.in_a is not None:
+                    cur = self.in_a
+                    self.rows.append(
+                        (cur["region"], "".join(cur["text"]).strip(), cur["href"], cur["classes"])
+                    )
+                    self.in_a = None
+                elif tag in ("nav", "header") and self.nav_depth:
+                    self.nav_depth -= 1
+                elif tag == "footer" and self.footer_depth:
+                    self.footer_depth -= 1
+                    self.crumb_container_taken = self.crumb_container_taken or False
+                elif tag in ("nav", "ol", "ul") and self.crumb_depth:
+                    self.crumb_depth -= 1
+                    self.crumb_container_taken = True
+
+            def handle_startendtag(self, tag, attrs):
+                self.handle_starttag(tag, attrs)
+
+        def walk(doc_id: int, base: str, html: str):
+            p = NavParser()
+            p.feed(html)
+            counters: dict[str, int] = {}
+            for region, text, href, classes in p.rows:
+                counters[region] = counters.get(region, 0) + 1
+                meta = (
+                    " ".join(classes)
+                    if region == "main_nav"
+                    else text.lower()
+                    if region == "footer"
+                    else None
+                )
+                yield {
+                    "doc_id": doc_id,
+                    "region": region,
+                    "pos": counters[region],
+                    "text": text,
+                    "href": urljoin(base, href),
+                    "meta": meta,
+                }
+
+        for pdf in batches:
+            rows = [
+                r
+                for _, row in pdf.iterrows()
+                for r in walk(int(row["doc_id"]), row["base_url"], row["html"])
+            ]
+            out = _pd.DataFrame(
+                rows, columns=["doc_id", "region", "pos", "text", "href", "meta"]
+            )
+            yield out.astype({"doc_id": "int64", "pos": "int64"}) if len(out) else _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(dtype="int64"),
+                    "region": _pd.Series(dtype="str"),
+                    "pos": _pd.Series(dtype="int64"),
+                    "text": _pd.Series(dtype="str"),
+                    "href": _pd.Series(dtype="str"),
+                    "meta": _pd.Series(dtype="str"),
+                }
+            )
+
+    return extract
+
+
+@register(
+    "nav_structure_extract",
+    tags=("html", "extract", "pandas_udf"),
+    doc="Navigation-structure extraction (ref src/scraper_v2.py:"
+    "905-947): main-nav anchors from every <nav>/<header> (meta = the "
+    "anchor's classes), footer anchors from the FIRST <footer> (meta "
+    "= the reference's category, lowercased text), breadcrumb anchors "
+    "from the first breadcrumb-classed container, all hrefs resolved "
+    "with urljoin against the page base — templated pages carry "
+    "root-relative, page-relative, and absolute hrefs plus an "
+    "outside-all-regions decoy anchor, so the hash pins the region "
+    "scoping AND the urljoin semantics (page-relative 'news' must "
+    "resolve to /products/news, not /news). Breadcrumbs rotate off "
+    "every 4th page.",
+    oracle="""
+        WITH d AS (
+          SELECT doc_id, 'https://co' || CAST(doc_id AS VARCHAR) || '.com' AS origin
+          FROM documents
+        )
+        SELECT doc_id, region, pos, text, href, meta FROM (
+          SELECT doc_id, 'main_nav' AS region, CAST(1 AS BIGINT) AS pos,
+                 'About' AS text, origin || '/about' AS href, '' AS meta FROM d
+          UNION ALL SELECT doc_id, 'main_nav', 2, 'Jobs',
+                 origin || '/jobs', 'cta primary' FROM d
+          UNION ALL SELECT doc_id, 'main_nav', 3, 'News',
+                 origin || '/products/news', '' FROM d
+          UNION ALL SELECT doc_id, 'footer', 1, 'Privacy Policy',
+                 origin || '/privacy', 'privacy policy' FROM d
+          UNION ALL SELECT doc_id, 'footer', 2, 'Terms',
+                 origin || '/terms', 'terms' FROM d
+          UNION ALL SELECT doc_id, 'breadcrumbs', 1, 'Home',
+                 origin || '/', CAST(NULL AS VARCHAR) FROM d WHERE doc_id % 4 <> 0
+          UNION ALL SELECT doc_id, 'breadcrumbs', 2, 'Products',
+                 origin || '/products', CAST(NULL AS VARCHAR) FROM d WHERE doc_id % 4 <> 0
+        )
+        ORDER BY doc_id, region, pos
+    """,
+)
+def nav_structure_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    inner = make_nav_extractor()
+
+    def template_then_parse(batches):
+        def nav_page(doc_id: int) -> str:
+            co = f"co{doc_id}"
+            crumb = (
+                f'<ol class="crumbs breadcrumb-path"><li><a href="/">Home</a></li>'
+                f'<li><a href="/products">Products</a></li></ol>'
+                if doc_id % 4 != 0
+                else ""
+            )
+            return (
+                "<html><body>"
+                f'<nav><a href="/about">About</a>'
+                f'<a class="cta primary" href="https://{co}.com/jobs">Jobs</a></nav>'
+                f'<header><a href="news">News</a></header>'
+                f"{crumb}"
+                f'<p>Visit <a href="/ignored">this decoy</a> outside regions.</p>'
+                f'<footer><a href="/privacy">Privacy Policy</a>'
+                f'<a href="/terms">Terms</a></footer>'
+                "</body></html>"
+            )
+
+        def paged():
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "base_url": pdf["doc_id"].map(
+                            lambda i: f"https://co{i}.com/products/page"
+                        ),
+                        "html": pdf["doc_id"].map(nav_page),
+                    }
+                )
+
+        yield from inner(paged())
+
+    return d.mapInPandas(template_then_parse, NAV_SCHEMA).orderBy(
+        "doc_id", "region", "pos"
+    )

@@ -286,3 +286,31 @@ class TestTagSoupFuzz:
             run_all(make_class_pattern_job_extractor(), [html])
 
         check()
+
+
+def test_nav_extractor_region_scoping_on_messy_html():
+    import pandas as pd
+
+    from project_orbit_spark.functions.html_extract import make_nav_extractor
+
+    html = (
+        "<body>"
+        "<nav><a href='/a'>A<b>!</b></a></nav>"          # nested inline tag in text
+        "<a href='/outside'>skip</a>"                     # outside all regions
+        "<footer><a href='x'>First Footer</a></footer>"
+        "<footer><a href='/second'>Second Footer</a></footer>"  # ref takes FIRST only
+        "<ul class='breadcrumb'><a href='/b1'>B1</a></ul>"
+        "<ol class='breadcrumb'><a href='/b2'>B2</a></ol>"      # first container only
+        "</body>"
+    )
+    pdf = pd.DataFrame(
+        {"doc_id": [1], "base_url": ["https://x.com/p/q"], "html": [html]}
+    )
+    out = pd.concat(list(make_nav_extractor()(iter([pdf]))))
+    rows = {(r.region, r.text): r.href for r in out.itertuples()}
+    assert rows[("main_nav", "A!")] == "https://x.com/a"
+    assert rows[("footer", "First Footer")] == "https://x.com/p/x"  # page-relative join
+    assert ("footer", "Second Footer") not in rows
+    assert rows[("breadcrumbs", "B1")] == "https://x.com/b1"
+    assert ("breadcrumbs", "B2") not in rows
+    assert not [k for k in rows if k[1] == "skip"]
