@@ -1332,3 +1332,712 @@ def nav_structure_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(template_then_parse, NAV_SCHEMA).orderBy(
         "doc_id", "region", "pos"
     )
+
+
+LINKS_SCHEMA = (
+    "doc_id long, pos long, href string, full_url string, text string, "
+    "title string, category string, is_external long, is_same_domain long"
+)
+
+_LINK_CATEGORIES = (
+    ("careers", ("/career", "/job", "/join")),
+    ("about", ("/about", "/company")),
+    ("blog", ("/blog", "/news", "/post")),
+    ("team", ("/team", "/leadership")),
+    ("product", ("/product", "/platform")),
+    ("pricing", ("/pricing", "/plans")),
+    ("contact", ("/contact",)),
+)
+
+
+def make_link_inventory_extractor():
+    """Full-page link inventory as a closure (pickled by value).
+    Mirrors extract_all_links (ref src/scraper_v2.py:182-228): every
+    <a href>, href resolved with urljoin, domain flags from the
+    resolved netloc (netloc-less hrefs are same-domain and not
+    external, the reference's defaults), and the 7-rung category
+    ladder applied to the RAW href lowercased, first match wins, in
+    the reference's exact order."""
+    cats = _LINK_CATEGORIES
+
+    def extract(batches):
+        import pandas as _pd
+        from html.parser import HTMLParser
+        from urllib.parse import urljoin, urlparse
+
+        class LinkParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.cur: dict | None = None
+                self.links: list[dict] = []
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "a":
+                    a = dict(attrs)
+                    if "href" in a:
+                        self.cur = {"href": a["href"], "title": a.get("title", ""), "text": []}
+
+            def handle_data(self, data):
+                if self.cur is not None:
+                    self.cur["text"].append(data)
+
+            def handle_endtag(self, tag):
+                if tag == "a" and self.cur is not None:
+                    self.links.append(self.cur)
+                    self.cur = None
+
+        def walk(doc_id: int, base: str, html: str):
+            base_netloc = urlparse(base).netloc
+            p = LinkParser()
+            p.feed(html)
+            for pos, ln in enumerate(p.links, start=1):
+                href = ln["href"]
+                full = urljoin(base, href)
+                netloc = urlparse(full).netloc
+                low = href.lower()
+                category = next(
+                    (c for c, kws in cats if any(k in low for k in kws)), "other"
+                )
+                yield {
+                    "doc_id": doc_id,
+                    "pos": pos,
+                    "href": href,
+                    "full_url": full,
+                    "text": "".join(ln["text"]).strip(),
+                    "title": ln["title"],
+                    "category": category,
+                    "is_external": int(netloc != base_netloc) if netloc else 0,
+                    "is_same_domain": int(netloc == base_netloc) if netloc else 1,
+                }
+
+        cols = [
+            "doc_id", "pos", "href", "full_url", "text", "title",
+            "category", "is_external", "is_same_domain",
+        ]
+        for pdf in batches:
+            rows = [
+                r
+                for _, row in pdf.iterrows()
+                for r in walk(int(row["doc_id"]), row["base_url"], row["html"])
+            ]
+            out = _pd.DataFrame(rows, columns=cols)
+            yield out.astype(
+                {"doc_id": "int64", "pos": "int64", "is_external": "int64", "is_same_domain": "int64"}
+            ) if len(out) else _pd.DataFrame(
+                {
+                    c: _pd.Series(dtype="int64" if c in ("doc_id", "pos", "is_external", "is_same_domain") else "str")
+                    for c in cols
+                }
+            )
+
+    return extract
+
+
+@register(
+    "html_link_inventory",
+    tags=("html", "extract", "pandas_udf"),
+    doc="Full link inventory (ref src/scraper_v2.py:182-228): every "
+    "anchor with urljoin-resolved full_url, the reference's "
+    "netloc-based is_external/is_same_domain flags (netloc-less "
+    "hrefs default same-domain, not-external), and its 7-rung "
+    "first-match category ladder over the RAW lowercased href — "
+    "templated pages carry a root-relative careers link, an external "
+    "about link (category applies regardless of domain), a "
+    "page-relative docs link (category other, joins under "
+    "/products/), and an every-other-page pricing link, so the hash "
+    "pins the ladder order, both flags, and both urljoin modes.",
+    oracle="""
+        WITH d AS (
+          SELECT doc_id,
+                 'https://co' || CAST(doc_id AS VARCHAR) || '.com' AS origin,
+                 'partner' || CAST(doc_id AS VARCHAR) || '.org' AS ext
+          FROM documents
+        )
+        SELECT doc_id, pos, href, full_url, text, title, category,
+               is_external, is_same_domain
+        FROM (
+          SELECT doc_id, CAST(1 AS BIGINT) AS pos, '/careers/eng' AS href,
+                 origin || '/careers/eng' AS full_url, 'Jobs at Co' AS text,
+                 'Open roles' AS title, 'careers' AS category,
+                 CAST(0 AS BIGINT) AS is_external, CAST(1 AS BIGINT) AS is_same_domain
+          FROM d
+          UNION ALL
+          SELECT doc_id, 2, 'https://' || ext || '/about',
+                 'https://' || ext || '/about', 'Partner', '', 'about', 1, 0 FROM d
+          UNION ALL
+          SELECT doc_id, 3, 'docs/guide', origin || '/products/docs/guide',
+                 'Docs', '', 'other', 0, 1 FROM d
+          UNION ALL
+          SELECT doc_id, 4, '/pricing/plans', origin || '/pricing/plans',
+                 'Plans', '', 'pricing', 0, 1 FROM d WHERE doc_id % 2 = 0
+        )
+        ORDER BY doc_id, pos
+    """,
+)
+def html_link_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    inner = make_link_inventory_extractor()
+
+    def template_then_parse(batches):
+        def link_page(doc_id: int) -> str:
+            extra = (
+                '<a href="/pricing/plans">Plans</a>' if doc_id % 2 == 0 else ""
+            )
+            return (
+                "<html><body>"
+                f'<a href="/careers/eng" title="Open roles">Jobs at Co</a>'
+                f'<a href="https://partner{doc_id}.org/about">Partner</a>'
+                f'<a href="docs/guide">Docs</a>'
+                f"{extra}"
+                "</body></html>"
+            )
+
+        def paged():
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "base_url": pdf["doc_id"].map(
+                            lambda i: f"https://co{i}.com/products/page"
+                        ),
+                        "html": pdf["doc_id"].map(link_page),
+                    }
+                )
+
+        yield from inner(paged())
+
+    return d.mapInPandas(template_then_parse, LINKS_SCHEMA).orderBy("doc_id", "pos")
+
+
+TABLES_SCHEMA = (
+    "doc_id long, tbl long, caption string, kind string, r long, c long, value string"
+)
+
+
+def make_table_extractor():
+    """Table extraction as a closure (pickled by value). Mirrors
+    extract_all_tables (ref src/scraper_v2.py:299-350): caption text;
+    headers from <thead> th/td, else the FIRST row serves as headers
+    and is skipped from the data rows; data rows from <tbody> when
+    present, else the whole table; tables with zero data rows are
+    dropped entirely. Output is exploded to scalar (kind/r/c/value)
+    rows because the driver's canonicalizer cannot sort list-valued
+    cells (same shape rationale as label_centroids_udaf)."""
+
+    def extract(batches):
+        import pandas as _pd
+        from html.parser import HTMLParser
+
+        class TableParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.tables: list[dict] = []
+                self.t: dict | None = None
+                self.in_thead = False
+                self.in_tbody = False
+                self.in_caption = False
+                self.tr: list[str] | None = None
+                self.cell: list[str] | None = None
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "table":
+                    self.t = {"caption": [], "thead": [], "body_rows": [], "all_rows": [],
+                              "has_thead": False, "has_tbody": False}
+                elif self.t is None:
+                    return
+                elif tag == "caption":
+                    self.in_caption = True
+                elif tag == "thead":
+                    self.in_thead = True
+                    self.t["has_thead"] = True
+                elif tag == "tbody":
+                    self.in_tbody = True
+                    self.t["has_tbody"] = True
+                elif tag == "tr":
+                    self.tr = []
+                elif tag in ("td", "th") and self.tr is not None:
+                    self.cell = []
+
+            def handle_data(self, data):
+                if self.cell is not None:
+                    self.cell.append(data)
+                elif self.in_caption and self.t is not None:
+                    self.t["caption"].append(data)
+
+            def handle_endtag(self, tag):
+                if self.t is None:
+                    return
+                if tag == "caption":
+                    self.in_caption = False
+                elif tag in ("td", "th") and self.cell is not None:
+                    self.tr.append("".join(self.cell).strip())
+                    self.cell = None
+                elif tag == "tr" and self.tr is not None:
+                    if self.in_thead:
+                        self.t["thead"].extend(self.tr)
+                    else:
+                        (self.t["body_rows"] if self.in_tbody else self.t["all_rows"]).append(self.tr)
+                    self.tr = None
+                elif tag == "thead":
+                    self.in_thead = False
+                elif tag == "tbody":
+                    self.in_tbody = False
+                elif tag == "table":
+                    self.tables.append(self.t)
+                    self.t = None
+
+        def walk(doc_id: int, html: str):
+            p = TableParser()
+            p.feed(html)
+            emitted = 0
+            for t in p.tables:
+                if t["has_thead"]:
+                    headers = t["thead"]
+                    rows = t["body_rows"] if t["has_tbody"] else t["all_rows"]
+                else:
+                    # no thead: the first row anywhere serves as headers
+                    # and is skipped from the data — the reference skips
+                    # it whether or not a tbody wraps it (scraper_v2.py
+                    # :335-345 compares tr == first_row during iteration)
+                    source = t["body_rows"] if t["has_tbody"] else t["all_rows"]
+                    headers = source[0] if source else []
+                    rows = source[1:]
+                rows = [r for r in rows if r]
+                if not rows:
+                    continue
+                emitted += 1
+                caption = "".join(t["caption"]).strip()
+                for c, h in enumerate(headers, start=1):
+                    yield {"doc_id": doc_id, "tbl": emitted, "caption": caption,
+                           "kind": "header", "r": 0, "c": c, "value": h}
+                for r, row in enumerate(rows, start=1):
+                    for c, v in enumerate(row, start=1):
+                        yield {"doc_id": doc_id, "tbl": emitted, "caption": caption,
+                               "kind": "cell", "r": r, "c": c, "value": v}
+
+        cols = ["doc_id", "tbl", "caption", "kind", "r", "c", "value"]
+        for pdf in batches:
+            rows = [
+                r
+                for _, row in pdf.iterrows()
+                for r in walk(int(row["doc_id"]), row["html"])
+            ]
+            out = _pd.DataFrame(rows, columns=cols)
+            yield out.astype({"doc_id": "int64", "tbl": "int64", "r": "int64", "c": "int64"}) if len(
+                out
+            ) else _pd.DataFrame(
+                {
+                    c: _pd.Series(dtype="int64" if c in ("doc_id", "tbl", "r", "c") else "str")
+                    for c in cols
+                }
+            )
+
+    return extract
+
+
+@register(
+    "html_table_extract",
+    tags=("html", "extract", "pandas_udf"),
+    doc="Table extraction (ref src/scraper_v2.py:299-350): caption, "
+    "headers from <thead> OR first-row-as-headers (which is then "
+    "skipped from the data), rows from <tbody> when present, "
+    "zero-row tables dropped — templated pages carry one "
+    "thead+tbody+caption table, a headerless-markup table every "
+    "doc_id%3!=1 page (pinning the first-row fallback AND the skip "
+    "rule), and an empty decoy table that must vanish.",
+    oracle="""
+        WITH d AS (SELECT doc_id FROM documents),
+        t1 AS (
+          SELECT doc_id, CAST(1 AS BIGINT) AS tbl,
+                 'Pricing ' || CAST(doc_id AS VARCHAR) AS caption
+          FROM d
+        )
+        SELECT doc_id, tbl, caption, kind, r, c, value FROM (
+          SELECT doc_id, tbl, caption, 'header' AS kind,
+                 CAST(0 AS BIGINT) AS r, CAST(1 AS BIGINT) AS c, 'Product' AS value FROM t1
+          UNION ALL SELECT doc_id, tbl, caption, 'header', 0, 2, 'Price' FROM t1
+          UNION ALL SELECT doc_id, tbl, caption, 'cell', 1, 1, 'Basic' FROM t1
+          UNION ALL SELECT doc_id, tbl, caption, 'cell', 1, 2,
+                 '$' || CAST(doc_id AS VARCHAR) FROM t1
+          UNION ALL SELECT doc_id, tbl, caption, 'cell', 2, 1, 'Pro' FROM t1
+          UNION ALL SELECT doc_id, tbl, caption, 'cell', 2, 2,
+                 '$' || CAST(doc_id * 2 AS VARCHAR) FROM t1
+          UNION ALL SELECT doc_id, 2, '', 'header', 0, 1, 'Region' FROM d WHERE doc_id % 3 <> 1
+          UNION ALL SELECT doc_id, 2, '', 'header', 0, 2, 'Count' FROM d WHERE doc_id % 3 <> 1
+          UNION ALL SELECT doc_id, 2, '', 'cell', 1, 1, 'EU' FROM d WHERE doc_id % 3 <> 1
+          UNION ALL SELECT doc_id, 2, '', 'cell', 1, 2,
+                 CAST(doc_id % 7 AS VARCHAR) FROM d WHERE doc_id % 3 <> 1
+        )
+        ORDER BY doc_id, tbl, kind, r, c
+    """,
+)
+def html_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    inner = make_table_extractor()
+
+    def template_then_parse(batches):
+        def table_page(doc_id: int) -> str:
+            second = (
+                "<table><tr><th>Region</th><th>Count</th></tr>"
+                f"<tr><td>EU</td><td>{doc_id % 7}</td></tr></table>"
+                if doc_id % 3 != 1
+                else ""
+            )
+            return (
+                "<html><body>"
+                f"<table><caption>Pricing {doc_id}</caption>"
+                "<thead><tr><th>Product</th><th>Price</th></tr></thead>"
+                f"<tbody><tr><td>Basic</td><td>${doc_id}</td></tr>"
+                f"<tr><td>Pro</td><td>${doc_id * 2}</td></tr></tbody></table>"
+                f"{second}"
+                '<table id="empty"><caption>decoy</caption></table>'
+                "</body></html>"
+            )
+
+        def paged():
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "html": pdf["doc_id"].map(table_page)}
+                )
+
+        yield from inner(paged())
+
+    return d.mapInPandas(template_then_parse, TABLES_SCHEMA).orderBy(
+        "doc_id", "tbl", "kind", "r", "c"
+    )
+
+
+FORMS_SCHEMA = (
+    "doc_id long, form_pos long, action string, method string, field_pos long, "
+    "ftype string, name string, placeholder string, label string, required long"
+)
+
+
+def make_form_extractor():
+    """Form extraction as a closure (pickled by value). Mirrors
+    extract_all_forms (ref src/scraper_v2.py:259-296): per form the
+    raw action ('' default — the reference does NOT urljoin it) and
+    method (default GET, uppercased); per field (input/textarea/
+    select) the type (input's type attr, else the tag name), name,
+    placeholder, required flag, and the text of a <label for=field-id>
+    found ANYWHERE in the page. Forms with no fields still emit (one
+    null-field row, field_pos 0) — the reference appends them
+    unconditionally."""
+
+    def extract(batches):
+        import pandas as _pd
+        from html.parser import HTMLParser
+
+        class FormParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.forms: list[dict] = []
+                self.f: dict | None = None
+                self.label_for: str | None = None
+                self.label_text: list[str] = []
+                self.labels: dict[str, str] = {}
+
+            def handle_starttag(self, tag, attrs):
+                a = dict(attrs)
+                if tag == "form":
+                    self.f = {
+                        "action": a.get("action", ""),
+                        "method": a.get("method", "GET").upper(),
+                        "fields": [],
+                    }
+                elif tag == "label":
+                    self.label_for = a.get("for")
+                    self.label_text = []
+                elif tag in ("input", "textarea", "select") and self.f is not None:
+                    self.f["fields"].append(
+                        {
+                            "type": a.get("type", tag),
+                            "name": a.get("name", ""),
+                            "id": a.get("id", ""),
+                            "placeholder": a.get("placeholder", ""),
+                            "required": int("required" in a),
+                        }
+                    )
+
+            def handle_data(self, data):
+                if self.label_for is not None:
+                    self.label_text.append(data)
+
+            def handle_endtag(self, tag):
+                if tag == "form" and self.f is not None:
+                    self.forms.append(self.f)
+                    self.f = None
+                elif tag == "label" and self.label_for is not None:
+                    self.labels[self.label_for] = "".join(self.label_text).strip()
+                    self.label_for = None
+
+            def handle_startendtag(self, tag, attrs):
+                self.handle_starttag(tag, attrs)
+
+        def walk(doc_id: int, html: str):
+            p = FormParser()
+            p.feed(html)
+            for form_pos, f in enumerate(p.forms, start=1):
+                base = {
+                    "doc_id": doc_id,
+                    "form_pos": form_pos,
+                    "action": f["action"],
+                    "method": f["method"],
+                }
+                if not f["fields"]:
+                    yield {**base, "field_pos": 0, "ftype": None, "name": None,
+                           "placeholder": None, "label": None, "required": None}
+                    continue
+                for field_pos, fl in enumerate(f["fields"], start=1):
+                    yield {
+                        **base,
+                        "field_pos": field_pos,
+                        "ftype": fl["type"],
+                        "name": fl["name"],
+                        "placeholder": fl["placeholder"],
+                        "label": p.labels.get(fl["id"], ""),
+                        "required": fl["required"],
+                    }
+
+        cols = [
+            "doc_id", "form_pos", "action", "method", "field_pos",
+            "ftype", "name", "placeholder", "label", "required",
+        ]
+        for pdf in batches:
+            rows = [
+                r
+                for _, row in pdf.iterrows()
+                for r in walk(int(row["doc_id"]), row["html"])
+            ]
+            out = _pd.DataFrame(rows, columns=cols)
+            ints = {"doc_id": "int64", "form_pos": "int64", "field_pos": "int64"}
+            yield out.astype(ints) if len(out) else _pd.DataFrame(
+                {
+                    c: _pd.Series(
+                        dtype="int64" if c in (*ints, "required") else "str"
+                    )
+                    for c in cols
+                }
+            )
+
+    return extract
+
+
+@register(
+    "html_form_extract",
+    tags=("html", "extract", "pandas_udf"),
+    doc="Form extraction (ref src/scraper_v2.py:259-296): raw action "
+    "(never urljoined — faithful to the reference), method default "
+    "GET uppercased, field type from the type attr or the tag name "
+    "(textarea/select), required flag, and label text looked up by "
+    "for=id anywhere in the page; a field-less decoy form still "
+    "emits (the reference appends unconditionally). Method rotates "
+    "post/omitted by doc_id%2 to pin the default + uppercase.",
+    oracle="""
+        WITH d AS (
+          SELECT doc_id,
+                 '/subscribe' || CAST(doc_id % 5 AS VARCHAR) AS act,
+                 CASE WHEN doc_id % 2 = 0 THEN 'POST' ELSE 'GET' END AS meth
+          FROM documents
+        )
+        SELECT doc_id, form_pos, action, method, field_pos, ftype, name,
+               placeholder, label, required
+        FROM (
+          SELECT doc_id, CAST(1 AS BIGINT) AS form_pos, act AS action,
+                 meth AS method, CAST(1 AS BIGINT) AS field_pos,
+                 'email' AS ftype, 'email' AS name,
+                 'you@example.com' AS placeholder, 'Email address' AS label,
+                 CAST(0 AS BIGINT) AS required
+          FROM d
+          UNION ALL SELECT doc_id, 1, act, meth, 2, 'select', 'topic', '', '', 0 FROM d
+          UNION ALL SELECT doc_id, 1, act, meth, 3, 'textarea', 'msg', '', '', 1 FROM d
+          UNION ALL SELECT doc_id, 2, '', 'GET', 0, CAST(NULL AS VARCHAR),
+                 CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                 CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) FROM d
+        )
+        ORDER BY doc_id, form_pos, field_pos
+    """,
+)
+def html_form_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    inner = make_form_extractor()
+
+    def template_then_parse(batches):
+        def form_page(doc_id: int) -> str:
+            method_attr = ' method="post"' if doc_id % 2 == 0 else ""
+            return (
+                "<html><body>"
+                f'<label for="fld{doc_id}">Email address</label>'
+                f'<form action="/subscribe{doc_id % 5}"{method_attr}>'
+                f'<input type="email" name="email" id="fld{doc_id}"'
+                ' placeholder="you@example.com"/>'
+                '<select name="topic"><option>a</option></select>'
+                '<textarea name="msg" required></textarea>'
+                "</form>"
+                "<form></form>"
+                "</body></html>"
+            )
+
+        def paged():
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "html": pdf["doc_id"].map(form_page)}
+                )
+
+        yield from inner(paged())
+
+    return d.mapInPandas(template_then_parse, FORMS_SCHEMA).orderBy(
+        "doc_id", "form_pos", "field_pos"
+    )
+
+
+IMAGES_SCHEMA = (
+    "doc_id long, pos long, src string, full_url string, alt string, is_logo long"
+)
+
+
+def make_image_inventory_extractor():
+    """Image inventory as a closure (pickled by value). Mirrors
+    extract_all_images (ref src/scraper_v2.py:230-256): src resolved
+    through the src -> data-src -> data-lazy-src fallback chain,
+    sourceless imgs skipped entirely, urljoin against the page base,
+    and is_logo when alt+classes (lowercased, space-joined) contain
+    logo/brand/company."""
+
+    def extract(batches):
+        import pandas as _pd
+        from html.parser import HTMLParser
+        from urllib.parse import urljoin
+
+        class ImgParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.imgs: list[dict] = []
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "img":
+                    a = dict(attrs)
+                    src = a.get("src") or a.get("data-src") or a.get("data-lazy-src")
+                    if not src:
+                        return
+                    hay = (a.get("alt", "") + " " + a.get("class", "")).lower()
+                    self.imgs.append(
+                        {
+                            "src": src,
+                            "alt": a.get("alt", ""),
+                            "is_logo": int(
+                                any(k in hay for k in ("logo", "brand", "company"))
+                            ),
+                        }
+                    )
+
+            def handle_startendtag(self, tag, attrs):
+                self.handle_starttag(tag, attrs)
+
+        def walk(doc_id: int, base: str, html: str):
+            p = ImgParser()
+            p.feed(html)
+            for pos, im in enumerate(p.imgs, start=1):
+                yield {
+                    "doc_id": doc_id,
+                    "pos": pos,
+                    "src": im["src"],
+                    "full_url": urljoin(base, im["src"]),
+                    "alt": im["alt"],
+                    "is_logo": im["is_logo"],
+                }
+
+        cols = ["doc_id", "pos", "src", "full_url", "alt", "is_logo"]
+        for pdf in batches:
+            rows = [
+                r
+                for _, row in pdf.iterrows()
+                for r in walk(int(row["doc_id"]), row["base_url"], row["html"])
+            ]
+            out = _pd.DataFrame(rows, columns=cols)
+            ints = {"doc_id": "int64", "pos": "int64", "is_logo": "int64"}
+            yield out.astype(ints) if len(out) else _pd.DataFrame(
+                {c: _pd.Series(dtype="int64" if c in ints else "str") for c in cols}
+            )
+
+    return extract
+
+
+@register(
+    "html_image_inventory",
+    tags=("html", "extract", "pandas_udf"),
+    doc="Image inventory (ref src/scraper_v2.py:230-256): the "
+    "src -> data-src -> data-lazy-src fallback chain (src wins when "
+    "both present — pinned by an every-other-page both-attrs img), "
+    "sourceless imgs skipped, urljoin resolution (root-relative AND "
+    "page-relative templated), is_logo from logo/brand/company over "
+    "lowercased alt+classes (one match via alt, one via class).",
+    oracle="""
+        WITH d AS (
+          SELECT doc_id,
+                 'https://co' || CAST(doc_id AS VARCHAR) || '.com' AS origin
+          FROM documents
+        )
+        SELECT doc_id, pos, src, full_url, alt, is_logo FROM (
+          SELECT doc_id, CAST(1 AS BIGINT) AS pos,
+                 '/img/hero' || CAST(doc_id AS VARCHAR) || '.png' AS src,
+                 origin || '/img/hero' || CAST(doc_id AS VARCHAR) || '.png' AS full_url,
+                 'Team at work' AS alt, CAST(0 AS BIGINT) AS is_logo FROM d
+          UNION ALL SELECT doc_id, 2,
+                 '/cdn/logo' || CAST(doc_id AS VARCHAR) || '.svg',
+                 origin || '/cdn/logo' || CAST(doc_id AS VARCHAR) || '.svg',
+                 'Acme logo', 1 FROM d
+          UNION ALL SELECT doc_id, 3, 'assets/mark.png',
+                 origin || '/products/assets/mark.png', '', 1 FROM d
+          UNION ALL SELECT doc_id, 4,
+                 '/a' || CAST(doc_id AS VARCHAR) || '.png',
+                 origin || '/a' || CAST(doc_id AS VARCHAR) || '.png',
+                 'x', 0 FROM d WHERE doc_id % 2 = 0
+        )
+        ORDER BY doc_id, pos
+    """,
+)
+def html_image_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    inner = make_image_inventory_extractor()
+
+    def template_then_parse(batches):
+        def image_page(doc_id: int) -> str:
+            both = (
+                f'<img src="/a{doc_id}.png" data-src="/b.png" alt="x"/>'
+                if doc_id % 2 == 0
+                else ""
+            )
+            return (
+                "<html><body>"
+                f'<img src="/img/hero{doc_id}.png" alt="Team at work"/>'
+                f'<img data-src="/cdn/logo{doc_id}.svg" alt="Acme logo"/>'
+                '<img data-lazy-src="assets/mark.png" class="brand-mark nav"/>'
+                '<img alt="no source"/>'
+                f"{both}"
+                "</body></html>"
+            )
+
+        def paged():
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "base_url": pdf["doc_id"].map(
+                            lambda i: f"https://co{i}.com/products/page"
+                        ),
+                        "html": pdf["doc_id"].map(image_page),
+                    }
+                )
+
+        yield from inner(paged())
+
+    return d.mapInPandas(template_then_parse, IMAGES_SCHEMA).orderBy("doc_id", "pos")

@@ -314,3 +314,24 @@ def test_nav_extractor_region_scoping_on_messy_html():
     assert rows[("breadcrumbs", "B1")] == "https://x.com/b1"
     assert ("breadcrumbs", "B2") not in rows
     assert not [k for k in rows if k[1] == "skip"]
+
+
+def test_table_extractor_first_row_headers_inside_tbody():
+    import pandas as pd
+
+    from project_orbit_spark.functions.html_extract import make_table_extractor
+
+    # no <thead> but rows wrapped in <tbody>: the first row still
+    # serves as headers and must be skipped from the data rows
+    html = (
+        "<table><tbody>"
+        "<tr><th>H1</th><th>H2</th></tr>"
+        "<tr><td>a</td><td>b</td></tr>"
+        "</tbody></table>"
+    )
+    pdf = pd.DataFrame({"doc_id": [1], "html": [html]})
+    out = pd.concat(list(make_table_extractor()(iter([pdf]))))
+    headers = out[out.kind == "header"]["value"].tolist()
+    cells = out[out.kind == "cell"]["value"].tolist()
+    assert headers == ["H1", "H2"]
+    assert cells == ["a", "b"], "first row must not reappear as data"
