@@ -2041,3 +2041,320 @@ def html_image_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield from inner(paged())
 
     return d.mapInPandas(template_then_parse, IMAGES_SCHEMA).orderBy("doc_id", "pos")
+
+
+TEXT_STRUCT_SCHEMA = "doc_id long, kind string, pos long, attr string, text string"
+
+
+def make_text_structure_extractor():
+    """Structured text-content extraction as a closure (pickled by
+    value). Mirrors extract_all_text_content (ref src/scraper_v2.py:
+    412-466) minus the trafilatura full_text (html_main_text owns
+    that role): headings collected BY LEVEL FIRST (all h1s before any
+    h2 — the reference loops levels outermost, so document order is
+    NOT preserved across levels; pinned by a template whose h2
+    precedes its h1), paragraphs gated at len>10 after strip, list
+    items with their container type, blockquotes stripped, and
+    code/pre text UNSTRIPPED (the one get_text() call without
+    strip=True in the function)."""
+
+    def extract(batches):
+        import pandas as _pd
+        from html.parser import HTMLParser
+
+        GRAB = {"p", "blockquote", "code", "pre", "li"}
+
+        class TextParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.headings: dict[int, list[str]] = {i: [] for i in range(1, 7)}
+                self.paragraphs: list[str] = []
+                self.lists: list[tuple[str, list[str]]] = []
+                self.quotes: list[str] = []
+                self.codes: list[str] = []
+                self.stack: list[tuple[str, list[str]]] = []
+
+            def handle_starttag(self, tag, attrs):
+                if tag in GRAB or (len(tag) == 2 and tag[0] == "h" and tag[1].isdigit()):
+                    self.stack.append((tag, []))
+                elif tag in ("ul", "ol"):
+                    self.lists.append((tag, []))
+                    self.stack.append((tag, []))
+
+            def handle_data(self, data):
+                for _, buf in self.stack:
+                    buf.append(data)
+
+            def handle_endtag(self, tag):
+                if not self.stack or self.stack[-1][0] != tag:
+                    return
+                _, buf = self.stack.pop()
+                text = "".join(buf)
+                if tag[0] == "h" and len(tag) == 2 and tag[1].isdigit():
+                    self.headings[int(tag[1])].append(text.strip())
+                elif tag == "p":
+                    s = text.strip()
+                    if s and len(s) > 10:
+                        self.paragraphs.append(s)
+                elif tag == "li":
+                    if self.lists:
+                        self.lists[-1][1].append(text.strip())
+                elif tag == "blockquote":
+                    self.quotes.append(text.strip())
+                elif tag in ("code", "pre"):
+                    self.codes.append(text)
+
+        def walk(doc_id: int, html: str):
+            p = TextParser()
+            p.feed(html)
+            pos = 0
+            for level in range(1, 7):
+                for h in p.headings[level]:
+                    pos += 1
+                    yield {"doc_id": doc_id, "kind": "heading", "pos": pos,
+                           "attr": f"h{level}", "text": h}
+            for i, t in enumerate(p.paragraphs, start=1):
+                yield {"doc_id": doc_id, "kind": "paragraph", "pos": i, "attr": "", "text": t}
+            pos = 0
+            for li_idx, (ltype, items) in enumerate(p.lists, start=1):
+                if not items:
+                    continue
+                for it in items:
+                    pos += 1
+                    yield {"doc_id": doc_id, "kind": "list_item", "pos": pos,
+                           "attr": f"{ltype}{li_idx}", "text": it}
+            for i, t in enumerate(p.quotes, start=1):
+                yield {"doc_id": doc_id, "kind": "quote", "pos": i, "attr": "", "text": t}
+            for i, t in enumerate(p.codes, start=1):
+                yield {"doc_id": doc_id, "kind": "code", "pos": i, "attr": "", "text": t}
+
+        cols = ["doc_id", "kind", "pos", "attr", "text"]
+        for pdf in batches:
+            rows = [
+                r for _, row in pdf.iterrows() for r in walk(int(row["doc_id"]), row["html"])
+            ]
+            out = _pd.DataFrame(rows, columns=cols)
+            yield out.astype({"doc_id": "int64", "pos": "int64"}) if len(out) else _pd.DataFrame(
+                {c: _pd.Series(dtype="int64" if c in ("doc_id", "pos") else "str") for c in cols}
+            )
+
+    return extract
+
+
+@register(
+    "html_text_structure",
+    tags=("html", "extract", "pandas_udf"),
+    doc="Structured text content (ref src/scraper_v2.py:412-466): "
+    "headings grouped by level before document order (template's h2 "
+    "precedes its h1, so a document-order walk hash-fails), "
+    "paragraphs gated at len>10 (a 'tiny' decoy vanishes), list "
+    "items with container type+ordinal, blockquotes stripped, "
+    "code/pre UNSTRIPPED (whitespace preserved in the hash).",
+    oracle="""
+        WITH d AS (SELECT doc_id FROM documents)
+        SELECT doc_id, kind, pos, attr, text FROM (
+          SELECT doc_id, 'heading' AS kind, CAST(1 AS BIGINT) AS pos, 'h1' AS attr,
+                 'Top' || CAST(doc_id AS VARCHAR) AS text FROM d
+          UNION ALL SELECT doc_id, 'heading', 2, 'h2',
+                 'Second level ' || CAST(doc_id AS VARCHAR) FROM d
+          UNION ALL SELECT doc_id, 'paragraph', 1, '',
+                 'This paragraph is long enough ' || CAST(doc_id AS VARCHAR) || '.' FROM d
+          UNION ALL SELECT doc_id, 'list_item', 1, 'ul1', 'Alpha' FROM d
+          UNION ALL SELECT doc_id, 'list_item', 2, 'ul1',
+                 'Beta ' || CAST(doc_id % 5 AS VARCHAR) FROM d
+          UNION ALL SELECT doc_id, 'list_item', 3, 'ol2', 'One' FROM d WHERE doc_id % 3 = 0
+          UNION ALL SELECT doc_id, 'quote', 1, '',
+                 'Quoted wisdom ' || CAST(doc_id % 9 AS VARCHAR) FROM d
+          UNION ALL SELECT doc_id, 'code', 1, '',
+                 '  raw ' || CAST(doc_id AS VARCHAR) || '  ' FROM d
+        )
+        ORDER BY doc_id, kind, pos
+    """,
+)
+def html_text_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    inner = make_text_structure_extractor()
+
+    def template_then_parse(batches):
+        def text_page(doc_id: int) -> str:
+            ol = f"<ol><li>One</li></ol>" if doc_id % 3 == 0 else ""
+            return (
+                "<html><body>"
+                f'<h2 id="s1">Second level {doc_id}</h2>'
+                f"<h1>Top{doc_id}</h1>"
+                "<p>tiny</p>"
+                f"<p>This paragraph is long enough {doc_id}.</p>"
+                f"<ul><li>Alpha</li><li>Beta {doc_id % 5}</li></ul>"
+                f"{ol}"
+                f"<blockquote>Quoted wisdom {doc_id % 9}</blockquote>"
+                f"<pre>  raw {doc_id}  </pre>"
+                "</body></html>"
+            )
+
+        def paged():
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "html": pdf["doc_id"].map(text_page)}
+                )
+
+        yield from inner(paged())
+
+    return d.mapInPandas(template_then_parse, TEXT_STRUCT_SCHEMA).orderBy(
+        "doc_id", "kind", "pos"
+    )
+
+
+SCRIPTS_SCHEMA = (
+    "doc_id long, pos long, src string, stype string, is_async long, "
+    "is_defer long, content_length long, has_json long, likely_contains_data long"
+)
+
+
+def make_script_inventory_extractor():
+    """Script inventory as a closure (pickled by value). Mirrors
+    extract_all_scripts (ref src/scraper_v2.py:868-902): src/type
+    attrs with '' defaults, async/defer presence flags, body length
+    BEFORE strip, has_json only when the STRIPPED body starts with
+    '{'/'[' AND parses as JSON, and the likely_contains_data flag
+    when any of the reference's five data keywords appears in the
+    body (jobs/products/team/funding/customers)."""
+
+    def extract(batches):
+        import json as _json
+
+        import pandas as _pd
+        from html.parser import HTMLParser
+
+        KEYWORDS = ("jobs", "products", "team", "funding", "customers")
+
+        class ScriptParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.scripts: list[dict] = []
+                self.cur: dict | None = None
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "script":
+                    a = dict(attrs)
+                    self.cur = {
+                        "src": a.get("src", ""),
+                        "stype": a.get("type", ""),
+                        "is_async": int("async" in a),
+                        "is_defer": int("defer" in a),
+                        "body": [],
+                    }
+
+            def handle_data(self, data):
+                if self.cur is not None:
+                    self.cur["body"].append(data)
+
+            def handle_endtag(self, tag):
+                if tag == "script" and self.cur is not None:
+                    self.scripts.append(self.cur)
+                    self.cur = None
+
+        def walk(doc_id: int, html: str):
+            p = ScriptParser()
+            p.feed(html)
+            for pos, s in enumerate(p.scripts, start=1):
+                body = "".join(s["body"])
+                stripped = body.strip()
+                has_json = 0
+                if stripped.startswith(("{", "[")):
+                    try:
+                        _json.loads(stripped)
+                        has_json = 1
+                    except ValueError:
+                        pass
+                yield {
+                    "doc_id": doc_id,
+                    "pos": pos,
+                    "src": s["src"],
+                    "stype": s["stype"],
+                    "is_async": s["is_async"],
+                    "is_defer": s["is_defer"],
+                    "content_length": len(body),
+                    "has_json": has_json,
+                    "likely_contains_data": int(
+                        bool(stripped) and any(k in stripped for k in KEYWORDS)
+                    ),
+                }
+
+        cols = [
+            "doc_id", "pos", "src", "stype", "is_async", "is_defer",
+            "content_length", "has_json", "likely_contains_data",
+        ]
+        ints = {c: "int64" for c in cols if c not in ("src", "stype")}
+        for pdf in batches:
+            rows = [
+                r for _, row in pdf.iterrows() for r in walk(int(row["doc_id"]), row["html"])
+            ]
+            out = _pd.DataFrame(rows, columns=cols)
+            yield out.astype(ints) if len(out) else _pd.DataFrame(
+                {c: _pd.Series(dtype=ints.get(c, "str")) for c in cols}
+            )
+
+    return extract
+
+
+@register(
+    "html_script_inventory",
+    tags=("html", "extract", "pandas_udf"),
+    doc="Script inventory (ref src/scraper_v2.py:868-902): src/type "
+    "defaults, async/defer flags, pre-strip content length, "
+    "has_json only for a parseable {/[-leading body (a malformed "
+    "decoy that starts with { must stay 0), and the 5-keyword "
+    "likely_contains_data flag (a 'jobs' mention inside a non-JSON "
+    "body still sets it — faithful to the reference).",
+    oracle="""
+        WITH d AS (SELECT doc_id FROM documents)
+        SELECT doc_id, pos, src, stype, is_async, is_defer,
+               content_length, has_json, likely_contains_data
+        FROM (
+          SELECT doc_id, CAST(1 AS BIGINT) AS pos,
+                 '/static/app' || CAST(doc_id % 10 AS VARCHAR) || '.js' AS src,
+                 '' AS stype, CAST(1 AS BIGINT) AS is_async,
+                 CAST(0 AS BIGINT) AS is_defer, CAST(0 AS BIGINT) AS content_length,
+                 CAST(0 AS BIGINT) AS has_json, CAST(0 AS BIGINT) AS likely_contains_data
+          FROM d
+          UNION ALL SELECT doc_id, 2, '', 'application/ld+json', 0, 0,
+                 CAST(16 + length(CAST(doc_id AS VARCHAR)) AS BIGINT), 1, 0 FROM d
+          UNION ALL SELECT doc_id, 3, '', '', 0, 1,
+                 CAST(26 AS BIGINT), 0,
+                 CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END FROM d
+          UNION ALL SELECT doc_id, 4, '', '', 0, 0, CAST(14 AS BIGINT), 0, 0 FROM d
+        )
+        ORDER BY doc_id, pos
+    """,
+)
+def html_script_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    inner = make_script_inventory_extractor()
+
+    def template_then_parse(batches):
+        def script_page(doc_id: int) -> str:
+            # script 3: 26-char body; 'jobs' keyword only on even docs
+            body3 = 'var a = "jobs listing";;;' if doc_id % 2 == 0 else 'var a = "misc page text";'
+            assert len(body3) == 25
+            return (
+                "<html><head>"
+                f'<script src="/static/app{doc_id % 10}.js" async></script>'
+                f'<script type="application/ld+json">{{"id": {doc_id}, "x": 1}}</script>'
+                f"<script defer>{body3} </script>"
+                "<script>{not valid js}</script>"
+                "</head></html>"
+            )
+
+        def paged():
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "html": pdf["doc_id"].map(script_page)}
+                )
+
+        yield from inner(paged())
+
+    return d.mapInPandas(template_then_parse, SCRIPTS_SCHEMA).orderBy("doc_id", "pos")
