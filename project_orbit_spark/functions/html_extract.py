@@ -2358,3 +2358,196 @@ def html_script_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield from inner(paged())
 
     return d.mapInPandas(template_then_parse, SCRIPTS_SCHEMA).orderBy("doc_id", "pos")
+
+
+PRICING_SCHEMA = (
+    "doc_id long, pricing_model string, tier_pos long, tier_name string, price string"
+)
+
+_TIER_LADDER = (
+    "free", "starter", "basic", "pro", "professional",
+    "business", "enterprise", "premium", "plus",
+)
+
+
+def make_pricing_page_parser():
+    """Pricing-page parse as a closure (pickled by value). Mirrors
+    _parse_pricing_page (ref src/scraper_v2.py:3668-3722): the
+    pricing-model ladder over full page text (per seat/per user ->
+    per-seat, usage-based/pay as you go -> usage-based, enterprise
+    AND contact -> enterprise), pricing cards = div/section whose
+    class contains price/tier/plan, one tier per card = FIRST ladder
+    name in the card text ('pro' matches inside 'professional' — the
+    reference's quirk, pinned), price = the $-amount regex match
+    including the dollar sign, and the h2-h4 heading fallback when no
+    card yields a tier."""
+
+    def extract(batches):
+        import re as _re
+
+        import pandas as _pd
+        from html.parser import HTMLParser
+
+        PRICE_RE = _re.compile(r"\$\s*(\d+(?:,\d{3})*(?:\.\d{2})?)")
+
+        class PricingParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.text: list[str] = []
+                self.cards: list[list[str]] = []
+                self.card_depth = 0
+                self.headings: list[list[str]] = []
+                self.in_heading = False
+
+            def handle_starttag(self, tag, attrs):
+                cls = dict(attrs).get("class", "").lower()
+                if tag in ("div", "section") and any(
+                    k in cls for k in ("price", "tier", "plan")
+                ):
+                    self.cards.append([])
+                    self.card_depth += 1
+                elif tag in ("h2", "h3", "h4"):
+                    self.headings.append([])
+                    self.in_heading = True
+
+            def handle_data(self, data):
+                self.text.append(data)
+                if self.card_depth:
+                    self.cards[-1].append(data)
+                if self.in_heading:
+                    self.headings[-1].append(data)
+
+            def handle_endtag(self, tag):
+                if tag in ("div", "section") and self.card_depth:
+                    self.card_depth -= 1
+                elif tag in ("h2", "h3", "h4"):
+                    self.in_heading = False
+
+        def walk(doc_id: int, html: str):
+            p = PricingParser()
+            p.feed(html)
+            text = "".join(p.text).lower()
+            if "per seat" in text or "per user" in text:
+                model = "per-seat"
+            elif "usage-based" in text or "pay as you go" in text:
+                model = "usage-based"
+            elif "enterprise" in text and "contact" in text:
+                model = "enterprise"
+            else:
+                model = None
+            tiers: list[tuple[str, str | None]] = []
+            for card in p.cards:
+                raw = "".join(card)
+                low = raw.lower()
+                for name in _TIER_LADDER:
+                    if name in low:
+                        m = PRICE_RE.search(raw)
+                        tiers.append((name.capitalize(), m.group(0) if m else None))
+                        break
+            if not tiers:
+                for h in p.headings:
+                    low = "".join(h).lower()
+                    for name in _TIER_LADDER:
+                        if name in low:
+                            tiers.append((name.capitalize(), None))
+                            break
+            if not tiers:
+                yield {"doc_id": doc_id, "pricing_model": model, "tier_pos": 0,
+                       "tier_name": None, "price": None}
+                return
+            for pos, (name, price) in enumerate(tiers, start=1):
+                yield {"doc_id": doc_id, "pricing_model": model, "tier_pos": pos,
+                       "tier_name": name, "price": price}
+
+        cols = ["doc_id", "pricing_model", "tier_pos", "tier_name", "price"]
+        for pdf in batches:
+            rows = [
+                r for _, row in pdf.iterrows() for r in walk(int(row["doc_id"]), row["html"])
+            ]
+            out = _pd.DataFrame(rows, columns=cols)
+            yield out.astype({"doc_id": "int64", "tier_pos": "int64"}) if len(out) else _pd.DataFrame(
+                {c: _pd.Series(dtype="int64" if c in ("doc_id", "tier_pos") else "str") for c in cols}
+            )
+
+    return extract
+
+
+@register(
+    "pricing_page_parse",
+    tags=("html", "extract", "entity", "pandas_udf"),
+    doc="Pricing-page parse (ref src/scraper_v2.py:3668-3722): "
+    "model-ladder over full page text, card scan by price/tier/plan "
+    "class substrings, first-ladder-match tier per card (pinning the "
+    "'pro'-inside-'professional' quirk), $-regex price including the "
+    "sign (comma/decimal form every other page), and the h2-h4 "
+    "heading fallback on every 5th page (no cards). Model rotates "
+    "per-seat / usage-based / enterprise+contact / none by doc_id%4, "
+    "decoupled from the tier rows by keyword-free card text on the "
+    "none pages.",
+    oracle="""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE doc_id % 4 WHEN 0 THEN 'per-seat' WHEN 1 THEN 'usage-based'
+                      WHEN 2 THEN 'enterprise' END AS model,
+                 doc_id % 5 AS v, doc_id % 4 AS m
+          FROM documents
+        )
+        SELECT doc_id, pricing_model, tier_pos, tier_name, price FROM (
+          SELECT doc_id, model AS pricing_model, CAST(1 AS BIGINT) AS tier_pos,
+                 'Premium' AS tier_name, CAST(NULL AS VARCHAR) AS price
+          FROM d WHERE v = 0
+          UNION ALL
+          SELECT doc_id, model, 1, 'Pro',
+                 CASE WHEN doc_id % 2 = 0 THEN '$1,299.00' ELSE '$29' END
+          FROM d WHERE v <> 0
+          UNION ALL
+          SELECT doc_id, model, 2,
+                 CASE WHEN m = 3 THEN 'Premium' ELSE 'Enterprise' END,
+                 CAST(NULL AS VARCHAR)
+          FROM d WHERE v <> 0
+        )
+        ORDER BY doc_id, tier_pos
+    """,
+)
+def pricing_page_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    inner = make_pricing_page_parser()
+
+    def template_then_parse(batches):
+        def pricing_page(doc_id: int) -> str:
+            m = doc_id % 4
+            model_p = {
+                0: "<p>Billed per user monthly.</p>",
+                1: "<p>Pay as you go pricing.</p>",
+                2: "<p>Enterprise? contact sales.</p>",
+                3: "<p>Flexible billing options.</p>",
+            }[m]
+            if doc_id % 5 == 0:
+                return (
+                    "<html><body>"
+                    f"{model_p}<h2>Why us</h2><h3>Premium support</h3>"
+                    "</body></html>"
+                )
+            price = "$1,299.00" if doc_id % 2 == 0 else "$29"
+            card2_word = "Premium tier" if m == 3 else "Enterprise: contact sales"
+            return (
+                "<html><body>"
+                f"{model_p}"
+                f'<div class="price-card">Professional plan {price}/mo</div>'
+                f'<section class="tier-list">{card2_word}</section>'
+                "</body></html>"
+            )
+
+        def paged():
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "html": pdf["doc_id"].map(pricing_page)}
+                )
+
+        yield from inner(paged())
+
+    return d.mapInPandas(template_then_parse, PRICING_SCHEMA).orderBy(
+        "doc_id", "tier_pos"
+    )

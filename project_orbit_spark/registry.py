@@ -196,6 +196,7 @@ _DRIVER_PRIORITY = (
     "html_image_inventory",         # r6: src fallback chain, logo flag
     "html_text_structure",          # r6: by-level headings, len gates
     "html_script_inventory",        # r6: async/defer, JSON gate
+    "pricing_page_parse",           # r6: model ladder + tier cards
     # Loader sentinels for the catalog.py r6 change (integer `ts div
     # 1000` + layout-branched stream source). The driver fixture is
     # timestamp[us] vintage at every sf (verified), which bypasses the
