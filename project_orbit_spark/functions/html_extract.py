@@ -2551,3 +2551,152 @@ def pricing_page_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(template_then_parse, PRICING_SCHEMA).orderBy(
         "doc_id", "tier_pos"
     )
+
+
+MENTIONS_SCHEMA = "doc_id long, kind string, name string"
+
+
+def make_customer_partner_parser():
+    """Customer/partner mention harvest as a closure (pickled by
+    value). Mirrors _parse_customers_page + _parse_partners_page (ref
+    src/scraper_v2.py:3724-3777): page-wide img alt texts (customers
+    EXCLUDE alts containing 'logo'; partners keep them), plus items
+    from class-scoped sections (customer/client -> li/div items;
+    partner/integration -> li/a items), all gated at len<100. The
+    reference dedupes via list(set(...))[:50] — nondeterministic set
+    order — re-expressed as sorted-distinct capped at 50, the
+    deterministic semantic the oracle can check (documented
+    deviation: same membership, defined order)."""
+
+    def extract(batches):
+        import pandas as _pd
+        from html.parser import HTMLParser
+
+        class MentionParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.img_alts: list[str] = []
+                self.section: str | None = None
+                self.section_tag: str | None = None
+                self.item_buf: list[str] | None = None
+                self.item_tag: str | None = None
+                self.cust_items: list[str] = []
+                self.part_items: list[str] = []
+
+            def handle_starttag(self, tag, attrs):
+                a = dict(attrs)
+                cls = a.get("class", "").lower()
+                if tag == "img" and "alt" in a:
+                    self.img_alts.append(a["alt"].strip())
+                elif tag in ("ul", "div") and self.section is None:
+                    if "customer" in cls or "client" in cls:
+                        self.section, self.section_tag = "customer", tag
+                    elif "partner" in cls or "integration" in cls:
+                        self.section, self.section_tag = "partner", tag
+                elif self.section == "customer" and tag in ("li", "div"):
+                    self.item_buf, self.item_tag = [], tag
+                elif self.section == "partner" and tag in ("li", "a"):
+                    self.item_buf, self.item_tag = [], tag
+
+            def handle_data(self, data):
+                if self.item_buf is not None:
+                    self.item_buf.append(data)
+
+            def handle_endtag(self, tag):
+                if self.item_buf is not None and tag == self.item_tag:
+                    text = "".join(self.item_buf).strip()
+                    if text and len(text) < 100:
+                        (self.cust_items if self.section == "customer" else self.part_items).append(text)
+                    self.item_buf = None
+                elif self.section is not None and tag == self.section_tag:
+                    self.section = None
+
+            def handle_startendtag(self, tag, attrs):
+                self.handle_starttag(tag, attrs)
+
+        def walk(doc_id: int, html: str):
+            p = MentionParser()
+            p.feed(html)
+            customers = [
+                a for a in p.img_alts if a and len(a) < 100 and "logo" not in a.lower()
+            ] + p.cust_items
+            partners = [a for a in p.img_alts if a and len(a) < 100] + p.part_items
+            for kind, names in (("customer", customers), ("partner", partners)):
+                for name in sorted(set(names))[:50]:
+                    yield {"doc_id": doc_id, "kind": kind, "name": name}
+
+        cols = ["doc_id", "kind", "name"]
+        for pdf in batches:
+            rows = [
+                r for _, row in pdf.iterrows() for r in walk(int(row["doc_id"]), row["html"])
+            ]
+            out = _pd.DataFrame(rows, columns=cols)
+            yield out.astype({"doc_id": "int64"}) if len(out) else _pd.DataFrame(
+                {c: _pd.Series(dtype="int64" if c == "doc_id" else "str") for c in cols}
+            )
+
+    return extract
+
+
+@register(
+    "customer_partner_mentions",
+    tags=("html", "extract", "entity", "pandas_udf"),
+    doc="Customer/partner mention harvest (ref src/scraper_v2.py:"
+    "3724-3777): page-wide img alts (a 'BigCo logo' alt is excluded "
+    "from customers but KEPT for partners — the asymmetry pinned), "
+    "class-scoped list items (customer/client sections via li/div, "
+    "partner/integration via li/a; a 'features' decoy section "
+    "ignored), len<100 gates, and the reference's set-dedupe+cap "
+    "re-expressed as deterministic sorted-distinct[:50] (same "
+    "membership, defined order — documented deviation).",
+    oracle="""
+        WITH d AS (SELECT doc_id FROM documents),
+        raw AS (
+          SELECT doc_id, 'customer' AS kind,
+                 'Acme Corp ' || CAST(doc_id % 7 AS VARCHAR) AS name FROM d
+          UNION ALL SELECT doc_id, 'customer', 'Client One' FROM d
+          UNION ALL SELECT doc_id, 'customer',
+                 'Client ' || CAST(doc_id % 3 AS VARCHAR) FROM d
+          UNION ALL SELECT doc_id, 'partner',
+                 'Acme Corp ' || CAST(doc_id % 7 AS VARCHAR) FROM d
+          UNION ALL SELECT doc_id, 'partner', 'BigCo logo' FROM d
+          UNION ALL SELECT doc_id, 'partner', 'Zapier' FROM d
+          UNION ALL SELECT doc_id, 'partner',
+                 'Slack ' || CAST(doc_id % 4 AS VARCHAR) FROM d
+        )
+        SELECT DISTINCT doc_id, kind, name FROM raw
+        ORDER BY doc_id, kind, name
+    """,
+)
+def customer_partner_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    inner = make_customer_partner_parser()
+
+    def template_then_parse(batches):
+        def mention_page(doc_id: int) -> str:
+            return (
+                "<html><body>"
+                f'<img alt="Acme Corp {doc_id % 7}"/>'
+                '<img alt="BigCo logo"/>'
+                '<img alt=""/>'
+                f'<ul class="customer-grid"><li>Client One</li>'
+                f"<li>Client {doc_id % 3}</li></ul>"
+                f'<div class="integration-list"><a>Zapier</a>'
+                f"<a>Slack {doc_id % 4}</a></div>"
+                '<div class="features"><a>Decoy Item</a></div>'
+                "</body></html>"
+            )
+
+        def paged():
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "html": pdf["doc_id"].map(mention_page)}
+                )
+
+        yield from inner(paged())
+
+    return d.mapInPandas(template_then_parse, MENTIONS_SCHEMA).orderBy(
+        "doc_id", "kind", "name"
+    )
