@@ -2700,3 +2700,213 @@ def customer_partner_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(template_then_parse, MENTIONS_SCHEMA).orderBy(
         "doc_id", "kind", "name"
     )
+
+
+TEAM_SCHEMA = "doc_id long, card_pos long, name string, job_title string, same_as string"
+
+_TEAM_EXCLUDE = (
+    "office", "location", "benefits", "pto", "perks", "roles", "open roles",
+    "unlimited", "comprehensive", "medical", "dental", "vision", "insurance",
+    "stipend", "global family", "about us", "for business", "seoul", "ljubljana",
+    "san francisco", "korea", "brooklyn", "marketing", "ops teams",
+    "engineering office",
+)
+
+
+def _make_team_validator():
+    """Factory so the validator is a <locals> closure: cloudpickle
+    serializes it by value into worker closures (the module is not
+    importable from the driver's foreign-cwd workers)."""
+    exclude = _TEAM_EXCLUDE
+
+    def is_valid(name: str, role: str | None = None) -> bool:
+        """The reference's strict team-member validation ladder
+        (src/scraper_v2.py:2887-2920): >=3 chars, contains a space,
+        neither name nor role hits the 27-keyword exclude list, 2-4
+        words, first word capitalized."""
+        if not name or len(name) < 3 or " " not in name:
+            return False
+        name_lower = name.lower()
+        role_lower = (role or "").lower()
+        if any(k in name_lower for k in exclude):
+            return False
+        if role and any(k in role_lower for k in exclude):
+            return False
+        words = name.split()
+        if len(words) < 2 or len(words) > 4:
+            return False
+        return words[0][0].isupper()
+
+    return is_valid
+
+
+is_valid_team_member = _make_team_validator()
+
+
+def make_team_extractor():
+    """Team-page extraction as a closure (pickled by value). Mirrors
+    _extract_team_from_html (ref src/scraper_v2.py:2866-2975) with
+    one documented deviation: each card element is processed ONCE (the
+    reference walks overlapping selectors without a break, re-emitting
+    the same element per matching selector). Cards = elements whose
+    class contains team/member/person; name = first heading/strong/
+    span with a name-class, else first h2-h4/strong; role = first
+    element with a role/title/position class, else the first <p> when
+    <150 chars and not an http link; LinkedIn = first anchor with a
+    linkedin.com href; every candidate runs the is_valid_team_member
+    ladder before emission."""
+
+    valid = _make_team_validator()
+
+    def extract(batches):
+        import pandas as _pd
+        from html.parser import HTMLParser
+
+        NAME_TAGS = {"h1", "h2", "h3", "h4", "h5", "strong", "span"}
+        FALLBACK_NAME_TAGS = {"h2", "h3", "h4", "strong"}
+        ROLE_KEYS = ("role", "title", "position", "job-title", "jobtitle")
+
+        class TeamParser(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__()
+                self.cards: list[dict] = []
+                self.card: dict | None = None
+                self.depth = 0
+                self.grab: tuple[str, str] | None = None  # (slot, tag)
+
+            def handle_starttag(self, tag, attrs):
+                a = dict(attrs)
+                cls = a.get("class", "").lower()
+                if self.card is None:
+                    if tag == "div" and any(k in cls for k in ("team", "member", "person")):
+                        self.card = {"named": [], "fallback": [], "roles": [],
+                                     "ps": [], "linkedin": None}
+                        self.depth = 1
+                    return
+                self.depth += 1
+                if tag == "a" and "linkedin.com" in a.get("href", "").lower():
+                    if self.card["linkedin"] is None:
+                        self.card["linkedin"] = a["href"]
+                if tag in NAME_TAGS and "name" in cls:
+                    self.grab = ("named", tag)
+                    self.card["named"].append([])
+                elif tag in FALLBACK_NAME_TAGS:
+                    self.grab = ("fallback", tag)
+                    self.card["fallback"].append([])
+                elif any(k in cls for k in ROLE_KEYS):
+                    self.grab = ("roles", tag)
+                    self.card["roles"].append([])
+                elif tag == "p":
+                    self.grab = ("ps", tag)
+                    self.card["ps"].append([])
+
+            def handle_data(self, data):
+                if self.card is not None and self.grab is not None:
+                    self.card[self.grab[0]][-1].append(data)
+
+            def handle_endtag(self, tag):
+                if self.card is None:
+                    return
+                if self.grab is not None and tag == self.grab[1]:
+                    self.grab = None
+                self.depth -= 1
+                if self.depth == 0:
+                    self.cards.append(self.card)
+                    self.card = None
+
+        def walk(doc_id: int, html: str):
+            p = TeamParser()
+            p.feed(html)
+            if len(p.cards) <= 1:  # the reference's >1-matches pattern gate
+                return
+            pos = 0
+            for c in p.cards[:30]:
+                name_src = c["named"] or c["fallback"]
+                name = "".join(name_src[0]).strip() if name_src else None
+                role = None
+                if c["roles"]:
+                    role = "".join(c["roles"][0]).strip()
+                elif c["ps"]:
+                    first_p = "".join(c["ps"][0]).strip()
+                    if len(first_p) < 150 and not first_p.lower().startswith("http"):
+                        role = first_p
+                if name and valid(name, role):
+                    pos += 1
+                    yield {"doc_id": doc_id, "card_pos": pos, "name": name,
+                           "job_title": role, "same_as": c["linkedin"]}
+
+        cols = ["doc_id", "card_pos", "name", "job_title", "same_as"]
+        for pdf in batches:
+            rows = [
+                r for _, row in pdf.iterrows() for r in walk(int(row["doc_id"]), row["html"])
+            ]
+            out = _pd.DataFrame(rows, columns=cols)
+            yield out.astype({"doc_id": "int64", "card_pos": "int64"}) if len(out) else _pd.DataFrame(
+                {c: _pd.Series(dtype="int64" if c in ("doc_id", "card_pos") else "str") for c in cols}
+            )
+
+    return extract
+
+
+@register(
+    "team_page_extract",
+    tags=("html", "extract", "entity", "pandas_udf"),
+    doc="Team-page extraction (ref src/scraper_v2.py:2866-2975): "
+    "class-scanned member cards, name-classed tag before heading "
+    "fallback, role-classed tag before first-<p> fallback (<150 "
+    "chars, not a URL), LinkedIn capture, and the full strict "
+    "validation ladder — templated decoys (single-word name, "
+    "'San Francisco Office', a role hitting the 'engineering "
+    "office' exclude, a lowercase 'van der Berg') must all be "
+    "rejected while the two real members survive. Deviation from "
+    "the reference documented in make_team_extractor: overlapping "
+    "selectors are deduped to one pass per element.",
+    oracle="""
+        WITH d AS (SELECT doc_id FROM documents)
+        SELECT doc_id, card_pos, name, job_title, same_as FROM (
+          SELECT doc_id, CAST(1 AS BIGINT) AS card_pos,
+                 'Ada Lovelace ' || CAST(doc_id % 9 AS VARCHAR) AS name,
+                 'Chief Engineer' AS job_title,
+                 'https://linkedin.com/in/ada' || CAST(doc_id AS VARCHAR) AS same_as
+          FROM d
+          UNION ALL
+          SELECT doc_id, 2, 'Grace Hopper', 'VP of Compute',
+                 CAST(NULL AS VARCHAR)
+          FROM d
+        )
+        ORDER BY doc_id, card_pos
+    """,
+)
+def team_page_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    inner = make_team_extractor()
+
+    def template_then_parse(batches):
+        def team_page(doc_id: int) -> str:
+            return (
+                "<html><body>"
+                '<div class="team-member">'
+                f'<h3 class="member-name">Ada Lovelace {doc_id % 9}</h3>'
+                '<p class="role-title">Chief Engineer</p>'
+                f'<a href="https://linkedin.com/in/ada{doc_id}">profile</a></div>'
+                '<div class="person-card"><h4>Grace Hopper</h4>'
+                "<p>VP of Compute</p></div>"
+                '<div class="team-member"><h3>Plato</h3></div>'
+                '<div class="team-member"><h3>San Francisco Office</h3></div>'
+                '<div class="member-box"><h3>John Smith</h3>'
+                '<p class="role">Engineering Office Lead</p></div>'
+                '<div class="team-member"><h3>van der Berg</h3></div>'
+                "</body></html>"
+            )
+
+        def paged():
+            import pandas as _pd
+
+            for pdf in batches:
+                yield _pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "html": pdf["doc_id"].map(team_page)}
+                )
+
+        yield from inner(paged())
+
+    return d.mapInPandas(template_then_parse, TEAM_SCHEMA).orderBy("doc_id", "card_pos")

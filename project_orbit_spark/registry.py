@@ -198,6 +198,7 @@ _DRIVER_PRIORITY = (
     "html_script_inventory",        # r6: async/defer, JSON gate
     "pricing_page_parse",           # r6: model ladder + tier cards
     "customer_partner_mentions",    # r6: alt-text + class-scoped lists
+    "team_page_extract",            # r6: member cards + validation ladder
     # Loader sentinels for the catalog.py r6 change (integer `ts div
     # 1000` + layout-branched stream source). The driver fixture is
     # timestamp[us] vintage at every sf (verified), which bypasses the

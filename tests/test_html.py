@@ -335,3 +335,17 @@ def test_table_extractor_first_row_headers_inside_tbody():
     cells = out[out.kind == "cell"]["value"].tolist()
     assert headers == ["H1", "H2"]
     assert cells == ["a", "b"], "first row must not reappear as data"
+
+
+def test_team_validation_ladder():
+    from project_orbit_spark.functions.html_extract import is_valid_team_member
+
+    assert is_valid_team_member("Ada Lovelace")
+    assert is_valid_team_member("Jean Luc P Picard")          # 4 words ok
+    assert not is_valid_team_member("Plato")                  # no space
+    assert not is_valid_team_member("San Francisco Office")   # exclude keyword
+    assert not is_valid_team_member("van der Berg")           # lowercase start
+    assert not is_valid_team_member("A B C D E")              # >4 words
+    assert not is_valid_team_member("Jo")                     # <3 chars
+    assert not is_valid_team_member("John Smith", role="Engineering Office Lead")
+    assert is_valid_team_member("John Smith", role="Staff Engineer")
