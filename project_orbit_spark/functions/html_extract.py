@@ -1139,6 +1139,12 @@ def make_nav_extractor():
         from urllib.parse import urljoin
 
         class NavParser(HTMLParser):
+            # Region membership is tracked with a stack of
+            # (tag, region) entries so a close tag only ends the
+            # region its own start tag opened: a plain <ul> inside a
+            # breadcrumb container, or a breadcrumb-classed <nav>
+            # inside an open <nav>, no longer decrements the wrong
+            # counter (BeautifulSoup scoping parity).
             def __init__(self) -> None:
                 super().__init__()
                 self.nav_depth = 0
@@ -1146,24 +1152,35 @@ def make_nav_extractor():
                 self.crumb_depth = 0
                 self.footers_seen = 0
                 self.crumb_container_taken = False
+                self.region_stack: list[tuple[str, str | None]] = []
                 self.in_a: dict | None = None
                 self.rows: list[tuple[str, str, str, list[str]]] = []
+
+            _REGION_TAGS = ("nav", "header", "footer", "ol", "ul")
 
             def handle_starttag(self, tag, attrs):
                 a = dict(attrs)
                 cls = a.get("class", "")
-                if tag in ("nav", "ol", "ul") and "breadcrumb" in cls.lower():
-                    if not self.crumb_container_taken:
-                        self.crumb_depth += 1
-                        self.crumb_tag = tag
+                if tag in self._REGION_TAGS:
+                    region: str | None = None
+                    if (
+                        tag in ("nav", "ol", "ul")
+                        and "breadcrumb" in cls.lower()
+                    ):
+                        if not self.crumb_container_taken and not self.crumb_depth:
+                            region = "crumb"
+                            self.crumb_depth += 1
+                    elif tag in ("nav", "header"):
+                        region = "nav"
+                        self.nav_depth += 1
+                    elif tag == "footer":
+                        self.footers_seen += 1
+                        if self.footers_seen == 1:
+                            region = "footer"
+                            self.footer_depth += 1
+                    self.region_stack.append((tag, region))
                     return
-                if tag in ("nav", "header"):
-                    self.nav_depth += 1
-                elif tag == "footer":
-                    self.footers_seen += 1
-                    if self.footers_seen == 1:
-                        self.footer_depth += 1
-                elif tag == "a" and "href" in a:
+                if tag == "a" and "href" in a:
                     region = (
                         "breadcrumbs"
                         if self.crumb_depth
@@ -1192,14 +1209,23 @@ def make_nav_extractor():
                         (cur["region"], "".join(cur["text"]).strip(), cur["href"], cur["classes"])
                     )
                     self.in_a = None
-                elif tag in ("nav", "header") and self.nav_depth:
-                    self.nav_depth -= 1
-                elif tag == "footer" and self.footer_depth:
-                    self.footer_depth -= 1
-                    self.crumb_container_taken = self.crumb_container_taken or False
-                elif tag in ("nav", "ol", "ul") and self.crumb_depth:
-                    self.crumb_depth -= 1
-                    self.crumb_container_taken = True
+                elif tag in self._REGION_TAGS:
+                    # pop the nearest matching open tag; only the
+                    # region IT opened (if any) is decremented
+                    for i in range(len(self.region_stack) - 1, -1, -1):
+                        open_tag, region = self.region_stack[i]
+                        if open_tag != tag:
+                            continue
+                        del self.region_stack[i]
+                        if region == "nav":
+                            self.nav_depth -= 1
+                        elif region == "footer":
+                            self.footer_depth -= 1
+                        elif region == "crumb":
+                            self.crumb_depth -= 1
+                            if not self.crumb_depth:
+                                self.crumb_container_taken = True
+                        break
 
             def handle_startendtag(self, tag, attrs):
                 self.handle_starttag(tag, attrs)
@@ -2376,9 +2402,13 @@ def make_pricing_page_parser():
     pricing-model ladder over full page text (per seat/per user ->
     per-seat, usage-based/pay as you go -> usage-based, enterprise
     AND contact -> enterprise), pricing cards = div/section whose
-    class contains price/tier/plan, one tier per card = FIRST ladder
-    name in the card text ('pro' matches inside 'professional' — the
-    reference's quirk, pinned), price = the $-amount regex match
+    class contains price/tier/plan (nested div/section markup inside
+    a card deepens it rather than closing it; a class-matched
+    descendant of an open card folds into the enclosing card instead
+    of re-emitting as find_all would — pinned deviation), one tier
+    per card = FIRST ladder name in the card text ('pro' matches
+    inside 'professional' — the reference's quirk, pinned), price =
+    the $-amount regex match
     including the dollar sign, and the h2-h4 heading fallback when no
     card yields a tier."""
 
@@ -2401,11 +2431,18 @@ def make_pricing_page_parser():
 
             def handle_starttag(self, tag, attrs):
                 cls = dict(attrs).get("class", "").lower()
-                if tag in ("div", "section") and any(
-                    k in cls for k in ("price", "tier", "plan")
-                ):
-                    self.cards.append([])
-                    self.card_depth += 1
+                if tag in ("div", "section"):
+                    if self.card_depth:
+                        # any div/section nested inside an open card
+                        # deepens it, so open/close events balance and
+                        # trailing card text survives nested markup
+                        # (class-matched descendants fold into the
+                        # enclosing card rather than re-emitting, a
+                        # pinned deviation from find_all)
+                        self.card_depth += 1
+                    elif any(k in cls for k in ("price", "tier", "plan")):
+                        self.cards.append([])
+                        self.card_depth = 1
                 elif tag in ("h2", "h3", "h4"):
                     self.headings.append([])
                     self.in_heading = True
@@ -2722,12 +2759,16 @@ def _make_team_validator():
     def is_valid(name: str, role: str | None = None) -> bool:
         """The reference's strict team-member validation ladder
         (src/scraper_v2.py:2887-2920): >=3 chars, contains a space,
-        neither name nor role hits the 27-keyword exclude list, 2-4
+        neither name nor role hits the 27-keyword exclude list, no
+        'speak ' location prefix (the reference's other two prefixes,
+        'office'/'location', are subsumed by the keyword list), 2-4
         words, first word capitalized."""
         if not name or len(name) < 3 or " " not in name:
             return False
         name_lower = name.lower()
         role_lower = (role or "").lower()
+        if name_lower.startswith("speak "):
+            return False
         if any(k in name_lower for k in exclude):
             return False
         if role and any(k in role_lower for k in exclude):
@@ -2765,6 +2806,14 @@ def make_team_extractor():
         NAME_TAGS = {"h1", "h2", "h3", "h4", "h5", "strong", "span"}
         FALLBACK_NAME_TAGS = {"h2", "h3", "h4", "strong"}
         ROLE_KEYS = ("role", "title", "position", "job-title", "jobtitle")
+        # HTML void elements never get a close tag from html.parser,
+        # so they must not deepen the card (an <img> headshot inside a
+        # card would otherwise unbalance the counter and swallow every
+        # later card — BeautifulSoup scoping never sees this)
+        VOID_TAGS = {
+            "img", "br", "hr", "input", "meta", "link", "source",
+            "area", "base", "col", "embed", "track", "wbr",
+        }
 
         class TeamParser(HTMLParser):
             def __init__(self) -> None:
@@ -2782,6 +2831,8 @@ def make_team_extractor():
                         self.card = {"named": [], "fallback": [], "roles": [],
                                      "ps": [], "linkedin": None}
                         self.depth = 1
+                    return
+                if tag in VOID_TAGS:
                     return
                 self.depth += 1
                 if tag == "a" and "linkedin.com" in a.get("href", "").lower():
@@ -2805,7 +2856,7 @@ def make_team_extractor():
                     self.card[self.grab[0]][-1].append(data)
 
             def handle_endtag(self, tag):
-                if self.card is None:
+                if self.card is None or tag in VOID_TAGS:
                     return
                 if self.grab is not None and tag == self.grab[1]:
                     self.grab = None

@@ -156,62 +156,15 @@ def get_query(name: str) -> Query:
 # whose code path changed this round, and this round's additions —
 # these MUST land in the driver's first-50 sample. Rebuilt each round.
 _DRIVER_PRIORITY = (
-    # --- new in round 6: source/sink connectors on the hash record ---
-    "seed_scan_company_ids",        # r6: S1 seed JSON scan + company_id
-    "rss_feed_items",               # r6: S4 RSS/Atom dual-dialect parse
-    "corpus_scan_path_keys",        # r6: S7 wholetext walk, path keys
-    "tagged_union_sources",         # r6: S8 null-filled tagged union
-    "partitioned_sink_roundtrip",   # r6: S11-S13 partitionBy round-trip
-    "append_log_sink_roundtrip",    # r6: S14 append-mode 2x check
-    "simhash64_hamming_dups",       # r6: 64-bit / 4x16-band tier
-    "session_windows_30m_salted",   # r6: skew-hardened day-split sessions
-    "unigram_logprob_scores",       # r6: CCNet-style unigram LM quality tier
-    "corpus_curation_gold",         # r6: composed quality->dedup->split pass
-    "money_phrase_parsing",         # r6: reference full money-ladder grammar
-    "image_header_probe",           # r6: real PNG/JPEG byte-level dim sniffing
-    "html_class_pattern_jobs",      # r6: class-pattern job-element tier
-    "dedup_quality_canonical",      # r6: best-member canonical rule
-    "incremental_embedding_dedup",  # r6: O(new) vector-modality dedup
-    "minhash_lsh_near_dups",        # r6: refactored through minhash_pairs
-    "feed_autodiscovery",           # r6: link-tag parse ∪ candidate grid
-    "context_snippets_format",      # r6: rag_search snippet formatting
-    "blog_index_article_links",     # r6: index-page article-link harvest
-    "repeated_span_mining",         # r6: cross-doc n-gram span dedup
-    "incremental_span_contamination",  # r6: O(new) span-index probe
-    "heavy_hitters_two_pass",       # r6: MG candidates + exact confirm
-    "ann_ivf_pq_topk",              # r6: product-quantized IVF tier
-    "ann_ivf_pq_topk_warm",         # r6: persisted PQ index serving cost
-    "compaction_log_roundtrip",     # r6: small-file compaction maintenance op
-    "bigram_logprob_scores",        # r6: interpolated bigram LM quality tier
-    "order_count_distribution",     # r6: Q13-shape ON-clause outer join
-    # --- changed in round 6 ---
-    "incremental_minhash_dedup",    # r6: persisted warm_band_index path
-    "simhash_hamming_dups",         # r6: refactored through _simhash_pairs
-    # --- late round-6 additions (reference-parity extractors) ---
-    "greenhouse_board_discovery",   # r6: script/iframe token + API URL
-    "nav_structure_extract",        # r6: nav/footer/breadcrumb regions
-    "html_link_inventory",          # r6: category ladder + domain flags
-    "html_table_extract",           # r6: thead/first-row headers + skip
-    "html_form_extract",            # r6: fields, label-for, GET default
-    "html_image_inventory",         # r6: src fallback chain, logo flag
-    "html_text_structure",          # r6: by-level headings, len gates
-    "html_script_inventory",        # r6: async/defer, JSON gate
-    "pricing_page_parse",           # r6: model ladder + tier cards
-    "customer_partner_mentions",    # r6: alt-text + class-scoped lists
-    "team_page_extract",            # r6: member cards + validation ladder
-    # Loader sentinels for the catalog.py r6 change (integer `ts div
-    # 1000` + layout-branched stream source). The driver fixture is
-    # timestamp[us] vintage at every sf (verified), which bypasses the
-    # changed ns-division branch entirely — so six sentinels spanning
-    # batch agg / as-of / interval / session / replay / stateful cover
-    # the loader surface, and the other events queries keep their r05
-    # green records until LRV rotation brings them back around.
-    "tumbling_hourly_counts",
-    "asof_event_join",
-    "session_windows_30m",
-    "replay_dedup_events",
-    "stateful_running_user_totals",
-    "interval_join_click_view",
+    # Round 7 deliberately keeps this head SMALL (the r6 verdict's top
+    # ask): only queries whose code path changed this round, so the
+    # ~44 remaining LRV slots rotate the stale r01/r02 records back
+    # onto the official driver record.
+    # --- changed in round 7 (ADVICE fixes) ---
+    "nav_structure_extract",        # r7: stack-based region bookkeeping
+    "pricing_page_parse",           # r7: balanced card_depth on nested divs
+    "team_page_extract",            # r7: 'speak ' prefix + void-element depth
+    "greenhouse_board_discovery",   # r7: scan ALL boardToken scripts
 )
 
 

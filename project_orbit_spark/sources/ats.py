@@ -537,14 +537,26 @@ def greenhouse_board_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     page = d.select("doc_id", html.alias("html"))
 
+    return discover_greenhouse_board(page).orderBy("doc_id")
+
+
+def discover_greenhouse_board(page: DataFrame) -> DataFrame:
+    """Board-token discovery core over a (doc_id, html) frame — the
+    expression pipeline the registered query templates into. Kept as
+    a named function so the script-scanning semantics (regex across
+    ALL boardToken-mentioning scripts, not just the first) are
+    directly unit-testable on handcrafted pages."""
     scripts = F.regexp_extract_all("html", F.lit(r"(?s)<script[^>]*>(.*?)</script>"), 1)
-    first_tok_script = F.get(F.filter(scripts, lambda s: s.contains("boardToken")), 0)
-    script_token = F.nullif(
-        F.regexp_extract(
-            first_tok_script, r"""boardToken["']?\s*[:=]\s*["']([^"']+)["']""", 1
-        ),
-        F.lit(""),
+    # the reference keeps scanning boardToken-mentioning scripts until
+    # the assignment regex actually matches, so extract across ALL of
+    # them and take the first non-empty match (not just the first
+    # script that merely mentions the word)
+    tok_pattern = r"""boardToken["']?\s*[:=]\s*["']([^"']+)["']"""
+    token_matches = F.transform(
+        F.filter(scripts, lambda s: s.contains("boardToken")),
+        lambda s: F.regexp_extract(s, tok_pattern, 1),
     )
+    script_token = F.get(F.filter(token_matches, lambda m: m != F.lit("")), 0)
     iframes = F.regexp_extract_all("html", F.lit(r'<iframe[^>]*src="([^"]*)"'), 1)
     first_gh = F.get(F.filter(iframes, lambda s: s.contains("greenhouse.io")), 0)
     iframe_token = F.nullif(F.regexp_extract(first_gh, r'for=([^&"]+)', 1), F.lit(""))
@@ -562,4 +574,4 @@ def greenhouse_board_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("https://boards-api.greenhouse.io/v1/boards/"), token, F.lit("/jobs")
             ),
         ).alias("api_url"),
-    ).orderBy("doc_id")
+    )
