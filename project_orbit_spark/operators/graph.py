@@ -50,6 +50,8 @@ def connected_components(
     rounds do not reach the fixpoint, rather than returning a
     silently-wrong partial labeling.
     """
+    from pyspark.sql import Observation
+
     half = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
@@ -62,36 +64,45 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Convergence is detected from sum(label): min-label propagation
+    # only ever DECREASES a label, so the sum is strictly monotone
+    # until the fixpoint and equal sums ⟺ no label changed. The sum
+    # rides the checkpoint job via observe() — one job per round, no
+    # separate changed-count join (measured: the old join+limit+count
+    # job was ~40% of per-round wall time on a small graph, and at
+    # scale it was an extra shuffle of the full label table per round).
+    # decimal(38,0) keeps the sum exact far past long overflow.
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("label_sum")
+    obs0 = Observation()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .observe(obs0, label_sum)
         .localCheckpoint(eager=True)
     )
+    prev_sum = obs0.get["label_sum"]
     for _ in range(max_iter):
         nbr = sym.join(
             labels.select(F.col("node").alias("dst"), F.col("label").alias("nbr_label")),
             "dst",
         )
         nmin = nbr.groupBy("src").agg(F.min("nbr_label").alias("nmin"))
+        obs = Observation()
         new_labels = (
             labels.join(nmin.select(F.col("src").alias("node"), "nmin"), "node", "left")
             .select(
                 "node",
                 F.least("label", F.coalesce("nmin", F.col("label"))).alias("label"),
             )
+            .observe(obs, label_sum)
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = obs.get["label_sum"]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components: no fixpoint after {max_iter} rounds")
 
 

@@ -165,6 +165,12 @@ _DRIVER_PRIORITY = (
     "pricing_page_parse",           # r7: balanced card_depth on nested divs
     "team_page_extract",            # r7: 'speak ' prefix + void-element depth
     "greenhouse_board_discovery",   # r7: scan ALL boardToken scripts
+    # --- changed in round 7 (CC convergence via observe(), no
+    # --- per-round changed-count job) ---
+    "dup_cluster_labels",
+    "dedup_canonical_corpus",
+    "dedup_quality_canonical",
+    "corpus_curation_gold",
 )
 
 
