@@ -60,55 +60,76 @@ def main() -> None:
             print(f"# warm-up of table {t} failed: {type(exc).__name__}: {exc}", file=sys.stderr)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    total = 0.0
-    failures: list[str] = []
-    for name, q in sorted(bench.items()):
-        if q.prepare is not None:
-            # amortized setup (persisted centroids etc.) happens outside
-            # the timer — the measured number is the steady-state query
+
+    def run_pass(warm: bool, label: str) -> tuple[dict[str, float], float, list[str]]:
+        pass_timings: dict[str, float] = {}
+        pass_total = 0.0
+        pass_failures: list[str] = []
+        for name, q in sorted(bench.items()):
+            if warm and q.prepare is not None:
+                # amortized setup (persisted centroids etc.) happens
+                # outside the timer — the measured number is the
+                # steady-state query
+                try:
+                    q.prepare(spark, sf_dir)
+                except Exception as exc:  # noqa: BLE001
+                    print(f"# {name}: prepare failed {exc}", file=sys.stderr)
+            samples: list[float] = []
+            n = 0
             try:
-                q.prepare(spark, sf_dir)
-            except Exception as exc:  # noqa: BLE001
-                print(f"# {name}: prepare failed {exc}", file=sys.stderr)
-        samples: list[float] = []
-        n = 0
-        try:
-            # one UNTIMED warm rep per query: whole-stage-codegen
-            # compile + JVM JIT of this query's specific generated code
-            # is a first-execution-only cost a long-lived cluster never
-            # re-pays (measured: doc_quality_scores 7.6s cold vs 0.8s
-            # steady in a fresh session), and under session contention
-            # it can poison a median of 3 (BENCH_r05's 12.25s outlier).
-            # Queries that deliberately time non-amortized work (e.g.
-            # ann_ivf_topk's inline centroid derivation) still pay that
-            # work inside every timed rep — only per-session compile
-            # cost is absorbed.
-            n = len(q.fn(spark, sf_dir).collect())
-            for _ in range(reps):
-                t0 = time.time()
-                df = q.fn(spark, sf_dir)
-                n = len(df.collect())
-                samples.append(time.time() - t0)
-        except Exception as exc:  # noqa: BLE001 — one bad query must not kill the bench line
-            failures.append(name)
-            print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
-            continue
-        dt = sorted(samples)[len(samples) // 2]
-        timings[name] = round(dt, 3)
-        total += dt
-        detail = "/".join(f"{s:.2f}" for s in sorted(samples))
-        print(f"# {name}: median {dt:.2f}s of [{detail}] ({n} rows)", file=sys.stderr)
+                if warm:
+                    # one UNTIMED warm rep per query: whole-stage-codegen
+                    # compile + JVM JIT of this query's specific generated
+                    # code is a first-execution-only cost a long-lived
+                    # cluster never re-pays (measured: doc_quality_scores
+                    # 7.6s cold vs 0.8s steady in a fresh session), and
+                    # under session contention it can poison a median of 3
+                    # (BENCH_r05's 12.25s outlier). Queries that
+                    # deliberately time non-amortized work (e.g.
+                    # ann_ivf_topk's inline centroid derivation) still pay
+                    # that work inside every timed rep — only per-session
+                    # compile cost is absorbed.
+                    n = len(q.fn(spark, sf_dir).collect())
+                for _ in range(reps):
+                    t0 = time.time()
+                    df = q.fn(spark, sf_dir)
+                    n = len(df.collect())
+                    samples.append(time.time() - t0)
+            except Exception as exc:  # noqa: BLE001 — one bad query must not kill the bench line
+                pass_failures.append(name)
+                print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
+                continue
+            dt = sorted(samples)[len(samples) // 2]
+            pass_timings[name] = round(dt, 3)
+            pass_total += dt
+            detail = "/".join(f"{s:.2f}" for s in sorted(samples))
+            print(
+                f"# [{label}] {name}: median {dt:.2f}s of [{detail}] ({n} rows)",
+                file=sys.stderr,
+            )
+        return pass_timings, pass_total, pass_failures
+
+    # Two full timed passes in the round artifact (round-6 lesson:
+    # single-run ambient swings — the r2 54.8s total, the r5 12.25s
+    # outlier — each cost a round of diagnosis). "value"/"queries"
+    # keep the pass-1 semantics every prior BENCH_rNN used; run2 is
+    # the cross-check: totals that disagree badly flag an ambient
+    # swing, not a plan regression.
+    timings, total, failures = run_pass(warm=True, label="run1")
+    timings2, total2, failures2 = run_pass(warm=False, label="run2")
 
     payload = {
         "metric": "headline_query_set_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "value_run2": round(total2, 3),
+        "queries_run2": timings2,
         "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    if failures:
-        payload["failed"] = failures
+    if failures or failures2:
+        payload["failed"] = sorted(set(failures) | set(failures2))
     print(json.dumps(payload))
 
 

@@ -1665,6 +1665,7 @@ def make_table_extractor():
 
 @register(
     "html_table_extract",
+    bench=True,  # regression tracking for the Arrow-batched parser tier
     tags=("html", "extract", "pandas_udf"),
     doc="Table extraction (ref src/scraper_v2.py:299-350): caption, "
     "headers from <thead> OR first-row-as-headers (which is then "

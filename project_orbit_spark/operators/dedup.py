@@ -739,6 +739,7 @@ def _simhash_pairs(corpus: DataFrame, *, n_words: int, band_bits: int) -> DataFr
 
 @register(
     "simhash64_hamming_dups",
+    bench=True,  # the stated 100 TB-default dedup tier
     tags=("dedup", "simhash"),
     doc="The 64-bit SimHash tier SCALE.md prescribes for 100 TB: two "
     "32-bit md5-hex-slice words per token (float64 vote arithmetic "
