@@ -202,6 +202,26 @@ def normalize_ats_payloads(df: DataFrame, payload_col: str = "payload") -> DataF
     return gh.unionByName(lv).unionByName(asb).unionByName(wk).unionByName(sr).unionByName(bh)
 
 
+def merge_paged_ats_payloads(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Fetch-seam page-merge contract. The live network loop (the
+    documented mapInPandas seam — ref src/ats_extractor.py:114-240
+    fetches per-vendor list endpoints) yields one payload row per
+    (doc_id, page); this merges a doc's pages into one normalized job
+    list: jobs from every page union, and a job repeated across page
+    boundaries (offset drift between successive requests against a
+    changing board) collapses to one row keyed on (doc_id, vendor,
+    job_id). Jobs with a NULL job_id (the HTML-extraction tier carries
+    none) cannot be identified across pages and pass through unmerged.
+    Scale shape: one dropDuplicates shuffle keyed on the composite id —
+    the same plan at 10 boards or 10 million."""
+    jobs = normalize_ats_payloads(df, payload_col)
+    with_id = jobs.filter(F.col("job_id").isNotNull()).dropDuplicates(
+        ["doc_id", "vendor", "job_id"]
+    )
+    without_id = jobs.filter(F.col("job_id").isNull())
+    return with_id.unionByName(without_id)
+
+
 def _vendor_payload() -> Column:
     """Synthesize this doc's vendor payload (vendor = doc_id%6,
     1+doc_id%2 jobs) as a textual JSON column so the operator
