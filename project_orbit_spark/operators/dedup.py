@@ -1284,3 +1284,134 @@ def incremental_span_contamination(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("new_id")
     )
+
+
+@register(
+    "semantic_dedup_semdedup",
+    tags=("dedup", "embedding", "graph", "pipeline"),
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic "
+    "dedup over the embedding modality, composed end-to-end: cluster "
+    "the corpus (cluster = the label partition here, the repo's IVF "
+    "convention; a real deployment assigns via nearest_centroid_assign "
+    "k-means buckets), find within-cluster pairs with 6dp-rounded "
+    "cosine ≥ 0.999 (blocked pair space — the paper's own algorithmic "
+    "bound), collapse pairs to duplicate groups (connected "
+    "components), and within each group KEEP the member with the "
+    "LOWEST cosine to its cluster centroid (the paper's "
+    "diversity-maximizing keep rule; vec_id tie-break), removing the "
+    "rest. Singletons are their own group and are kept. Same "
+    "dup-injected corpus as embedding_near_dup_pairs (every 25th "
+    "vector cloned at +10000). Scale shape: broadcast centroid join, "
+    "one within-cluster pair shuffle, O(diameter) CC rounds on the "
+    "tiny dup graph, one window per group.",
+    oracle="""
+        WITH RECURSIVE emb AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        corpus AS (
+          SELECT vec_id, label, emb FROM emb
+          UNION ALL
+          SELECT vec_id + 10000 AS vec_id, label, emb FROM emb WHERE vec_id % 25 = 0
+        ),
+        cent AS (
+          SELECT label, list(cval ORDER BY dim) AS cvec
+          FROM (
+            SELECT label, i AS dim, round(avg(emb[i]), 6) AS cval
+            FROM corpus, UNNEST(range(1, len(emb) + 1)) AS t(i)
+            GROUP BY label, i
+          )
+          GROUP BY label
+        ),
+        pairs AS (
+          SELECT a.vec_id AS l, b.vec_id AS r
+          FROM corpus a
+          JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.999
+        ),
+        edges AS (
+          SELECT l AS src, r AS dst FROM pairs
+          UNION
+          SELECT r AS src, l AS dst FROM pairs
+        ),
+        reach(node, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT node AS vec_id, min(lab) AS grp FROM reach GROUP BY node
+        ),
+        scored AS (
+          SELECT c.vec_id, c.label,
+                 coalesce(p.grp, c.vec_id) AS group_id,
+                 round(list_cosine_similarity(c.emb, ct.cvec), 6) AS centroid_sim
+          FROM corpus c
+          JOIN cent ct USING (label)
+          LEFT JOIN comp p ON p.vec_id = c.vec_id
+        )
+        SELECT vec_id, label, group_id, centroid_sim,
+               CASE WHEN rn = 1 THEN 'kept' ELSE 'removed' END AS status
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY group_id ORDER BY centroid_sim ASC, vec_id) AS rn
+          FROM scored
+        ) t
+        ORDER BY vec_id
+    """,
+)
+def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.operators.graph import connected_components
+    from project_orbit_spark.similarity.cosine import (
+        as_double,
+        centroids,
+        cosine,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", as_double("embedding").alias("emb")
+    )
+    dups = e.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    corpus = e.unionByName(dups)
+    cent = centroids(corpus)
+
+    a, b = corpus.alias("a"), corpus.alias("b")
+    pair_score = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            pair_score.alias("score"),
+        )
+        .filter(F.col("score") >= 0.999)
+        .drop("score")
+    )
+    groups = connected_components(pairs).select(
+        F.col("node").alias("vec_id"), F.col("label").alias("group_id")
+    )
+    scored = corpus.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("emb"), F.col("cvec")), 6).alias("centroid_sim"),
+    )
+    out = scored.join(groups, "vec_id", "left").withColumn(
+        "group_id", F.coalesce("group_id", F.col("vec_id"))
+    )
+    w = Window.partitionBy("group_id").orderBy(F.asc("centroid_sim"), F.asc("vec_id"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "label",
+            "group_id",
+            "centroid_sim",
+            F.when(F.col("rn") == 1, "kept").otherwise("removed").alias("status"),
+        )
+        .orderBy("vec_id")
+    )

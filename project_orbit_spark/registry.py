@@ -171,6 +171,8 @@ _DRIVER_PRIORITY = (
     "dedup_canonical_corpus",
     "dedup_quality_canonical",
     "corpus_curation_gold",
+    # --- new in round 7 ---
+    "semantic_dedup_semdedup",      # r7: SemDeDup keep-farthest rule
 )
 
 
