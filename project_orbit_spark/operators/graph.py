@@ -139,20 +139,28 @@ def _star_rounds(edges: DataFrame, max_iter: int) -> DataFrame:
         ).union(g.select(F.col("u"), F.col("m").alias("v")))
         return out.filter(F.col("u") != F.col("v")).distinct()
 
-    def checksum(e: DataFrame) -> tuple:
-        row = e.agg(
+    from pyspark.sql import Observation
+
+    # the stability checksum rides each round's checkpoint job via
+    # observe() — same one-job-per-round discipline as
+    # connected_components' sum(label) convergence check
+    def checkpoint_with_checksum(e: DataFrame) -> tuple[DataFrame, tuple]:
+        obs = Observation()
+        out = e.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+        ).localCheckpoint(eager=True)
+        got = obs.get
+        return out, (got["n"], got["h"])
 
-    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).filter(
-        F.col("u") != F.col("v")
-    ).distinct().localCheckpoint(eager=True)
-    prev = checksum(e)
+    e, prev = checkpoint_with_checksum(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
-        cur = checksum(e)
+        e, cur = checkpoint_with_checksum(small_star(large_star(e)))
         if cur == prev:
             return e
         prev = cur
