@@ -36,7 +36,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     bench = registry.bench_queries()
-    timings: dict[str, float] = {}
     # Warm the JVM + parquet footers once so timings measure the plan,
     # not first-touch JIT/IO (the driver's numbers then reflect steady
     # state, as a long-lived cluster would).
@@ -124,13 +123,44 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "value_run2": round(total2, 3),
-        "queries_run2": timings2,
         "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if failures or failures2:
         payload["failed"] = sorted(set(failures) | set(failures2))
-    print(json.dumps(payload))
+    # The driver machine-parses only the LAST ~2000 chars of stdout
+    # (round-7 lesson: carrying BOTH passes' per-query dicts pushed the
+    # line to ~2.4k and BENCH_r07 recorded "parsed": null). The final
+    # line therefore carries run1's per-query dict plus run2's total
+    # only; the full two-pass detail goes to a committed side file and
+    # stderr. build_payload_line() is the single encoder so the
+    # tests/test_bench_line.py budget guard measures the real thing.
+    detail = dict(payload)
+    detail["queries_run2"] = timings2
+    try:
+        (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1) + "\n")
+    except OSError as exc:
+        print(f"# could not write BENCH_DETAIL.json: {exc}", file=sys.stderr)
+    print(f"# queries_run2: {json.dumps(timings2)}", file=sys.stderr)
+    print(build_payload_line(payload))
+
+
+def build_payload_line(payload: dict) -> str:
+    """Encode the driver-facing final line, enforcing the tail-window
+    budget: compact separators always; if the per-query dict ever grows
+    the line past the driver's window anyway, drop it (full detail is
+    in BENCH_DETAIL.json) rather than emit an unparseable line."""
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > MAX_LINE_CHARS and "queries" in payload:
+        slim = {k: v for k, v in payload.items() if k != "queries"}
+        slim["queries_in"] = "BENCH_DETAIL.json"
+        line = json.dumps(slim, separators=(",", ":"))
+    return line
+
+
+# Driver tail window is 2000 chars; leave headroom for the queries set
+# to keep growing before the drop-to-side-file fallback kicks in.
+MAX_LINE_CHARS = 1800
 
 
 if __name__ == "__main__":

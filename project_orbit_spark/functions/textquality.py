@@ -325,6 +325,7 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bigram_logprob_scores",
     tags=("text", "quality", "langmodel"),
+    bench=True,
     doc="Bigram-interpolated LM quality scoring — the next tier above "
     "unigram_logprob_scores on the road to KenLM-style perplexity "
     "filtering (CCNet trains 5-gram models; interpolation is the "

@@ -1207,6 +1207,7 @@ def warm_span_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "incremental_span_contamination",
     tags=("dedup", "corpus", "incremental"),
+    bench=True,
     doc="Incremental span-contamination check — the O(new) face of "
     "repeated_span_mining and the third instance of the engine's "
     "incremental-dedup contract (minhash bands, embedding LSH blocks, "

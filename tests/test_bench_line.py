@@ -1,0 +1,81 @@
+"""Driver-tail budget guard for bench.py's final JSON line.
+
+The driver machine-parses only the last ~2000 chars of bench stdout.
+Round 7's two-pass change grew the final line past that window and
+BENCH_r07 recorded "parsed": null — the bench queries were fine but the
+round had no official bench record. These tests pin the encoding so
+bench-set growth can't silently re-break the parse: the final line for
+the CURRENT bench query set must stay under budget with worst-case
+timing widths, and the fallback (drop the per-query dict, point at
+BENCH_DETAIL.json) must itself stay parseable and under budget.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from project_orbit_spark import registry  # noqa: E402
+
+
+def _bench_module():
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _worst_case_payload(names: list[str]) -> dict:
+    # 999.999 is wider than any plausible per-query median; a real run
+    # only ever produces a SHORTER line than this synthetic one.
+    return {
+        "metric": "headline_query_set_total",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": {n: 999.999 for n in sorted(names)},
+        "value_run2": 99999.999,
+        "reps": 3,
+        "sf": 0.1,
+    }
+
+
+def test_current_bench_set_fits_driver_tail_window():
+    bench = _bench_module()
+    names = list(registry.bench_queries())
+    line = bench.build_payload_line(_worst_case_payload(names))
+    assert len(line) < 1900, (
+        f"bench final line is {len(line)} chars for {len(names)} bench "
+        "queries — the driver's 2000-char tail window will truncate it "
+        "(BENCH_r07 regression). Trim query names or let the "
+        "build_payload_line fallback drop the dict."
+    )
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_query_set_total"
+    assert set(parsed["queries"]) == set(names)
+
+
+def test_oversize_payload_falls_back_to_side_file_pointer():
+    bench = _bench_module()
+    # 200 synthetic long-named queries would blow any budget; the
+    # encoder must drop the dict rather than emit an unparseable line
+    names = [f"extremely_long_synthetic_query_name_number_{i:04d}" for i in range(200)]
+    line = bench.build_payload_line(_worst_case_payload(names))
+    assert len(line) < 1900
+    parsed = json.loads(line)
+    assert "queries" not in parsed
+    assert parsed["queries_in"] == "BENCH_DETAIL.json"
+    assert parsed["value"] == 99999.999
+    assert parsed["value_run2"] == 99999.999
+
+
+def test_failed_list_survives_fallback():
+    bench = _bench_module()
+    payload = _worst_case_payload(list(registry.bench_queries()))
+    payload["failed"] = ["some_query"]
+    parsed = json.loads(bench.build_payload_line(payload))
+    assert parsed["failed"] == ["some_query"]
