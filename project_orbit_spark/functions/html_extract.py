@@ -1228,7 +1228,12 @@ def make_nav_extractor():
                         break
 
             def handle_startendtag(self, tag, attrs):
+                # start AND end: a self-closing region tag (<nav/>)
+                # must not leave a depth counter stuck open, and a
+                # self-closing anchor emits its empty-text row the
+                # same way BeautifulSoup's find_all('a') sees it
                 self.handle_starttag(tag, attrs)
+                self.handle_endtag(tag)
 
         def walk(doc_id: int, base: str, html: str):
             p = NavParser()
@@ -2796,7 +2801,10 @@ def make_team_extractor():
     element with a role/title/position class, else the first <p> when
     <150 chars and not an http link; LinkedIn = first anchor with a
     linkedin.com href; every candidate runs the is_valid_team_member
-    ladder before emission."""
+    ladder before emission. Unclosed <p>/<li> are implied-closed the
+    way lxml does (at the next block-level start tag, or at the
+    enclosing container's end tag) so tag soup can't unbalance the
+    card depth — BeautifulSoup scoping parity for real pages."""
 
     valid = _make_team_validator()
 
@@ -2816,6 +2824,24 @@ def make_team_extractor():
             "area", "base", "col", "embed", "track", "wbr",
         }
 
+        # lxml/BeautifulSoup imply-close an open <p> when any of these
+        # start tags arrives (HTML5 "p end tag can be omitted" list) —
+        # html.parser reports tags verbatim, so unclosed <p>/<li>
+        # would otherwise unbalance the card depth and swallow every
+        # later card, a parity gap with the reference's BS scoping
+        P_CLOSERS = {
+            "address", "article", "aside", "blockquote", "div", "dl",
+            "fieldset", "footer", "form", "h1", "h2", "h3", "h4", "h5",
+            "h6", "header", "hr", "main", "nav", "ol", "p", "pre",
+            "section", "table", "ul", "li",
+        }
+        # container END tags also end an open <p>/<li> inside them
+        # (inline end tags like </span> must not)
+        CONTAINER_TAGS = {
+            "div", "section", "ul", "ol", "article", "aside", "header",
+            "footer", "main", "table", "form", "blockquote", "dl", "li",
+        }
+
         class TeamParser(HTMLParser):
             def __init__(self) -> None:
                 super().__init__()
@@ -2823,6 +2849,24 @@ def make_team_extractor():
                 self.card: dict | None = None
                 self.depth = 0
                 self.grab: tuple[str, str] | None = None  # (slot, tag)
+                self.impl_open: list[str] = []  # open <p>/<li> awaiting implied close
+
+            def _close_one(self, tag):
+                if self.grab is not None and tag == self.grab[1]:
+                    self.grab = None
+                if self.impl_open and self.impl_open[-1] == tag:
+                    self.impl_open.pop()
+                self.depth -= 1
+                if self.depth == 0:
+                    self.cards.append(self.card)
+                    self.card = None
+                    self.impl_open = []
+
+            def _imply_close_for_start(self, tag):
+                if self.impl_open and self.impl_open[-1] == "p" and tag in P_CLOSERS:
+                    self._close_one("p")
+                if self.impl_open and self.impl_open[-1] == "li" and tag == "li":
+                    self._close_one("li")
 
             def handle_starttag(self, tag, attrs):
                 a = dict(attrs)
@@ -2832,10 +2876,14 @@ def make_team_extractor():
                         self.card = {"named": [], "fallback": [], "roles": [],
                                      "ps": [], "linkedin": None}
                         self.depth = 1
+                        self.impl_open = []
                     return
                 if tag in VOID_TAGS:
                     return
+                self._imply_close_for_start(tag)
                 self.depth += 1
+                if tag in ("p", "li"):
+                    self.impl_open.append(tag)
                 if tag == "a" and "linkedin.com" in a.get("href", "").lower():
                     if self.card["linkedin"] is None:
                         self.card["linkedin"] = a["href"]
@@ -2859,12 +2907,26 @@ def make_team_extractor():
             def handle_endtag(self, tag):
                 if self.card is None or tag in VOID_TAGS:
                     return
-                if self.grab is not None and tag == self.grab[1]:
-                    self.grab = None
-                self.depth -= 1
-                if self.depth == 0:
-                    self.cards.append(self.card)
-                    self.card = None
+                if tag in ("p", "li"):
+                    if tag not in self.impl_open:
+                        # already implied-closed (or never opened):
+                        # ignore the stray close, don't over-decrement
+                        return
+                    # </li> with a still-open <p> inside: end the p first
+                    while self.impl_open[-1] != tag and self.card is not None:
+                        self._close_one(self.impl_open[-1])
+                    if self.card is not None:
+                        self._close_one(tag)
+                    return
+                # a container's end tag first ends any still-open
+                # <p>/<li> inside it (lxml auto-close), so the card's
+                # own </div> lands back at depth 0 even when the page
+                # never closed its last paragraph
+                if tag in CONTAINER_TAGS:
+                    while self.impl_open and self.card is not None:
+                        self._close_one(self.impl_open[-1])
+                if self.card is not None:
+                    self._close_one(tag)
 
         def walk(doc_id: int, html: str):
             p = TeamParser()

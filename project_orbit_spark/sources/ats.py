@@ -22,7 +22,7 @@ parser — see ats_html_vendor_jobs below.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_orbit_spark.catalog import load
@@ -92,23 +92,31 @@ def detect_vendor(payload: Column) -> Column:
     )
 
 
-def normalize_ats_payloads(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def normalize_ats_payloads(
+    df: DataFrame,
+    payload_col: str = "payload",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
     """The S5 operator: tagged-union normalization of per-vendor ATS
     JSON into (vendor, title, location, department, url, job_id).
     Each branch filters to its vendor, parses with that vendor's typed
-    schema, explodes the job array, and renames to the normal form."""
+    schema, explodes the job array, and renames to the normal form.
+    ``keep_cols`` are input columns carried through unchanged (the
+    page-merge seam threads ``page`` so it can break cross-page ties
+    deterministically)."""
     p = F.col(payload_col)
     tagged = df.withColumn("vendor", detect_vendor(p))
+    keep = list(keep_cols)
 
     gh = (
         tagged.filter(F.col("vendor") == "greenhouse")
         .select(
-            "doc_id",
+            *keep,
             "vendor",
             F.explode(F.from_json(p, GREENHOUSE_SCHEMA)["jobs"]).alias("j"),
         )
         .select(
-            "doc_id",
+            *keep,
             "vendor",
             F.col("j.title").alias("title"),
             F.col("j.location.name").alias("location"),
@@ -119,9 +127,9 @@ def normalize_ats_payloads(df: DataFrame, payload_col: str = "payload") -> DataF
     )
     lv = (
         tagged.filter(F.col("vendor") == "lever")
-        .select("doc_id", "vendor", F.explode(F.from_json(p, LEVER_SCHEMA)).alias("j"))
+        .select(*keep, "vendor", F.explode(F.from_json(p, LEVER_SCHEMA)).alias("j"))
         .select(
-            "doc_id",
+            *keep,
             "vendor",
             F.col("j.text").alias("title"),
             F.col("j.categories.location").alias("location"),
@@ -133,12 +141,12 @@ def normalize_ats_payloads(df: DataFrame, payload_col: str = "payload") -> DataF
     asb = (
         tagged.filter(F.col("vendor") == "ashby")
         .select(
-            "doc_id",
+            *keep,
             "vendor",
             F.explode(F.from_json(p, ASHBY_SCHEMA)["jobPostings"]).alias("j"),
         )
         .select(
-            "doc_id",
+            *keep,
             "vendor",
             F.col("j.title").alias("title"),
             F.col("j.locationName").alias("location"),
@@ -150,12 +158,12 @@ def normalize_ats_payloads(df: DataFrame, payload_col: str = "payload") -> DataF
     wk = (
         tagged.filter(F.col("vendor") == "workable")
         .select(
-            "doc_id",
+            *keep,
             "vendor",
             F.explode(F.from_json(p, WORKABLE_SCHEMA)["results"]).alias("j"),
         )
         .select(
-            "doc_id",
+            *keep,
             "vendor",
             F.col("j.title").alias("title"),
             # ref joins the city list with ', ' (src/ats_extractor.py:374)
@@ -168,12 +176,12 @@ def normalize_ats_payloads(df: DataFrame, payload_col: str = "payload") -> DataF
     sr = (
         tagged.filter(F.col("vendor") == "smartrecruiters")
         .select(
-            "doc_id",
+            *keep,
             "vendor",
             F.explode(F.from_json(p, SMARTRECRUITERS_SCHEMA)["content"]).alias("j"),
         )
         .select(
-            "doc_id",
+            *keep,
             "vendor",
             F.col("j.name").alias("title"),
             F.col("j.location.city").alias("location"),
@@ -185,12 +193,12 @@ def normalize_ats_payloads(df: DataFrame, payload_col: str = "payload") -> DataF
     bh = (
         tagged.filter(F.col("vendor") == "bamboohr")
         .select(
-            "doc_id",
+            *keep,
             "vendor",
             F.explode(F.from_json(p, BAMBOOHR_SCHEMA)["result"]).alias("j"),
         )
         .select(
-            "doc_id",
+            *keep,
             "vendor",
             F.col("j.jobOpeningName").alias("title"),
             F.col("j.location.city").alias("location"),
@@ -212,14 +220,31 @@ def merge_paged_ats_payloads(df: DataFrame, payload_col: str = "payload") -> Dat
     changing board) collapses to one row keyed on (doc_id, vendor,
     job_id). Jobs with a NULL job_id (the HTML-extraction tier carries
     none) cannot be identified across pages and pass through unmerged.
-    Scale shape: one dropDuplicates shuffle keyed on the composite id —
+    When the input carries a ``page`` column the winner is
+    deterministic LAST-PAGE-WINS (a job whose fields drifted between
+    paged fetches keeps the freshest copy; the live loop reads pages
+    ascending, so the highest page is the latest fetch), title as the
+    final tie-break; without one, an arbitrary-but-single row survives
+    as before. Scale shape: one shuffle keyed on the composite id —
     the same plan at 10 boards or 10 million."""
-    jobs = normalize_ats_payloads(df, payload_col)
-    with_id = jobs.filter(F.col("job_id").isNotNull()).dropDuplicates(
-        ["doc_id", "vendor", "job_id"]
+    has_page = "page" in df.columns
+    keep = ("doc_id", "page") if has_page else ("doc_id",)
+    jobs = normalize_ats_payloads(df, payload_col, keep_cols=keep)
+    order = (
+        [F.col("page").desc(), F.col("title").asc_nulls_last()]
+        if has_page
+        else [F.lit(1).asc()]
+    )
+    w = Window.partitionBy("doc_id", "vendor", "job_id").orderBy(*order)
+    with_id = (
+        jobs.filter(F.col("job_id").isNotNull())
+        .withColumn("_pick", F.row_number().over(w))
+        .filter(F.col("_pick") == 1)
+        .drop("_pick")
     )
     without_id = jobs.filter(F.col("job_id").isNull())
-    return with_id.unionByName(without_id)
+    out = with_id.unionByName(without_id)
+    return out.drop("page") if has_page else out
 
 
 def _vendor_payload() -> Column:

@@ -99,6 +99,35 @@ def test_same_job_id_on_different_docs_does_not_collapse(spark):
     ]
 
 
+def test_cross_page_field_drift_keeps_last_page_deterministically(spark):
+    # a job whose title/updated_at changed between paged fetches must
+    # collapse to the LAST page's copy (freshest fetch), not an
+    # arbitrary partitioning-dependent survivor
+    rows = [
+        (4, 1, gh_page([(201, "Engineer (old title)"), (202, "Stable")])),
+        (4, 2, gh_page([(201, "Engineer (renamed)"), (203, "New")])),
+    ]
+    out = merge_paged_ats_payloads(
+        spark.createDataFrame(rows, PAYLOAD_SCHEMA)
+    ).collect()
+    by_id = {r.job_id: r for r in out}
+    assert len(out) == 3
+    assert by_id["201"].title == "Engineer (renamed)"
+    assert "page" not in out[0].asDict()
+
+
+def test_pageless_input_still_merges(spark):
+    # callers that never paged (single-fetch tier) pass no page column;
+    # the merge must still collapse duplicate ids to a single row
+    rows = [
+        (5, gh_page([(301, "Only"), (301, "Only")])),
+    ]
+    out = merge_paged_ats_payloads(
+        spark.createDataFrame(rows, "doc_id long, payload string")
+    ).collect()
+    assert [(r.doc_id, r.job_id, r.title) for r in out] == [(5, "301", "Only")]
+
+
 def test_mixed_vendor_pages_on_one_doc_keep_vendor_scope(spark):
     # a doc whose frontier found both a Greenhouse board and a Lever
     # board: merge keys on (doc_id, vendor, job_id), so identical ids

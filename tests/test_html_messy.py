@@ -67,6 +67,27 @@ class TestNavMessy:
         out = run(make_nav_extractor(), html, BASE)
         assert out.iloc[0].href == "https://x.com/up"
 
+    def test_self_closing_nav_does_not_leak_region(self):
+        # regression (ADVICE r7): a self-closing <nav/> used to push a
+        # region entry that never popped, so every later anchor —
+        # including ones outside all regions — was labeled main_nav
+        html = (
+            "<nav/>"
+            "<p><a href='/outside'>Outside</a></p>"
+            "<footer><a href='/f'>F</a></footer>"
+        )
+        out = run(make_nav_extractor(), html, BASE)
+        assert out[out.region == "main_nav"].empty
+        assert out[out.region == "footer"].text.tolist() == ["F"]
+
+    def test_self_closing_anchor_emits_empty_text_row(self):
+        # BeautifulSoup's find_all('a', href=True) sees <a href=x/> as
+        # an empty anchor; so do we (one row, empty text)
+        html = "<nav><a href='/i' /><a href='/j'>J</a></nav>"
+        out = run(make_nav_extractor(), html, BASE)
+        assert out.text.tolist() == ["", "J"]
+        assert out.href.tolist() == ["https://x.com/i", "https://x.com/j"]
+
 
 class TestLinksMessy:
     def test_netloc_less_href_is_same_domain_not_external(self):
@@ -239,6 +260,52 @@ class TestTeamMessy:
         # prefix rejection (scraper_v2.py ~2905)
         assert not is_valid_team_member("Speak With Us")
         assert is_valid_team_member("Speakman Jones")  # prefix only, not substring
+
+    def test_unclosed_trailing_p_implied_closed_at_card_end(self):
+        # lxml parity (ADVICE r7): a card whose last <p> is never
+        # closed used to leave the depth counter high, so the card's
+        # </div> didn't close it and every later card was swallowed
+        html = (
+            "<div class='team-member'><h3>Ada Lovelace</h3><p>CEO</div>"
+            "<div class='team-member'><h3>Grace Hopper</h3><p>CTO</p></div>"
+        )
+        out = run(make_team_extractor(), html)
+        assert out.name.tolist() == ["Ada Lovelace", "Grace Hopper"]
+        assert out.job_title.tolist() == ["CEO", "CTO"]
+
+    def test_block_start_implies_p_close(self):
+        # <p>bio<div> — lxml closes the p BEFORE the div starts, so the
+        # div's own close balances and the role text stays the first p
+        html = (
+            "<div class='team-member'><h3>Ada Lovelace</h3>"
+            "<p>CEO<div class='badge'>x</div></div>"
+            "<div class='team-member'><h3>Grace Hopper</h3><p>CTO</p></div>"
+        )
+        out = run(make_team_extractor(), html)
+        assert out.name.tolist() == ["Ada Lovelace", "Grace Hopper"]
+        assert out.job_title.tolist() == ["CEO", "CTO"]
+
+    def test_unclosed_li_chain_inside_card_balances(self):
+        # successive <li> without closes: each new <li> implies the
+        # previous one closed; the </ul> ends the last one
+        html = (
+            "<div class='team-member'><h3>Ada Lovelace</h3><p>CEO</p>"
+            "<ul><li>a<li>b<li>c</ul></div>"
+            "<div class='team-member'><h3>Grace Hopper</h3><p>CTO</p></div>"
+        )
+        out = run(make_team_extractor(), html)
+        assert out.name.tolist() == ["Ada Lovelace", "Grace Hopper"]
+
+    def test_stray_p_close_does_not_over_decrement(self):
+        # </p> with no open p (already implied-closed): ignored, the
+        # card still closes exactly at its own </div>
+        html = (
+            "<div class='team-member'><h3>Ada Lovelace</h3>"
+            "<p>CEO<div class='x'>y</div></p></div>"
+            "<div class='team-member'><h3>Grace Hopper</h3><p>CTO</p></div>"
+        )
+        out = run(make_team_extractor(), html)
+        assert out.name.tolist() == ["Ada Lovelace", "Grace Hopper"]
 
 
 def test_greenhouse_token_scans_past_non_matching_scripts(spark):
