@@ -1293,7 +1293,10 @@ def make_nav_extractor():
     "outside-all-regions decoy anchor, so the hash pins the region "
     "scoping AND the urljoin semantics (page-relative 'news' must "
     "resolve to /products/news, not /news). Breadcrumbs rotate off "
-    "every 4th page.",
+    "every 4th page and carry a plain nested <ul> whose close must "
+    "not end the crumb region (r7 stack fix), and a self-closing "
+    "<nav/> sits before the decoy so a start-only startendtag would "
+    "mislabel it main_nav (r8 fix) — both now driver-checked.",
     oracle="""
         WITH d AS (
           SELECT doc_id, 'https://co' || CAST(doc_id AS VARCHAR) || '.com' AS origin
@@ -1312,7 +1315,9 @@ def make_nav_extractor():
                  origin || '/terms', 'terms' FROM d
           UNION ALL SELECT doc_id, 'breadcrumbs', 1, 'Home',
                  origin || '/', CAST(NULL AS VARCHAR) FROM d WHERE doc_id % 4 <> 0
-          UNION ALL SELECT doc_id, 'breadcrumbs', 2, 'Products',
+          UNION ALL SELECT doc_id, 'breadcrumbs', 2, 'Docs',
+                 origin || '/products/docs', CAST(NULL AS VARCHAR) FROM d WHERE doc_id % 4 <> 0
+          UNION ALL SELECT doc_id, 'breadcrumbs', 3, 'Products',
                  origin || '/products', CAST(NULL AS VARCHAR) FROM d WHERE doc_id % 4 <> 0
         )
         ORDER BY doc_id, region, pos
@@ -1326,8 +1331,14 @@ def nav_structure_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     def template_then_parse(batches):
         def nav_page(doc_id: int) -> str:
             co = f"co{doc_id}"
+            # the plain nested <ul> inside the breadcrumb container is
+            # the r7 stack-bookkeeping shape: its </ul> must NOT end
+            # the crumb region, so Docs AND the Products crumb after
+            # it stay breadcrumbs (ref scraper_v2.py:938-947 finds all
+            # container descendants)
             crumb = (
                 f'<ol class="crumbs breadcrumb-path"><li><a href="/">Home</a></li>'
+                f'<li><ul class="sub"><li><a href="/products/docs">Docs</a></li></ul></li>'
                 f'<li><a href="/products">Products</a></li></ol>'
                 if doc_id % 4 != 0
                 else ""
@@ -1338,6 +1349,9 @@ def nav_structure_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f'<a class="cta primary" href="https://{co}.com/jobs">Jobs</a></nav>'
                 f'<header><a href="news">News</a></header>'
                 f"{crumb}"
+                # self-closing region tag (r7 startendtag fix): must
+                # push AND pop, or the decoy below becomes main_nav
+                "<nav/>"
                 f'<p>Visit <a href="/ignored">this decoy</a> outside regions.</p>'
                 f'<footer><a href="/privacy">Privacy Policy</a>'
                 f'<a href="/terms">Terms</a></footer>'
@@ -2523,7 +2537,9 @@ def make_pricing_page_parser():
     "class substrings, first-ladder-match tier per card (pinning the "
     "'pro'-inside-'professional' quirk), $-regex price including the "
     "sign (comma/decimal form every other page), and the h2-h4 "
-    "heading fallback on every 5th page (no cards). Model rotates "
+    "heading fallback on every 5th page (no cards). Card 1 nests a "
+    "non-matching <div> so the r7 balanced card_depth is what keeps "
+    "its trailing text (driver-checked). Model rotates "
     "per-seat / usage-based / enterprise+contact / none by doc_id%4, "
     "decoupled from the tier rows by keyword-free card text on the "
     "none pages.",
@@ -2573,10 +2589,14 @@ def pricing_page_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             price = "$1,299.00" if doc_id % 2 == 0 else "$29"
             card2_word = "Premium tier" if m == 3 else "Enterprise: contact sales"
+            # the nested non-matching <div> is the r7 balanced-depth
+            # shape: its close must deepen-then-pop, not end the card,
+            # or the trailing "Professional plan $..." text is lost
             return (
                 "<html><body>"
                 f"{model_p}"
-                f'<div class="price-card">Professional plan {price}/mo</div>'
+                f'<div class="price-card"><div class="badge">Popular</div>'
+                f"Professional plan {price}/mo</div>"
                 f'<section class="tier-list">{card2_word}</section>'
                 "</body></html>"
             )
@@ -2970,9 +2990,12 @@ def make_team_extractor():
     "fallback, role-classed tag before first-<p> fallback (<150 "
     "chars, not a URL), LinkedIn capture, and the full strict "
     "validation ladder — templated decoys (single-word name, "
-    "'San Francisco Office', a role hitting the 'engineering "
-    "office' exclude, a lowercase 'van der Berg') must all be "
-    "rejected while the two real members survive. Deviation from "
+    "'San Francisco Office', a 'Speak With Us' prefix hit, a role "
+    "hitting the 'engineering office' exclude, a lowercase 'van der "
+    "Berg') must all be rejected while the three real members "
+    "survive; the second card's role <p> is unclosed so the lxml "
+    "implied-close (r8) is what keeps the third card alive — both "
+    "driver-checked. Deviation from "
     "the reference documented in make_team_extractor: overlapping "
     "selectors are deduped to one pass per element.",
     oracle="""
@@ -2987,6 +3010,10 @@ def make_team_extractor():
           SELECT doc_id, 2, 'Grace Hopper', 'VP of Compute',
                  CAST(NULL AS VARCHAR)
           FROM d
+          UNION ALL
+          SELECT doc_id, 3, 'Alan Turing', 'Research Lead',
+                 CAST(NULL AS VARCHAR)
+          FROM d
         )
         ORDER BY doc_id, card_pos
     """,
@@ -2997,6 +3024,12 @@ def team_page_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def template_then_parse(batches):
         def team_page(doc_id: int) -> str:
+            # Grace's role <p> is deliberately UNCLOSED (the r8
+            # implied-close shape: her card's </div> must end it, or
+            # every later card — including Alan's real one — is
+            # swallowed), and a 'Speak With Us' decoy exercises the r7
+            # validator prefix; Alan sits LAST so any depth unbalance
+            # above him hash-mismatches.
             return (
                 "<html><body>"
                 '<div class="team-member">'
@@ -3004,12 +3037,15 @@ def team_page_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 '<p class="role-title">Chief Engineer</p>'
                 f'<a href="https://linkedin.com/in/ada{doc_id}">profile</a></div>'
                 '<div class="person-card"><h4>Grace Hopper</h4>'
-                "<p>VP of Compute</p></div>"
+                "<p>VP of Compute</div>"
                 '<div class="team-member"><h3>Plato</h3></div>'
                 '<div class="team-member"><h3>San Francisco Office</h3></div>'
+                '<div class="team-member"><h3>Speak With Us</h3></div>'
                 '<div class="member-box"><h3>John Smith</h3>'
                 '<p class="role">Engineering Office Lead</p></div>'
                 '<div class="team-member"><h3>van der Berg</h3></div>'
+                '<div class="team-crew"><h3 class="member-name">Alan Turing</h3>'
+                '<p class="title-role">Research Lead</p></div>'
                 "</body></html>"
             )
 

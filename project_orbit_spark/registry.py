@@ -156,23 +156,20 @@ def get_query(name: str) -> Query:
 # whose code path changed this round, and this round's additions —
 # these MUST land in the driver's first-50 sample. Rebuilt each round.
 _DRIVER_PRIORITY = (
-    # Round 7 deliberately keeps this head SMALL (the r6 verdict's top
-    # ask): only queries whose code path changed this round, so the
-    # ~44 remaining LRV slots rotate the stale r01/r02 records back
-    # onto the official driver record.
-    # --- changed in round 7 (ADVICE fixes) ---
-    "nav_structure_extract",        # r7: stack-based region bookkeeping
-    "pricing_page_parse",           # r7: balanced card_depth on nested divs
-    "team_page_extract",            # r7: 'speak ' prefix + void-element depth
-    "greenhouse_board_discovery",   # r7: scan ALL boardToken scripts
-    # --- changed in round 7 (CC convergence via observe(), no
-    # --- per-round changed-count job) ---
-    "dup_cluster_labels",
-    "dedup_canonical_corpus",
-    "dedup_quality_canonical",
-    "corpus_curation_gold",
-    # --- new in round 7 ---
-    "semantic_dedup_semdedup",      # r7: SemDeDup keep-farthest rule
+    # Round 8 head stays small so the ~45 remaining LRV slots absorb
+    # the full stale set (8 r02 + 33 r04 records all fit this window).
+    # --- fixture/oracle regenerated in round 8 (the four r7 extractor
+    # --- fixes are now oracle-reachable: nested <ul> in breadcrumbs +
+    # --- self-closing <nav/>, nested <div> in a pricing card, an
+    # --- unclosed role <p> + 'Speak With Us' decoy + third member, a
+    # --- boardToken-mentioning non-matching first script) ---
+    "nav_structure_extract",
+    "pricing_page_parse",
+    "team_page_extract",
+    "greenhouse_board_discovery",
+    # --- code path changed in round 8 (last-page-wins merge threads
+    # --- page through normalize_ats_payloads' shared branches) ---
+    "ats_normalize_jobs",
 )
 
 

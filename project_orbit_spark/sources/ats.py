@@ -533,7 +533,9 @@ def ats_html_vendor_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "derives the boards-api jobs endpoint the reference then fetches "
     "(the fetch itself is the documented network seam). Templated "
     "pages rotate discovery method by doc_id%3 and carry decoys — a "
-    "tokenless script everywhere and, on script pages, a greenhouse "
+    "tokenless script everywhere and, on script pages, a "
+    "boardToken-MENTIONING script whose assignment never matches "
+    "(the r7 scan-all-scripts fix, driver-checked) plus a greenhouse "
     "iframe with a WRONG token — so the hash also pins the "
     "reference's script-before-iframe precedence. All JVM regex "
     "(regexp_extract_all + filter + get), no Python in the path.",
@@ -560,6 +562,13 @@ def greenhouse_board_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     script_b = F.concat(F.lit("<script>boardToken = '"), tok, F.lit("';</script>"))
     token_script = F.when(F.col("doc_id") % 2 == 0, script_a).otherwise(script_b)
     decoy_script = F.lit("<script>var analytics = {ready: true};</script>")
+    # mentions boardToken but never matches the assignment regex: the
+    # r7 scan-ALL-scripts fix is what lets the real token script after
+    # it win (a first-mention-only scan would fall through to the
+    # WRONG iframe) — driver-checked on every variant-0 page
+    mention_script = F.lit(
+        "<script>if(!window.boardToken){console.warn('boardToken missing')}</script>"
+    )
     gh_iframe = F.concat(
         F.lit('<iframe src="https://boards.greenhouse.io/embed/job_board?for='),
         tok,
@@ -575,7 +584,7 @@ def greenhouse_board_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.concat(
         F.lit("<html><head>"),
         decoy_script,
-        F.when(variant == 0, F.concat(token_script, wrong_iframe))
+        F.when(variant == 0, F.concat(mention_script, token_script, wrong_iframe))
         .when(variant == 1, F.concat(gh_iframe))
         .otherwise(other_iframe),
         F.lit("</head><body>Careers</body></html>"),
