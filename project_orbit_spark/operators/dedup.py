@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 from project_orbit_spark.catalog import load
 from project_orbit_spark.registry import register
 from project_orbit_spark.session import cache_token, register_df_cache
+from project_orbit_spark.similarity.lsh import _duck_bucket as _lsh_duck_bucket
+from project_orbit_spark.similarity.lsh import lsh_bucket as _lsh_bucket
 
 # ---------------------------------------------------------------------------
 # library primitives
@@ -1302,17 +1304,35 @@ def incremental_span_contamination(spark: SparkSession, sf_dir: str) -> DataFram
     "diversity-maximizing keep rule; vec_id tie-break), removing the "
     "rest. Singletons are their own group and are kept. Same "
     "dup-injected corpus as embedding_near_dup_pairs (every 25th "
-    "vector cloned at +10000). Scale shape: broadcast centroid join, "
-    "one within-cluster pair shuffle, O(diameter) CC rounds on the "
-    "tiny dup graph, one window per group.",
-    oracle="""
+    "vector cloned at +10000). Pair space is blocked on (label, "
+    "4-plane LSH sub-bucket), NOT label alone: cluster count is a "
+    "constant knob, so label-only blocking fattens both sides of "
+    "every block as the corpus grows — the 30x probe of that variant "
+    "ran >15 min vs ~2 s sub-blocked (the same quadratic signature "
+    "incremental_embedding_dedup measured at 20.5x before its fix). "
+    "The sub-bucket multiplies block count 16x and the plane count "
+    "is the width knob that grows with the corpus. Recall trade, "
+    "stated: a 0.999-near pair straddling a hyperplane is missed "
+    "(exact clones never are — identical vectors share every sign "
+    "bit); the paper's own within-cluster bound has the same "
+    "blind spot across cluster boundaries. Group collapse uses the "
+    "two-phase (large-star/small-star) CC: semantic near-dup graphs "
+    "chain (A~B~C without A~C), and the 30x probe corpus produced "
+    "30-long replica chains that blew past label propagation's "
+    "25-round O(diameter) budget — O(log n) rounds is the safe "
+    "default here. Scale shape: broadcast centroid join, one "
+    "within-block pair shuffle, O(log n) CC rounds on the dup "
+    "graph, one window per group.",
+    oracle=f"""
         WITH RECURSIVE emb AS (
           SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
         ),
         corpus AS (
-          SELECT vec_id, label, emb FROM emb
-          UNION ALL
-          SELECT vec_id + 10000 AS vec_id, label, emb FROM emb WHERE vec_id % 25 = 0
+          SELECT vec_id, label, emb, {_lsh_duck_bucket("emb", 4)} AS bucket FROM (
+            SELECT vec_id, label, emb FROM emb
+            UNION ALL
+            SELECT vec_id + 10000 AS vec_id, label, emb FROM emb WHERE vec_id % 25 = 0
+          )
         ),
         cent AS (
           SELECT label, list(cval ORDER BY dim) AS cvec
@@ -1326,7 +1346,8 @@ def incremental_span_contamination(spark: SparkSession, sf_dir: str) -> DataFram
         pairs AS (
           SELECT a.vec_id AS l, b.vec_id AS r
           FROM corpus a
-          JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+          JOIN corpus b ON a.label = b.label AND a.bucket = b.bucket
+                       AND a.vec_id < b.vec_id
           WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.999
         ),
         edges AS (
@@ -1361,7 +1382,7 @@ def incremental_span_contamination(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from project_orbit_spark.operators.graph import connected_components
+    from project_orbit_spark.operators.graph import connected_components_two_phase
     from project_orbit_spark.similarity.cosine import (
         as_double,
         centroids,
@@ -1377,12 +1398,21 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.unionByName(dups)
     cent = centroids(corpus)
 
-    a, b = corpus.alias("a"), corpus.alias("b")
+    # (label, LSH-sub-bucket) blocking with the bucket materialized
+    # behind a repartition barrier: the 4-plane bucket expression is
+    # 4 x O(dim) md5 dots, and the barrier both stops Catalyst from
+    # inlining it per join branch and lets ReuseExchange feed both
+    # sides of the self-join from one shuffle
+    blocked = corpus.select("vec_id", "label", "emb",
+                            _lsh_bucket(F.col("emb"), 4).alias("bucket")
+                            ).repartition("label", "bucket")
+    a, b = blocked.alias("a"), blocked.alias("b")
     pair_score = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)
     pairs = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -1393,7 +1423,7 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= 0.999)
         .drop("score")
     )
-    groups = connected_components(pairs).select(
+    groups = connected_components_two_phase(pairs).select(
         F.col("node").alias("vec_id"), F.col("label").alias("group_id")
     )
     scored = corpus.join(F.broadcast(cent), "label").select(

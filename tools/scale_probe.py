@@ -65,6 +65,8 @@ QUERIES = (
     "benchmark_contamination",  # broadcast 8-gram contamination scan
     "heavy_hitters_two_pass",   # MG candidates + exact confirm
     "ann_ivf_pq_topk",          # IVF-PQ quantized scoring tier
+    "semantic_dedup_semdedup",  # SemDeDup (label+LSH sub-blocked pairs)
+    "incremental_span_contamination",  # O(new) span-index probe
     "bigram_logprob_scores",    # interpolated bigram LM quality tier
     "corpus_shuffle_shards",    # deterministic training shuffle
     # relational star-schema facts (customer/orders/lineitem replicated
@@ -93,7 +95,11 @@ def synthesize(spark, sf_dir: str, out_dir: Path, k: int) -> None:
     # sf_dir) — existence alone would silently time a stale corpus
     # while labeling the ratios with the new K.
     manifest = out_dir / "manifest.json"
-    want = {"k": k, "sf_dir": str(sf_dir), "tables": list(_SYNTH_TABLES)}
+    # v2: per-(replica, dim) embedding perturbation — the v1 constant
+    # shift left replicas 0.999-cosine-near each other, manufacturing
+    # K genuine near-dups per base vector (the embedding analog of the
+    # prefix-only text tag this docstring already warns about)
+    want = {"k": k, "sf_dir": str(sf_dir), "tables": list(_SYNTH_TABLES), "v": 2}
     if (
         all((out_dir / f"{t}.parquet").exists() for t in _SYNTH_TABLES)
         and manifest.exists()
@@ -124,12 +130,32 @@ def synthesize(spark, sf_dir: str, out_dir: Path, k: int) -> None:
 
     emb = load(spark, sf_dir, "embeddings")
     n_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    # Per-(replica, dim) hash-derived offset in [-0.12, 0.12]: the
+    # offset vector depends only on (i, d), so WITHIN a replica it is
+    # a common additive shift that preserves the base corpus's
+    # neighborhood structure, while ACROSS replicas the offset vectors
+    # are independent — two replicas of the same base vector sit at
+    # cosine ~0.985, well below every near-dup threshold. Dedup/ANN
+    # families therefore see the 1x candidate topology replicated K
+    # times, not K manufactured near-dups per vector (v1's constant
+    # shift got this wrong and chained all K replicas at >=0.999).
+    def perturbed(i: int):
+        if i == 0:
+            return F.col("embedding")
+        return F.transform(
+            "embedding",
+            lambda x, d: (
+                x
+                + ((F.lit(i) * 2654435761 + d.cast("long") * 40503) % 401 - 200)
+                .cast("double")
+                / F.lit(200.0 / 0.12)
+            ).cast("float"),
+        )
+
     emb_reps = [
         emb.select(
             (F.col("vec_id") + i * n_vec).alias("vec_id"),
-            F.transform(
-                "embedding", lambda x: (x + F.lit(float(i) * 0.003)).cast("float")
-            ).alias("embedding"),
+            perturbed(i).alias("embedding"),
             "label",
         )
         for i in range(k)
