@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from project_orbit_spark.catalog import load
 from project_orbit_spark.operators.dedup import word_shingles
 from project_orbit_spark.registry import register
+from project_orbit_spark.similarity.lsh import _duck_bucket as _lsh_duck_bucket
+from project_orbit_spark.similarity.lsh import lsh_bucket as _lsh_bucket
 
 
 def hash_bucket(key: Column, salt: str = "", buckets: int = 100) -> Column:
@@ -535,4 +537,107 @@ def max_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "semantic_decontamination",
+    tags=("corpus", "dedup", "embedding", "lsh"),
+    doc="Semantic benchmark decontamination — the embedding-level "
+    "cousin of benchmark_contamination (which catches verbatim 8-gram "
+    "leaks; paraphrased eval items share no shingle but sit at high "
+    "cosine). Every 50th vector stands in for the held-out eval set; "
+    "contamination is injected (each eval vector cloned into the "
+    "training side at +10000) so the oracle is never vacuous. A "
+    "training doc whose cosine to ANY eval vector reaches 0.98 is "
+    "removed; the best match (highest sim, lowest eval id tie-break) "
+    "is reported for audit. Scale shape: the eval set is small by "
+    "construction (eval suites are thousands of items, the corpus is "
+    "billions), so it BROADCASTS and the training side is scanned "
+    "map-only — no shuffle of the corpus, the same O(new-vs-index) "
+    "face as incremental_embedding_dedup but with train as the big "
+    "side. Candidate comparisons are cut by (label, 4-plane LSH "
+    "sub-bucket) equality inside the broadcast hash join; recall "
+    "trade stated there applies (exact copies always collide).",
+    oracle=f"""
+        WITH emb AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        bucketed AS (
+          SELECT vec_id, label, emb, {_lsh_duck_bucket("emb", 4)} AS bucket FROM emb
+        ),
+        eval_set AS (
+          SELECT vec_id AS eval_id, label, emb, bucket
+          FROM bucketed WHERE vec_id % 50 = 0
+        ),
+        train AS (
+          SELECT vec_id, label, emb, bucket FROM bucketed WHERE vec_id % 50 <> 0
+          UNION ALL
+          SELECT eval_id + 10000 AS vec_id, label, emb, bucket FROM eval_set
+        ),
+        cand AS (
+          SELECT t.vec_id, e.eval_id,
+                 round(list_cosine_similarity(t.emb, e.emb), 6) AS sim
+          FROM train t
+          JOIN eval_set e ON e.label = t.label AND e.bucket = t.bucket
+          WHERE round(list_cosine_similarity(t.emb, e.emb), 6) >= 0.98
+        ),
+        best AS (
+          SELECT vec_id, eval_id, sim FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, eval_id ASC) AS rn
+            FROM cand
+          ) WHERE rn = 1
+        )
+        SELECT t.vec_id, t.label, b.eval_id, b.sim,
+               CASE WHEN b.eval_id IS NOT NULL THEN 'removed'
+                    ELSE 'kept' END AS status
+        FROM train t LEFT JOIN best b ON b.vec_id = t.vec_id
+        ORDER BY t.vec_id
+    """,
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.similarity.cosine import as_double, cosine
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    bucketed = e.select(
+        "vec_id", "label", "emb", _lsh_bucket(F.col("emb"), 4).alias("bucket")
+    )
+    eval_set = bucketed.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        "label",
+        "bucket",
+        F.col("emb").alias("ee"),
+    )
+    train = bucketed.filter(F.col("vec_id") % 50 != 0).unionByName(
+        eval_set.select(
+            (F.col("eval_id") + 10000).alias("vec_id"),
+            "label",
+            F.col("ee").alias("emb"),
+            "bucket",
+        )
+    )
+    sim = F.round(cosine(F.col("emb"), F.col("ee")), 6)
+    cand = (
+        train.join(F.broadcast(eval_set), ["label", "bucket"])
+        .select("vec_id", "eval_id", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.98)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("eval_id"))
+    best = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        train.select("vec_id", "label")
+        .join(best.select("vec_id", "eval_id", "sim"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "eval_id",
+            "sim",
+            F.when(F.col("eval_id").isNotNull(), "removed")
+            .otherwise("kept")
+            .alias("status"),
+        )
+        .orderBy("vec_id")
     )

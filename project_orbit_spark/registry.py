@@ -170,6 +170,11 @@ _DRIVER_PRIORITY = (
     # --- code path changed in round 8 (last-page-wins merge threads
     # --- page through normalize_ats_payloads' shared branches) ---
     "ats_normalize_jobs",
+    # --- changed in round 8 ((label, LSH-sub-bucket) pair blocking +
+    # --- two-phase CC) ---
+    "semantic_dedup_semdedup",
+    # --- new in round 8 ---
+    "semantic_decontamination",  # embedding-level eval-set decontamination
 )
 
 
