@@ -1381,7 +1381,14 @@ def incremental_span_contamination(spark: SparkSession, sf_dir: str) -> DataFram
         ORDER BY vec_id
     """,
 )
-def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup_semdedup(
+    spark: SparkSession, sf_dir: str, n_planes: int = 4
+) -> DataFrame:
+    # n_planes is the block-width knob (registered contract: 4; the
+    # oracle derives the same 4-plane bucket). Within-block pair count
+    # grows quadratically at a FIXED width (measured: 11.2x per 30x,
+    # 72.7x per 100x); a wider bucket restores the per-unit cost —
+    # the measured knob curve is in docs/SCALE.md round 8.
     from project_orbit_spark.operators.graph import connected_components_two_phase
     from project_orbit_spark.similarity.cosine import (
         as_double,
@@ -1404,7 +1411,7 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inlining it per join branch and lets ReuseExchange feed both
     # sides of the self-join from one shuffle
     blocked = corpus.select("vec_id", "label", "emb",
-                            _lsh_bucket(F.col("emb"), 4).alias("bucket")
+                            _lsh_bucket(F.col("emb"), n_planes).alias("bucket")
                             ).repartition("label", "bucket")
     a, b = blocked.alias("a"), blocked.alias("b")
     pair_score = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)

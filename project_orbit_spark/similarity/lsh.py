@@ -244,18 +244,28 @@ def lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_INDEX_CACHE: dict[tuple[str, str], DataFrame] = register_df_cache({})
 
 
-def warm_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def warm_embedding_index(
+    spark: SparkSession, sf_dir: str, n_planes: int = 4
+) -> DataFrame:
     """The existing corpus's (vec_id, label, bucket, emb) vectors with
-    their precomputed 4-plane LSH sub-bucket, persisted once per
-    (session, sf_dir) — at 100 TB this is the stored, bucketed vector
-    index the offline job maintains (bucketing computed at INDEX time,
-    not per incoming batch). Mirrors dedup.warm_band_index /
-    cosine.warm_centroids; released via session.clear_df_caches()."""
-    key = (cache_token(spark), sf_dir)
+    their precomputed n-plane LSH sub-bucket, persisted once per
+    (session, sf_dir, width) — at 100 TB this is the stored, bucketed
+    vector index the offline job maintains (bucketing computed at
+    INDEX time, not per incoming batch; the registered contract pins
+    n_planes=4, and widening is an index REBUILD, which is exactly how
+    a real deployment grows the block count with the corpus). Mirrors
+    dedup.warm_band_index / cosine.warm_centroids; released via
+    session.clear_df_caches()."""
+    key = (cache_token(spark), f"{sf_dir}#p{n_planes}")
     if key not in _EMB_INDEX_CACHE:
         e = (
             _emb(spark, sf_dir)
-            .select("vec_id", "label", lsh_bucket(F.col("emb"), 4).alias("bucket"), "emb")
+            .select(
+                "vec_id",
+                "label",
+                lsh_bucket(F.col("emb"), n_planes).alias("bucket"),
+                "emb",
+            )
             .persist()
         )
         e.count()
@@ -307,18 +317,25 @@ def warm_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     prepare=lambda spark, sf_dir: warm_embedding_index(spark, sf_dir) and None,
 )
-def incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def incremental_embedding_dedup(
+    spark: SparkSession, sf_dir: str, n_planes: int = 4
+) -> DataFrame:
+    # n_planes is the block-width knob (registered contract: 4). Both
+    # sides of the blocked join grow with the corpus, so cost at a
+    # FIXED width bends quadratic across decades (measured: 3.3x per
+    # 30x but 32x per 100x); widening the index restores the per-unit
+    # cost — see docs/SCALE.md round 8 for the measured knob curve.
     new_b = (
         _emb(spark, sf_dir)
         .filter(F.col("vec_id") % 25 == 0)
         .select(
             (F.col("vec_id") + 10000).alias("new_id"),
             "label",
-            lsh_bucket(F.col("emb"), 4).alias("bucket"),
+            lsh_bucket(F.col("emb"), n_planes).alias("bucket"),
             F.col("emb").alias("ne"),
         )
     )
-    idx = warm_embedding_index(spark, sf_dir).select(
+    idx = warm_embedding_index(spark, sf_dir, n_planes).select(
         F.col("vec_id").alias("match_id"), "label", "bucket", F.col("emb").alias("ie")
     )
     score = F.round(cosine(F.col("ne"), F.col("ie")), 6)
