@@ -627,9 +627,14 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("eval_id"))
     best = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # best is bounded by the CONTAMINATED-row count (the audit report),
+    # small in any healthy corpus — broadcast it so the status join
+    # stays map-only over train; if contamination were ever corpus-
+    # sized, dropping the hint degrades to one shuffle join, not wrong
+    # results
     return (
         train.select("vec_id", "label")
-        .join(best.select("vec_id", "eval_id", "sim"), "vec_id", "left")
+        .join(F.broadcast(best.select("vec_id", "eval_id", "sim")), "vec_id", "left")
         .select(
             "vec_id",
             "label",

@@ -1289,6 +1289,55 @@ def incremental_span_contamination(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dup-injected corpus both SemDeDup stages read."""
+    from project_orbit_spark.similarity.cosine import as_double
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", as_double("embedding").alias("emb")
+    )
+    dups = e.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    return e.unionByName(dups)
+
+
+def _semdedup_pairs(corpus: DataFrame, n_planes: int = 4) -> DataFrame:
+    """SemDeDup's candidate-pair stage, exposed so its plan is
+    auditable on its own: the registered query feeds it to the eager
+    two-phase CC (localCheckpoint), after which the pair join is no
+    longer visible in the final query's plan. tests/test_plans.py
+    asserts the (label, bucket) blocking here."""
+    # (label, LSH-sub-bucket) blocking with the bucket materialized
+    # behind a repartition barrier: the 4-plane bucket expression is
+    # 4 x O(dim) md5 dots, and the barrier both stops Catalyst from
+    # inlining it per join branch and lets ReuseExchange feed both
+    # sides of the self-join from one shuffle
+    from project_orbit_spark.similarity.cosine import cosine
+
+    blocked = corpus.select("vec_id", "label", "emb",
+                            _lsh_bucket(F.col("emb"), n_planes).alias("bucket")
+                            ).repartition("label", "bucket")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pair_score = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            pair_score.alias("score"),
+        )
+        .filter(F.col("score") >= 0.999)
+        .drop("score")
+    )
+
+
+
 @register(
     "semantic_dedup_semdedup",
     tags=("dedup", "embedding", "graph", "pipeline"),
@@ -1390,46 +1439,11 @@ def semantic_dedup_semdedup(
     # 72.7x per 100x); a wider bucket restores the per-unit cost —
     # the measured knob curve is in docs/SCALE.md round 8.
     from project_orbit_spark.operators.graph import connected_components_two_phase
-    from project_orbit_spark.similarity.cosine import (
-        as_double,
-        centroids,
-        cosine,
-    )
+    from project_orbit_spark.similarity.cosine import centroids, cosine
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", as_double("embedding").alias("emb")
-    )
-    dups = e.filter(F.col("vec_id") % 25 == 0).withColumn(
-        "vec_id", F.col("vec_id") + 10000
-    )
-    corpus = e.unionByName(dups)
+    corpus = _semdedup_corpus(spark, sf_dir)
     cent = centroids(corpus)
-
-    # (label, LSH-sub-bucket) blocking with the bucket materialized
-    # behind a repartition barrier: the 4-plane bucket expression is
-    # 4 x O(dim) md5 dots, and the barrier both stops Catalyst from
-    # inlining it per join branch and lets ReuseExchange feed both
-    # sides of the self-join from one shuffle
-    blocked = corpus.select("vec_id", "label", "emb",
-                            _lsh_bucket(F.col("emb"), n_planes).alias("bucket")
-                            ).repartition("label", "bucket")
-    a, b = blocked.alias("a"), blocked.alias("b")
-    pair_score = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("src"),
-            F.col("b.vec_id").alias("dst"),
-            pair_score.alias("score"),
-        )
-        .filter(F.col("score") >= 0.999)
-        .drop("score")
-    )
+    pairs = _semdedup_pairs(corpus, n_planes)
     groups = connected_components_two_phase(pairs).select(
         F.col("node").alias("vec_id"), F.col("label").alias("group_id")
     )

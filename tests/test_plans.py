@@ -318,3 +318,34 @@ def test_ivf_pq_routing_and_codebook_broadcast(spark):
     f = facts("ann_ivf_pq_topk", spark)
     assert f.n_broadcast_joins >= 3
     assert "CartesianProduct" not in f.text
+
+
+def test_semantic_decontamination_broadcasts_eval_set(spark):
+    # the eval side must broadcast so the training corpus is scanned
+    # map-only — a sort-merge or cartesian here means the corpus gets
+    # shuffled per decontamination run, which is the failure mode at
+    # 100 TB (the corpus is the big side by construction)
+    f = facts("semantic_decontamination", spark)
+    assert f.n_broadcast_joins >= 1, "eval set must broadcast"
+    assert "CartesianProduct" not in f.text
+    assert f.n_sortmerge_joins == 0
+
+
+def test_semdedup_pairs_block_on_label_and_bucket(spark):
+    # the pair self-join must key on (label, bucket) — label-only
+    # blocking is the measured quadratic (docs/SCALE.md round 8), and
+    # a cartesian means no blocking at all. Audited on the exposed
+    # pair stage: the registered query feeds it into the eager
+    # two-phase CC, so the final plan no longer contains this join.
+    from project_orbit_spark.operators.dedup import (
+        _semdedup_corpus,
+        _semdedup_pairs,
+    )
+    from project_orbit_spark.plans.audit import audit
+
+    f = audit(_semdedup_pairs(_semdedup_corpus(spark, SF_DIR)))
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text, (
+        "vec_id < vec_id must ride an equi join as a filter, not force NLJ"
+    )
+    assert "bucket" in f.text, "LSH sub-bucket must appear in the join keys"
