@@ -1467,3 +1467,62 @@ def semantic_dedup_semdedup(
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "soft_dedup_weights",
+    tags=("dedup", "corpus", "sampling"),
+    doc="Soft dedup — down-WEIGHT duplicates instead of dropping them "
+    "(the reweighting alternative to hard removal, cf. SoftDeDup, "
+    "arXiv:2403.04995: hard dedup discards rephrased-but-informative "
+    "copies; weighting by 1/commonness keeps them at reduced sampling "
+    "mass, the same effective distribution with no information loss). "
+    "Per doc over the dup-injected corpus: its exact-dup group size, "
+    "sampling weight 1/n_copies, and weighted token mass — summing "
+    "weighted_tokens gives the deduped-equivalent corpus size a "
+    "training-mixture planner budgets against. Scale shape: ONE "
+    "shuffle (window count over the md5 key partition, no rejoin); "
+    "everything else is map-side arithmetic. The near-dup analog "
+    "swaps the md5 key for dup_cluster_labels' cluster id.",
+    oracle="""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        ),
+        toks AS (
+          SELECT doc_id, md5(text) AS content_hash,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+          FROM corpus
+        ),
+        sized AS (
+          SELECT *, count(*) OVER (PARTITION BY content_hash) AS n_copies
+          FROM toks
+        )
+        SELECT doc_id,
+               content_hash,
+               CAST(n_copies AS BIGINT) AS n_copies,
+               round(1.0 / n_copies, 6) AS weight,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(n_tokens / n_copies, 4) AS weighted_tokens
+        FROM sized
+        ORDER BY doc_id
+    """,
+)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_dups(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("content_hash")
+    sized = toks.withColumn("n_copies", F.count(F.lit(1)).over(w).cast("long"))
+    return sized.select(
+        "doc_id",
+        "content_hash",
+        "n_copies",
+        F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("weight"),
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("n_copies"), 4).alias("weighted_tokens"),
+    ).orderBy("doc_id")

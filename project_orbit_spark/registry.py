@@ -175,6 +175,7 @@ _DRIVER_PRIORITY = (
     "semantic_dedup_semdedup",
     # --- new in round 8 ---
     "semantic_decontamination",  # embedding-level eval-set decontamination
+    "soft_dedup_weights",        # 1/commonness reweighting tier
 )
 
 

@@ -67,6 +67,7 @@ QUERIES = (
     "ann_ivf_pq_topk",          # IVF-PQ quantized scoring tier
     "semantic_dedup_semdedup",  # SemDeDup (label+LSH sub-blocked pairs)
     "incremental_span_contamination",  # O(new) span-index probe
+    "semantic_decontamination",  # broadcast eval set, map-only corpus scan
     "bigram_logprob_scores",    # interpolated bigram LM quality tier
     "corpus_shuffle_shards",    # deterministic training shuffle
     # relational star-schema facts (customer/orders/lineitem replicated
