@@ -543,6 +543,7 @@ def max_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semantic_decontamination",
     tags=("corpus", "dedup", "embedding", "lsh"),
+    bench=True,
     doc="Semantic benchmark decontamination — the embedding-level "
     "cousin of benchmark_contamination (which catches verbatim 8-gram "
     "leaks; paraphrased eval items share no shingle but sit at high "

@@ -1472,6 +1472,7 @@ def semantic_dedup_semdedup(
 @register(
     "soft_dedup_weights",
     tags=("dedup", "corpus", "sampling"),
+    bench=True,
     doc="Soft dedup — down-WEIGHT duplicates instead of dropping them "
     "(the reweighting alternative to hard removal, cf. SoftDeDup, "
     "arXiv:2403.04995: hard dedup discards rephrased-but-informative "
