@@ -391,3 +391,35 @@ def test_mg_summary_never_loses_a_heavy_item(stream, cap, n_batches):
     for item, cnt in counts.items():
         if cnt > n / (cap + 1):
             assert item in cands, (item, cnt, n, cap)
+
+
+def test_soft_dedup_weights_conserve_group_mass(spark):
+    # invariant: weights within an exact-dup group sum to exactly 1,
+    # so total weight == number of DISTINCT texts (the hard-dedup
+    # corpus size) and weighted_tokens sums to the deduped token mass
+    from project_orbit_spark.operators.dedup import soft_dedup_weights
+
+    out = soft_dedup_weights(spark, "/root/testdata/sf0.001")
+    agg = out.groupBy("content_hash").agg(
+        F.round(F.sum("weight"), 4).alias("wsum"),
+        F.count(F.lit(1)).alias("n"),
+        F.first("n_copies").alias("n_copies"),
+    )
+    rows = agg.collect()
+    assert rows, "dup-injected corpus must produce groups"
+    assert all(r.wsum == 1.0 for r in rows)
+    assert all(r.n == r.n_copies for r in rows)
+
+
+def test_semantic_decontamination_catches_every_injected_clone(spark):
+    # every injected eval clone (vec_id >= 10000) is an EXACT copy of
+    # an eval vector: identical vectors share every LSH sign bit, so
+    # none may escape the blocked join — recall 100% on exact leaks,
+    # and the matched eval_id must be the clone's own source
+    from project_orbit_spark.operators.corpus import semantic_decontamination
+
+    out = semantic_decontamination(spark, "/root/testdata/sf0.001").collect()
+    clones = [r for r in out if r.vec_id >= 10000]
+    assert clones, "fixture must inject eval clones"
+    assert all(r.status == "removed" for r in clones)
+    assert all(r.eval_id == r.vec_id - 10000 for r in clones)
