@@ -156,8 +156,10 @@ def get_query(name: str) -> Query:
 # whose code path changed this round, and this round's additions —
 # these MUST land in the driver's first-50 sample. Rebuilt each round.
 _DRIVER_PRIORITY = (
-    # Round 8 head stays small so the ~45 remaining LRV slots absorb
-    # the full stale set (8 r02 + 33 r04 records all fit this window).
+    # Round 8 head stays small (8 entries) so the 42 remaining LRV
+    # slots absorb the full stale set (8 r02 + 33 r04 records all fit
+    # this window; verified in-session by tools/driver_sim.py on all
+    # 41 plus tools/check.py across the whole registry).
     # --- fixture/oracle regenerated in round 8 (the four r7 extractor
     # --- fixes are now oracle-reachable: nested <ul> in breadcrumbs +
     # --- self-closing <nav/>, nested <div> in a pricing card, an
