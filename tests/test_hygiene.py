@@ -1,0 +1,69 @@
+"""Source-hygiene guards: the scale rules the operator surface must
+never regress on, pinned as greps so a future operator can't quietly
+reintroduce a driver-side loop or a row-at-a-time Python UDF.
+
+- No ``.collect()`` / ``.toPandas()`` in the operator surface. The
+  only allowed sites are the two 25-row nation-dim fixture-templating
+  reads in sources/roundtrip.py (bounded dimension, test-fixture
+  synthesis — not a data path).
+- No row-at-a-time ``@udf`` / ``F.udf`` anywhere: Python on the hot
+  path is only ever Arrow-batched (mapInPandas / applyInPandas /
+  applyInPandasWithState / pandas_udf).
+- No wall-clock or RNG in operators: results must be pure functions
+  of the input tables (rand()/uuid() would break oracle parity and
+  re-run determinism; sampling is md5-hash-bucketed instead).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parents[1] / "project_orbit_spark"
+
+COLLECT_ALLOWED = {"sources/roundtrip.py": 2}  # nation fixture templating
+
+
+def _py_sources():
+    return [p for p in PKG.rglob("*.py") if "__pycache__" not in p.parts]
+
+
+def test_no_driver_side_collect():
+    hits: dict[str, int] = {}
+    for p in _py_sources():
+        n = len(re.findall(r"\.collect\(|\.toPandas\(|collectAsList", p.read_text()))
+        if n:
+            hits[str(p.relative_to(PKG))] = n
+    assert hits == COLLECT_ALLOWED, (
+        f"collect/toPandas sites changed: {hits} — every operator must "
+        "stay distributed; extend the allowlist only for bounded "
+        "fixture templating, never a data path"
+    )
+
+
+def test_no_row_at_a_time_udf():
+    offenders = []
+    for p in _py_sources():
+        text = p.read_text()
+        if re.search(r"@udf\b|\bF\.udf\(|functions\.udf\(", text):
+            offenders.append(str(p.relative_to(PKG)))
+    assert not offenders, (
+        f"row-at-a-time Python UDFs found in {offenders} — use Arrow-"
+        "batched pandas UDFs (10-100x faster) or built-in functions"
+    )
+
+
+def test_no_wall_clock_or_rng_in_operators():
+    offenders = []
+    pat = re.compile(
+        r"F\.rand\(|F\.randn\(|F\.uuid\(|current_timestamp\(|"
+        r"current_date\(|datetime\.now\(|time\.time\(|random\."
+    )
+    for p in _py_sources():
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if pat.search(line):
+                offenders.append(f"{p.relative_to(PKG)}:{i}")
+    assert not offenders, (
+        f"nondeterminism found at {offenders} — operators are pure "
+        "functions of their input tables (hash-bucket instead)"
+    )
