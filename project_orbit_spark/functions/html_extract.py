@@ -1181,6 +1181,9 @@ def make_nav_extractor():
                     self.region_stack.append((tag, region))
                     return
                 if tag == "a" and "href" in a:
+                    # lxml implies </a> at a new <a> (anchors can't
+                    # nest), so an open anchor emits before this one
+                    self._flush_a()
                     region = (
                         "breadcrumbs"
                         if self.crumb_depth
@@ -1202,14 +1205,21 @@ def make_nav_extractor():
                 if self.in_a is not None:
                     self.in_a["text"].append(data)
 
-            def handle_endtag(self, tag):
-                if tag == "a" and self.in_a is not None:
+            def _flush_a(self):
+                if self.in_a is not None:
                     cur = self.in_a
                     self.rows.append(
                         (cur["region"], "".join(cur["text"]).strip(), cur["href"], cur["classes"])
                     )
                     self.in_a = None
+
+            def handle_endtag(self, tag):
+                if tag == "a":
+                    self._flush_a()
                 elif tag in self._REGION_TAGS:
+                    # a region's close auto-closes an anchor it still
+                    # contains (lxml parity for </a>-less anchors)
+                    self._flush_a()
                     # pop the nearest matching open tag; only the
                     # region IT opened (if any) is decremented
                     for i in range(len(self.region_stack) - 1, -1, -1):
@@ -1228,16 +1238,21 @@ def make_nav_extractor():
                         break
 
             def handle_startendtag(self, tag, attrs):
-                # start AND end: a self-closing region tag (<nav/>)
-                # must not leave a depth counter stuck open, and a
-                # self-closing anchor emits its empty-text row the
-                # same way BeautifulSoup's find_all('a') sees it
+                # lxml parity: HTML5 ignores the "/" on a non-void
+                # start tag, so <nav/> / <ol class=breadcrumb/> OPEN
+                # their element (region stays active until its real or
+                # implied close) — calling handle_endtag here would
+                # both mislabel the region and burn the one-breadcrumb-
+                # container budget on an element lxml keeps open.
+                # Void tags never push region state, so start-only is
+                # correct for them too.
                 self.handle_starttag(tag, attrs)
-                self.handle_endtag(tag)
 
         def walk(doc_id: int, base: str, html: str):
             p = NavParser()
             p.feed(html)
+            p.close()
+            p._flush_a()  # document end auto-closes an open anchor
             counters: dict[str, int] = {}
             for region, text, href, classes in p.rows:
                 counters[region] = counters.get(region, 0) + 1
@@ -1290,13 +1305,14 @@ def make_nav_extractor():
     "from the first breadcrumb-classed container, all hrefs resolved "
     "with urljoin against the page base — templated pages carry "
     "root-relative, page-relative, and absolute hrefs plus an "
-    "outside-all-regions decoy anchor, so the hash pins the region "
+    "anchor after a self-closing <nav/>, so the hash pins the region "
     "scoping AND the urljoin semantics (page-relative 'news' must "
     "resolve to /products/news, not /news). Breadcrumbs rotate off "
     "every 4th page and carry a plain nested <ul> whose close must "
-    "not end the crumb region (r7 stack fix), and a self-closing "
-    "<nav/> sits before the decoy so a start-only startendtag would "
-    "mislabel it main_nav (r8 fix) — both now driver-checked.",
+    "not end the crumb region (r7 stack fix); HTML5/lxml ignore the "
+    "'/' on a non-void start tag, so the reference's BeautifulSoup"
+    "(html, 'lxml') keeps that <nav/> OPEN and the anchor after it "
+    "IS main_nav (pos 4) — the slash-ignored parity, driver-checked.",
     oracle="""
         WITH d AS (
           SELECT doc_id, 'https://co' || CAST(doc_id AS VARCHAR) || '.com' AS origin
@@ -1309,6 +1325,8 @@ def make_nav_extractor():
                  origin || '/jobs', 'cta primary' FROM d
           UNION ALL SELECT doc_id, 'main_nav', 3, 'News',
                  origin || '/products/news', '' FROM d
+          UNION ALL SELECT doc_id, 'main_nav', 4, 'after nav',
+                 origin || '/ignored', '' FROM d
           UNION ALL SELECT doc_id, 'footer', 1, 'Privacy Policy',
                  origin || '/privacy', 'privacy policy' FROM d
           UNION ALL SELECT doc_id, 'footer', 2, 'Terms',
@@ -1349,10 +1367,12 @@ def nav_structure_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f'<a class="cta primary" href="https://{co}.com/jobs">Jobs</a></nav>'
                 f'<header><a href="news">News</a></header>'
                 f"{crumb}"
-                # self-closing region tag (r7 startendtag fix): must
-                # push AND pop, or the decoy below becomes main_nav
+                # self-closing region tag: HTML5/lxml ignore the "/"
+                # on a non-void start tag, so this nav stays OPEN and
+                # the anchor below is main_nav pos 4 (r8 parity fix —
+                # treating <nav/> as closed dropped the row)
                 "<nav/>"
-                f'<p>Visit <a href="/ignored">this decoy</a> outside regions.</p>'
+                f'<p>Visit <a href="/ignored">after nav</a>.</p>'
                 f'<footer><a href="/privacy">Privacy Policy</a>'
                 f'<a href="/terms">Terms</a></footer>'
                 "</body></html>"
@@ -2821,10 +2841,12 @@ def make_team_extractor():
     element with a role/title/position class, else the first <p> when
     <150 chars and not an http link; LinkedIn = first anchor with a
     linkedin.com href; every candidate runs the is_valid_team_member
-    ladder before emission. Unclosed <p>/<li> are implied-closed the
-    way lxml does (at the next block-level start tag, or at the
-    enclosing container's end tag) so tag soup can't unbalance the
-    card depth — BeautifulSoup scoping parity for real pages."""
+    ladder before emission. Card scope is an open-tag stack with lxml
+    recovery semantics: a new block start implied-closes an open
+    <p>/<li>, an end tag pops to its matching open tag (auto-closing
+    unclosed inline tags above it), and unmatched end tags are
+    dropped — so tag soup can't skew the card scope, BeautifulSoup
+    scoping parity for real pages."""
 
     valid = _make_team_validator()
 
@@ -2847,7 +2869,7 @@ def make_team_extractor():
         # lxml/BeautifulSoup imply-close an open <p> when any of these
         # start tags arrives (HTML5 "p end tag can be omitted" list) —
         # html.parser reports tags verbatim, so unclosed <p>/<li>
-        # would otherwise unbalance the card depth and swallow every
+        # would otherwise unbalance the card scope and swallow every
         # later card, a parity gap with the reference's BS scoping
         P_CLOSERS = {
             "address", "article", "aside", "blockquote", "div", "dl",
@@ -2855,38 +2877,35 @@ def make_team_extractor():
             "h6", "header", "hr", "main", "nav", "ol", "p", "pre",
             "section", "table", "ul", "li",
         }
-        # container END tags also end an open <p>/<li> inside them
-        # (inline end tags like </span> must not)
-        CONTAINER_TAGS = {
-            "div", "section", "ul", "ol", "article", "aside", "header",
-            "footer", "main", "table", "form", "blockquote", "dl", "li",
-        }
 
         class TeamParser(HTMLParser):
+            # Card scope is a real open-tag stack, not a depth counter:
+            # an end tag pops to its MATCHING open tag (implied-closing
+            # anything unclosed above it, the way lxml auto-closes), and
+            # an end tag with no matching open tag is dropped (lxml
+            # discards unmatched closes). A bare counter can't do either
+            # — one unclosed inline tag or one stray close would skew it
+            # for the rest of the page and swallow every later card.
             def __init__(self) -> None:
                 super().__init__()
                 self.cards: list[dict] = []
                 self.card: dict | None = None
-                self.depth = 0
+                self.stack: list[str] = []  # open tags; bottom = card root
                 self.grab: tuple[str, str] | None = None  # (slot, tag)
-                self.impl_open: list[str] = []  # open <p>/<li> awaiting implied close
 
-            def _close_one(self, tag):
+            def _pop(self):
+                tag = self.stack.pop()
                 if self.grab is not None and tag == self.grab[1]:
                     self.grab = None
-                if self.impl_open and self.impl_open[-1] == tag:
-                    self.impl_open.pop()
-                self.depth -= 1
-                if self.depth == 0:
+                if not self.stack:
                     self.cards.append(self.card)
                     self.card = None
-                    self.impl_open = []
 
             def _imply_close_for_start(self, tag):
-                if self.impl_open and self.impl_open[-1] == "p" and tag in P_CLOSERS:
-                    self._close_one("p")
-                if self.impl_open and self.impl_open[-1] == "li" and tag == "li":
-                    self._close_one("li")
+                if self.stack and self.stack[-1] == "p" and tag in P_CLOSERS:
+                    self._pop()
+                if self.stack and self.stack[-1] == "li" and tag == "li":
+                    self._pop()
 
             def handle_starttag(self, tag, attrs):
                 a = dict(attrs)
@@ -2895,15 +2914,12 @@ def make_team_extractor():
                     if tag == "div" and any(k in cls for k in ("team", "member", "person")):
                         self.card = {"named": [], "fallback": [], "roles": [],
                                      "ps": [], "linkedin": None}
-                        self.depth = 1
-                        self.impl_open = []
+                        self.stack = [tag]
                     return
                 if tag in VOID_TAGS:
                     return
                 self._imply_close_for_start(tag)
-                self.depth += 1
-                if tag in ("p", "li"):
-                    self.impl_open.append(tag)
+                self.stack.append(tag)
                 if tag == "a" and "linkedin.com" in a.get("href", "").lower():
                     if self.card["linkedin"] is None:
                         self.card["linkedin"] = a["href"]
@@ -2927,26 +2943,11 @@ def make_team_extractor():
             def handle_endtag(self, tag):
                 if self.card is None or tag in VOID_TAGS:
                     return
-                if tag in ("p", "li"):
-                    if tag not in self.impl_open:
-                        # already implied-closed (or never opened):
-                        # ignore the stray close, don't over-decrement
-                        return
-                    # </li> with a still-open <p> inside: end the p first
-                    while self.impl_open[-1] != tag and self.card is not None:
-                        self._close_one(self.impl_open[-1])
-                    if self.card is not None:
-                        self._close_one(tag)
-                    return
-                # a container's end tag first ends any still-open
-                # <p>/<li> inside it (lxml auto-close), so the card's
-                # own </div> lands back at depth 0 even when the page
-                # never closed its last paragraph
-                if tag in CONTAINER_TAGS:
-                    while self.impl_open and self.card is not None:
-                        self._close_one(self.impl_open[-1])
-                if self.card is not None:
-                    self._close_one(tag)
+                if tag not in self.stack:
+                    return  # unmatched end tag: lxml drops it
+                while self.stack[-1] != tag:
+                    self._pop()  # implied-close everything above the match
+                self._pop()
 
         def walk(doc_id: int, html: str):
             p = TeamParser()

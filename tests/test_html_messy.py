@@ -67,17 +67,21 @@ class TestNavMessy:
         out = run(make_nav_extractor(), html, BASE)
         assert out.iloc[0].href == "https://x.com/up"
 
-    def test_self_closing_nav_does_not_leak_region(self):
-        # regression (ADVICE r7): a self-closing <nav/> used to push a
-        # region entry that never popped, so every later anchor —
-        # including ones outside all regions — was labeled main_nav
+    def test_self_closing_nav_stays_open_lxml_parity(self):
+        # HTML5/lxml ignore the "/" on a non-void start tag, so
+        # <nav/> OPENS a nav that wraps everything after it (until a
+        # real </nav> or document end) — the reference's
+        # BeautifulSoup(html, 'lxml') sees the later anchors INSIDE
+        # that nav, and so do we. (Deviation note: the reference's
+        # overlapping find_all would list F under BOTH main_nav and
+        # footer; our one-region-per-anchor model keeps the innermost.)
         html = (
             "<nav/>"
             "<p><a href='/outside'>Outside</a></p>"
             "<footer><a href='/f'>F</a></footer>"
         )
         out = run(make_nav_extractor(), html, BASE)
-        assert out[out.region == "main_nav"].empty
+        assert out[out.region == "main_nav"].text.tolist() == ["Outside"]
         assert out[out.region == "footer"].text.tolist() == ["F"]
 
     def test_self_closing_anchor_emits_empty_text_row(self):
@@ -306,6 +310,60 @@ class TestTeamMessy:
         )
         out = run(make_team_extractor(), html)
         assert out.name.tolist() == ["Ada Lovelace", "Grace Hopper"]
+
+    def test_implied_close_ending_card_mid_drain_does_not_crash(self):
+        # regression (review r8): stray inline closes undercounting
+        # the scope used to let a </li> drain hit an emptied stack and
+        # raise IndexError, killing the whole Spark task
+        html = (
+            '<div class="team-member"><h3>Xavier Yang</h3>'
+            "<li><p>bio</b></b></li></div>"
+            "<div class='team-member'><h3>Grace Hopper</h3><p>CTO</p></div>"
+        )
+        out = run(make_team_extractor(), html)
+        assert out.name.tolist() == ["Xavier Yang", "Grace Hopper"]
+
+    def test_unmatched_container_close_is_dropped(self):
+        # regression (review r8): a stray </form> never opened in the
+        # card must be ignored (lxml drops unmatched closes) — it used
+        # to close the card early and lose the LinkedIn anchor
+        html = (
+            "<div class='team-member'><h3>Ada Lovelace</h3><p>CEO</form>"
+            "<a href='https://linkedin.com/in/ada'>profile</a></div>"
+            "<div class='team-member'><h3>Grace Hopper</h3><p>CTO</p></div>"
+        )
+        out = run(make_team_extractor(), html)
+        ada = out[out.name == "Ada Lovelace"]
+        assert ada.same_as.tolist() == ["https://linkedin.com/in/ada"]
+
+    def test_unclosed_inline_tag_popped_by_enclosing_close(self):
+        # regression (review r8): <p><b>CEO</p> — the unclosed <b>
+        # must be implied-closed by </p> (pop-to-match), not leak a
+        # scope level that swallows every later card
+        html = (
+            "<div class='team-member'><h3>Ada Lovelace</h3><p><b>CEO</p>"
+            "<a href='https://linkedin.com/in/ada'>x</a></div>"
+            "<div class='team-member'><h3>Grace Hopper</h3><p>CTO</p></div>"
+        )
+        out = run(make_team_extractor(), html)
+        assert out.name.tolist() == ["Ada Lovelace", "Grace Hopper"]
+        assert out.job_title.tolist() == ["CEO", "CTO"]
+        assert out.same_as.tolist()[0] == "https://linkedin.com/in/ada"
+
+
+def test_self_closing_breadcrumb_container_stays_open():
+    # regression (review r8): HTML5/lxml ignore the "/" on a non-void
+    # start tag, so <ol class='breadcrumb'/> OPENS the breadcrumb
+    # region — treating it as open+close burned the one-container
+    # budget and dropped every real crumb that followed
+    html = (
+        "<ol class='breadcrumb'/>"
+        "<ol class='breadcrumb'><li><a href='/a'>A</a></li></ol>"
+    )
+    out = run(make_nav_extractor(), html, base="https://x.com")
+    crumbs = out[out.region == "breadcrumbs"]
+    assert crumbs.text.tolist() == ["A"]
+    assert crumbs.href.tolist() == ["https://x.com/a"]
 
 
 def test_greenhouse_token_scans_past_non_matching_scripts(spark):
