@@ -36,6 +36,13 @@ class Query:
     oracle: str | None = None
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
+    # Expose to the driver's queries()/oracle_sql() surface. False only
+    # for queries whose OUTPUT is legitimately engine-specific (raw
+    # HLL++/KLL sketch values) — each such query MUST have a driver-
+    # visible hash-checkable audit twin that exercises the same code
+    # path (see operators/sketches.py); they stay registered for bench
+    # and the local parity suite.
+    driver: bool = True
     tags: tuple[str, ...] = field(default_factory=tuple)
     # Optional amortized-setup hook: bench.py runs it OUTSIDE the timer
     # (e.g. persist precomputed centroids) to measure steady-state cost;
@@ -118,6 +125,7 @@ def register(
     oracle: str | None = None,
     doc: str = "",
     bench: bool = False,
+    driver: bool = True,
     tags: tuple[str, ...] = (),
     prepare: Callable[[SparkSession, str], None] | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
@@ -127,7 +135,14 @@ def register(
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         _REGISTRY[name] = Query(
-            name=name, fn=fn, oracle=oracle, doc=doc, bench=bench, tags=tags, prepare=prepare
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=doc,
+            bench=bench,
+            driver=driver,
+            tags=tags,
+            prepare=prepare,
         )
         return fn
 
@@ -198,15 +213,17 @@ def _driver_order(names: list[str]) -> list[str]:
 def query_map() -> dict[str, QueryFn]:
     """name -> callable, the shape __spark_entry__.queries() returns."""
     qs = all_queries()
-    return {name: qs[name].fn for name in _driver_order(list(qs))}
+    names = [n for n in qs if qs[n].driver]
+    return {name: qs[name].fn for name in _driver_order(names)}
 
 
 def oracle_map() -> dict[str, str]:
     """name -> DuckDB SQL for every oracle-able query."""
     qs = all_queries()
+    names = [n for n in qs if qs[n].driver]
     return {
         name: qs[name].oracle
-        for name in _driver_order(list(qs))
+        for name in _driver_order(names)
         if qs[name].oracle is not None
     }
 

@@ -64,6 +64,49 @@ def test_approx_percentiles_near_exact(spark):
             assert abs(got - want) <= 0.02 * abs(want) + 1e-6, (r["o_orderstatus"], got, want)
 
 
+def test_audit_twins_all_within_bound(spark):
+    """The driver-visible audit twins must emit TRUE for every group —
+    that's exactly what their oracles assert via hash compare."""
+    from project_orbit_spark.operators.sketches import (
+        approx_distinct_audit,
+        approx_percentile_audit,
+    )
+
+    d = approx_distinct_audit(spark, SF_DIR).collect()
+    assert d and all(r["users_ok"] and r["days_ok"] and r["props_ok"] for r in d)
+    p = approx_percentile_audit(spark, SF_DIR).collect()
+    assert p and all(r["p50_ok"] and r["p90_ok"] and r["p99_ok"] for r in p)
+
+
+def test_audit_bound_flips_on_drift(spark):
+    """_within is the audit's teeth: an approx value outside the bound
+    must produce False (which the driver would see as a hash FAIL)."""
+    from project_orbit_spark.operators.sketches import _within
+
+    df = spark.createDataFrame(
+        [(100.0, 100.0), (116.0, 100.0), (84.0, 100.0), (1.0, 0.0)],
+        "approx double, exact double",
+    ).select(_within("approx", F.col("exact"), 0.15).alias("ok"))
+    assert [r["ok"] for r in df.collect()] == [True, False, False, False]
+
+
+def test_raw_sketches_hidden_from_driver_surface():
+    """Raw sketch queries are driver=False (engine-specific output);
+    their audit twins are driver-visible WITH oracles — so the driver
+    surface has zero oracle-less sketch rows."""
+    from project_orbit_spark import registry
+
+    qmap, omap = registry.query_map(), registry.oracle_map()
+    assert "approx_distinct_sketch" not in qmap
+    assert "approx_percentile_sketch" not in qmap
+    assert "approx_distinct_audit" in omap
+    assert "approx_percentile_audit" in omap
+    # raw sketches stay registered for bench
+    bench = registry.bench_queries()
+    assert "approx_distinct_sketch" in bench
+    assert "approx_percentile_sketch" in bench
+
+
 def test_mg_kernel_capacity_and_guarantee():
     import pandas as pd
 
