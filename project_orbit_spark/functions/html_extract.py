@@ -1131,7 +1131,17 @@ def make_nav_extractor():
     inside the first breadcrumb-classed <nav>/<ol>/<ul> become
     breadcrumbs rows (meta null); hrefs resolve against the page base
     with urljoin, matching the reference exactly; anchors outside all
-    three regions are ignored."""
+    three regions are ignored.
+
+    Documented deviation (innermost-region-wins): each anchor is
+    emitted for exactly ONE region — the innermost active one at the
+    anchor (crumb > footer > nav precedence). The reference's
+    overlapping ``find_all(['nav','header'])`` / footer / breadcrumb
+    walks would re-emit an anchor under EVERY enclosing region — e.g.
+    a footer nested inside an unclosed <nav/> would list the footer's
+    anchors under main_nav too. One-region-per-anchor is the
+    deliberate choice here (same spirit as make_team_extractor's
+    each-card-once dedup deviation)."""
 
     def extract(batches):
         import pandas as _pd
@@ -1217,15 +1227,21 @@ def make_nav_extractor():
                 if tag == "a":
                     self._flush_a()
                 elif tag in self._REGION_TAGS:
-                    # a region's close auto-closes an anchor it still
-                    # contains (lxml parity for </a>-less anchors)
-                    self._flush_a()
                     # pop the nearest matching open tag; only the
-                    # region IT opened (if any) is decremented
+                    # region IT opened (if any) is decremented. An
+                    # end tag with NO matching open tag is dropped
+                    # entirely (lxml discards unmatched closes), so
+                    # it must not flush an open anchor either — a
+                    # stray </ul> inside an anchor would otherwise
+                    # truncate the anchor's text
                     for i in range(len(self.region_stack) - 1, -1, -1):
                         open_tag, region = self.region_stack[i]
                         if open_tag != tag:
                             continue
+                        # a matched region close auto-closes an anchor
+                        # it still contains (lxml parity for </a>-less
+                        # anchors)
+                        self._flush_a()
                         del self.region_stack[i]
                         if region == "nav":
                             self.nav_depth -= 1
@@ -2916,9 +2932,13 @@ def make_team_extractor():
                                      "ps": [], "linkedin": None}
                         self.stack = [tag]
                     return
+                # imply-close BEFORE the void-tag return: <hr> is void
+                # (never pushed) but still in the HTML5 p-closers list,
+                # so '<p>bio<hr>after' must end the <p> grab here —
+                # lxml closes the paragraph at the <hr> too
+                self._imply_close_for_start(tag)
                 if tag in VOID_TAGS:
                     return
-                self._imply_close_for_start(tag)
                 self.stack.append(tag)
                 if tag == "a" and "linkedin.com" in a.get("href", "").lower():
                     if self.card["linkedin"] is None:
@@ -2948,6 +2968,15 @@ def make_team_extractor():
                 while self.stack[-1] != tag:
                     self._pop()  # implied-close everything above the match
                 self._pop()
+
+            def handle_startendtag(self, tag, attrs):
+                # lxml parity (same rule as NavParser): HTML5 ignores
+                # the "/" on a non-void start tag, so <div/> inside a
+                # card OPENS a div — treating it as open+close would
+                # make the card's next real </div> close the card
+                # early. Void tags never push, so start-only is
+                # correct for them too.
+                self.handle_starttag(tag, attrs)
 
         def walk(doc_id: int, html: str):
             p = TeamParser()

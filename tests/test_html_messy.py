@@ -84,6 +84,25 @@ class TestNavMessy:
         assert out[out.region == "main_nav"].text.tolist() == ["Outside"]
         assert out[out.region == "footer"].text.tolist() == ["F"]
 
+    def test_stray_unmatched_close_inside_anchor_keeps_full_text(self):
+        # regression (ADVICE r8): a </ul> that was never opened used to
+        # flush the open anchor (truncating its text); lxml drops
+        # unmatched end tags entirely, so the anchor keeps capturing
+        html = "<nav><a href='/m'>Long <b>anchor</b></ul> text</a></nav>"
+        out = run(make_nav_extractor(), html, BASE)
+        assert out.text.tolist() == ["Long anchor text"]
+
+    def test_unclosed_li_run_inside_nav_keeps_all_anchors(self):
+        # lxml parity (ADVICE r7 follow-up): successive <li> without
+        # closes inside a nav region — li is not a region tag, so the
+        # implied closes must not disturb region scoping
+        html = (
+            "<nav><ul><li><a href='/a'>A</a>"
+            "<li><a href='/b'>B</a><li><a href='/c'>C</a></ul></nav>"
+        )
+        out = run(make_nav_extractor(), html, BASE)
+        assert out[out.region == "main_nav"].text.tolist() == ["A", "B", "C"]
+
     def test_self_closing_anchor_emits_empty_text_row(self):
         # BeautifulSoup's find_all('a', href=True) sees <a href=x/> as
         # an empty anchor; so do we (one row, empty text)
@@ -310,6 +329,47 @@ class TestTeamMessy:
         )
         out = run(make_team_extractor(), html)
         assert out.name.tolist() == ["Ada Lovelace", "Grace Hopper"]
+
+    def test_hr_implies_p_close_inside_card(self):
+        # regression (ADVICE r8): <hr> is void (never pushed) but IS in
+        # the HTML5 p-closers list — '<p>CEO<hr>after' must end the
+        # role grab at the <hr> like lxml, not keep capturing 'after'
+        html = (
+            "<div class='team-member'><h3>Ada Lovelace</h3>"
+            "<p>CEO<hr>not the role</p></div>"
+            "<div class='team-member'><h3>Grace Hopper</h3><p>CTO</p></div>"
+        )
+        out = run(make_team_extractor(), html)
+        assert out.name.tolist() == ["Ada Lovelace", "Grace Hopper"]
+        assert out.job_title.tolist() == ["CEO", "CTO"]
+
+    def test_self_closing_div_inside_card_stays_open(self):
+        # regression (ADVICE r8): lxml ignores the "/" on a non-void
+        # tag, so <div/> OPENS a div and the card's next </div> closes
+        # that inner div — the <p>CEO</p> after it is still INSIDE the
+        # card (treating <div/> as open+close would end the card early
+        # and lose the role)
+        html = (
+            "<div class='team-member'><h3>Ada Lovelace</h3>"
+            "<div/></div><p>CEO</p></div>"
+            "<div class='team-member'><h3>Grace Hopper</h3><p>CTO</p></div>"
+        )
+        out = run(make_team_extractor(), html)
+        assert out.name.tolist() == ["Ada Lovelace", "Grace Hopper"]
+        assert out.job_title.tolist() == ["CEO", "CTO"]
+
+    def test_unclosed_p_before_first_card_ignored(self):
+        # lxml parity (ADVICE r7 follow-up): an unclosed <p> BEFORE any
+        # card — pre-card content is out of scope, the cards still
+        # open, parse, and close normally
+        html = (
+            "<p>intro paragraph never closed"
+            "<div class='team-member'><h3>Ada Lovelace</h3><p>CEO</p></div>"
+            "<div class='team-member'><h3>Grace Hopper</h3><p>CTO</p></div>"
+        )
+        out = run(make_team_extractor(), html)
+        assert out.name.tolist() == ["Ada Lovelace", "Grace Hopper"]
+        assert out.job_title.tolist() == ["CEO", "CTO"]
 
     def test_implied_close_ending_card_mid_drain_does_not_crash(self):
         # regression (review r8): stray inline closes undercounting
