@@ -29,6 +29,31 @@ from project_orbit_spark import registry  # noqa: E402
 from project_orbit_spark.session import get_spark  # noqa: E402
 
 
+def load_marker() -> dict:
+    """Ambient-load snapshot (/proc/loadavg + MemAvailable) recorded
+    around each bench pass in BENCH_DETAIL.json — so cross-round
+    timing deltas on unchanged queries can be attributed to box
+    contention from data, not inference (r8 lesson: a uniform +14%
+    drift on untouched queries took a review cycle to argue away)."""
+    out: dict = {}
+    try:
+        la = Path("/proc/loadavg").read_text().split()
+        out["loadavg_1m"], out["loadavg_5m"], out["loadavg_15m"] = (
+            float(la[0]), float(la[1]), float(la[2]),
+        )
+        out["runnable"] = la[3]
+    except (OSError, ValueError, IndexError):
+        pass
+    try:
+        for line in Path("/proc/meminfo").read_text().splitlines():
+            if line.startswith("MemAvailable:"):
+                out["mem_available_gib"] = round(int(line.split()[1]) / 1048576, 2)
+                break
+    except (OSError, ValueError, IndexError):
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -114,8 +139,11 @@ def main() -> None:
     # keep the pass-1 semantics every prior BENCH_rNN used; run2 is
     # the cross-check: totals that disagree badly flag an ambient
     # swing, not a plan regression.
+    load_before_run1 = load_marker()
     timings, total, failures = run_pass(warm=True, label="run1")
+    load_before_run2 = load_marker()
     timings2, total2, failures2 = run_pass(warm=False, label="run2")
+    load_after = load_marker()
 
     payload = {
         "metric": "headline_query_set_total",
@@ -137,6 +165,11 @@ def main() -> None:
     # tests/test_bench_line.py budget guard measures the real thing.
     detail = dict(payload)
     detail["queries_run2"] = timings2
+    detail["load"] = {
+        "before_run1": load_before_run1,
+        "before_run2": load_before_run2,
+        "after_run2": load_after,
+    }
     try:
         (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1) + "\n")
     except OSError as exc:

@@ -557,9 +557,11 @@ def max_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "billions), so it BROADCASTS and the training side is scanned "
     "map-only — no shuffle of the corpus, the same O(new-vs-index) "
     "face as incremental_embedding_dedup but with train as the big "
-    "side. Candidate comparisons are cut by (label, 4-plane LSH "
-    "sub-bucket) equality inside the broadcast hash join; recall "
-    "trade stated there applies (exact copies always collide).",
+    "side. Candidate comparisons are cut by (label, LSH sub-bucket) "
+    "equality inside the broadcast hash join — width self-scaled "
+    "from the corpus size via auto_planes (4 at fixture scale, the "
+    "oracle's contract); recall trade stated there applies (exact "
+    "copies always collide).",
     oracle=f"""
         WITH emb AS (
           SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
@@ -597,14 +599,22 @@ def max_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY t.vec_id
     """,
 )
-def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_decontamination(
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
+) -> DataFrame:
     from project_orbit_spark.similarity.cosine import as_double, cosine
+    from project_orbit_spark.similarity.lsh import auto_planes
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("emb")
     )
+    # block width self-scales with the training-corpus size (train =
+    # corpus - eval + injected clones = the embeddings count); 4 at
+    # fixture scale per the oracle's 4-plane contract
+    if n_planes is None:
+        n_planes = auto_planes(e.select("vec_id").count())
     bucketed = e.select(
-        "vec_id", "label", "emb", _lsh_bucket(F.col("emb"), 4).alias("bucket")
+        "vec_id", "label", "emb", _lsh_bucket(F.col("emb"), n_planes).alias("bucket")
     )
     eval_set = bucketed.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("eval_id"),

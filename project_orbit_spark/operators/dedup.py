@@ -1354,13 +1354,15 @@ def _semdedup_pairs(corpus: DataFrame, n_planes: int = 4) -> DataFrame:
     "rest. Singletons are their own group and are kept. Same "
     "dup-injected corpus as embedding_near_dup_pairs (every 25th "
     "vector cloned at +10000). Pair space is blocked on (label, "
-    "4-plane LSH sub-bucket), NOT label alone: cluster count is a "
+    "LSH sub-bucket), NOT label alone: cluster count is a "
     "constant knob, so label-only blocking fattens both sides of "
     "every block as the corpus grows — the 30x probe of that variant "
     "ran >15 min vs ~2 s sub-blocked (the same quadratic signature "
     "incremental_embedding_dedup measured at 20.5x before its fix). "
-    "The sub-bucket multiplies block count 16x and the plane count "
-    "is the width knob that grows with the corpus. Recall trade, "
+    "The sub-bucket width self-scales with the corpus via "
+    "auto_planes (4 planes at fixture scale — the oracle's 4-plane "
+    "contract — +1 per doubling past 12.5k vectors, the r8 knob "
+    "table's measured operating rule). Recall trade, "
     "stated: a 0.999-near pair straddling a hyperplane is missed "
     "(exact clones never are — identical vectors share every sign "
     "bit); the paper's own within-cluster bound has the same "
@@ -1431,17 +1433,24 @@ def _semdedup_pairs(corpus: DataFrame, n_planes: int = 4) -> DataFrame:
     """,
 )
 def semantic_dedup_semdedup(
-    spark: SparkSession, sf_dir: str, n_planes: int = 4
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
 ) -> DataFrame:
-    # n_planes is the block-width knob (registered contract: 4; the
-    # oracle derives the same 4-plane bucket). Within-block pair count
-    # grows quadratically at a FIXED width (measured: 11.2x per 30x,
-    # 72.7x per 100x); a wider bucket restores the per-unit cost —
-    # the measured knob curve is in docs/SCALE.md round 8.
+    # n_planes is the block-width knob, self-scaled from the corpus
+    # size when not pinned (auto_planes: 4 planes at fixture scale —
+    # the oracle's 4-plane contract — +1 per corpus doubling past the
+    # calibration point). Within-block pair count grows quadratically
+    # at a FIXED width (measured: 11.2x per 30x, 72.7x per 100x); the
+    # derived width restores the per-unit cost — the measured knob
+    # curve is in docs/SCALE.md rounds 8-9. The count is one
+    # column-pruned scan, the price of choosing the width from data
+    # rather than a manual rebuild decision.
     from project_orbit_spark.operators.graph import connected_components_two_phase
     from project_orbit_spark.similarity.cosine import centroids, cosine
+    from project_orbit_spark.similarity.lsh import auto_planes
 
     corpus = _semdedup_corpus(spark, sf_dir)
+    if n_planes is None:
+        n_planes = auto_planes(corpus.select("vec_id").count())
     cent = centroids(corpus)
     pairs = _semdedup_pairs(corpus, n_planes)
     groups = connected_components_two_phase(pairs).select(

@@ -36,6 +36,37 @@ from project_orbit_spark.similarity.cosine import _emb, as_double, cosine
 
 N_PLANES = 3
 
+# --- Self-scaling block width (SCALE.md round-8 operating rule) -----
+#
+# The (label, bucket) pair-blocking faces (SemDeDup, incremental
+# embedding dedup, semantic decontamination) widen their LSH
+# sub-bucket as the corpus grows: at a FIXED width both sides of
+# every block fatten with the corpus, so within-block pair count
+# bends quadratic across decades (measured r8: 11.2x at 30x -> 72.7x
+# at 100x for SemDeDup at 4 planes). The rule is "hold
+# corpus/2^planes per cluster roughly constant": 4 planes up to the
+# calibration size, +1 plane per corpus doubling beyond it. The
+# calibration point (12 500 vectors) is set so the fixture scales
+# (500–2 000 vectors -> 4 planes, the registered oracle contract)
+# stay at the base width, and the measured 100x probe corpus
+# (200 000 vectors) derives exactly the 8 planes the r8 knob table
+# found optimal (6.7x cheaper than fixed-4 at 97.0% near-dup recall).
+PLANES_BASE = 4
+PLANES_CALIB_ROWS = 12_500
+
+
+def auto_planes(
+    n_rows: int, base: int = PLANES_BASE, calib: int = PLANES_CALIB_ROWS
+) -> int:
+    """Derive the LSH sub-bucket width from the corpus size: ``base``
+    planes up to ``calib`` rows, one more per doubling beyond. Pure
+    and deterministic — same corpus, same width."""
+    import math
+
+    if n_rows <= calib:
+        return base
+    return base + math.ceil(math.log2(n_rows / calib))
+
 
 def _plane_component(p: int, d: Column) -> Column:
     """Portable pseudo-random hyperplane component in [-0.5, 0.5)."""
@@ -242,20 +273,39 @@ def lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental vector dedup — O(new) batch vs persisted, LSH-sub-blocked index
 
 _EMB_INDEX_CACHE: dict[tuple[str, str], DataFrame] = register_df_cache({})
+_INDEX_PLANES_CACHE: dict[tuple[str, str], int] = {}
+
+
+def index_planes(spark: SparkSession, sf_dir: str) -> int:
+    """Width the vector index is built at, derived from the indexed
+    corpus size by the SCALE.md operating rule (auto_planes over a
+    column-pruned count). Cached per (session, sf_dir): in a real
+    deployment this is a stat persisted WITH the index — rebuilding
+    at a new width is the explicit re-index decision, so the width
+    must never silently change under a live index."""
+    key = (cache_token(spark), sf_dir)
+    if key not in _INDEX_PLANES_CACHE:
+        _INDEX_PLANES_CACHE[key] = auto_planes(
+            _emb(spark, sf_dir).select("vec_id").count()
+        )
+    return _INDEX_PLANES_CACHE[key]
 
 
 def warm_embedding_index(
-    spark: SparkSession, sf_dir: str, n_planes: int = 4
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
 ) -> DataFrame:
     """The existing corpus's (vec_id, label, bucket, emb) vectors with
     their precomputed n-plane LSH sub-bucket, persisted once per
     (session, sf_dir, width) — at 100 TB this is the stored, bucketed
     vector index the offline job maintains (bucketing computed at
-    INDEX time, not per incoming batch; the registered contract pins
-    n_planes=4, and widening is an index REBUILD, which is exactly how
-    a real deployment grows the block count with the corpus). Mirrors
-    dedup.warm_band_index / cosine.warm_centroids; released via
-    session.clear_df_caches()."""
+    INDEX time, not per incoming batch). Width defaults to
+    index_planes — self-scaled from the corpus size, 4 at fixture
+    scale (the registered oracle contract); widening is an index
+    REBUILD, which is exactly how a real deployment grows the block
+    count with the corpus. Mirrors dedup.warm_band_index /
+    cosine.warm_centroids; released via session.clear_df_caches()."""
+    if n_planes is None:
+        n_planes = index_planes(spark, sf_dir)
     key = (cache_token(spark), f"{sf_dir}#p{n_planes}")
     if key not in _EMB_INDEX_CACHE:
         e = (
@@ -280,7 +330,9 @@ def warm_embedding_index(
     "contract of incremental_minhash_dedup generalized to the vector "
     "modality: an incoming batch (every-25th vector cloned at "
     "vec_id+10000) joins the EXISTING corpus's persisted vector index "
-    "only, blocked on (label, 4-plane LSH sub-bucket). The sub-bucket "
+    "only, blocked on (label, LSH sub-bucket) — width self-scaled "
+    "from the indexed corpus size via auto_planes (4 at fixture "
+    "scale, the oracle's contract). The sub-bucket "
     "matters at scale and was found by measurement: label-only "
     "blocking has CONSTANT cardinality, so both sides of each block "
     "fatten with the corpus and the 30x probe measured 20.5x — "
@@ -318,13 +370,18 @@ def warm_embedding_index(
     prepare=lambda spark, sf_dir: warm_embedding_index(spark, sf_dir) and None,
 )
 def incremental_embedding_dedup(
-    spark: SparkSession, sf_dir: str, n_planes: int = 4
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
 ) -> DataFrame:
-    # n_planes is the block-width knob (registered contract: 4). Both
-    # sides of the blocked join grow with the corpus, so cost at a
-    # FIXED width bends quadratic across decades (measured: 3.3x per
-    # 30x but 32x per 100x); widening the index restores the per-unit
-    # cost — see docs/SCALE.md round 8 for the measured knob curve.
+    # n_planes is the block-width knob, self-scaled from the indexed
+    # corpus size (auto_planes; 4 at fixture scale, the oracle's
+    # contract). Both sides of the blocked join grow with the corpus,
+    # so cost at a FIXED width bends quadratic across decades
+    # (measured: 3.3x per 30x but 32x per 100x); the derived width
+    # restores the per-unit cost — see docs/SCALE.md rounds 8-9 for
+    # the measured knob curve. The new batch MUST bucket at the
+    # index's width, so both sides resolve through index_planes.
+    if n_planes is None:
+        n_planes = index_planes(spark, sf_dir)
     new_b = (
         _emb(spark, sf_dir)
         .filter(F.col("vec_id") % 25 == 0)

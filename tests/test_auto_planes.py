@@ -1,0 +1,59 @@
+"""Self-scaling LSH block width (SCALE.md round-8/9 operating rule):
+the (label, bucket) pair-blocking faces derive their plane count from
+the corpus size instead of a manual rebuild decision. These pin the
+calibration contract — fixture scales stay at the 4-plane oracle
+width, and the measured 100x knob point derives the 8 planes the r8
+table found optimal."""
+
+from __future__ import annotations
+
+from project_orbit_spark.similarity.lsh import (
+    PLANES_BASE,
+    PLANES_CALIB_ROWS,
+    auto_planes,
+    index_planes,
+)
+from tests.conftest import SF_DIR
+
+
+def test_fixture_scales_stay_at_oracle_width():
+    # every shipped testdata scale (500 / 500 / 2000 embeddings, and
+    # the +4% dup-injected semdedup corpus) must derive the 4-plane
+    # width the DuckDB oracles hard-code
+    for n in (500, 520, 2000, 2080, PLANES_CALIB_ROWS):
+        assert auto_planes(n) == 4, n
+
+
+def test_one_plane_per_doubling_past_calibration():
+    assert auto_planes(PLANES_CALIB_ROWS + 1) == PLANES_BASE + 1
+    assert auto_planes(2 * PLANES_CALIB_ROWS) == PLANES_BASE + 1
+    assert auto_planes(4 * PLANES_CALIB_ROWS) == PLANES_BASE + 2
+
+
+def test_measured_knob_point_reproduced():
+    # the r8 knob table measured 8 planes optimal at the 100x probe
+    # corpus (200k vectors, 6.7x cheaper than fixed-4 at 97% recall);
+    # the rule must land exactly there
+    assert auto_planes(200_000) == 8
+
+
+def test_monotonic_nondecreasing():
+    widths = [auto_planes(n) for n in range(100, 1_000_000, 7919)]
+    assert widths == sorted(widths)
+
+
+def test_index_planes_fixture_width_and_cached(spark):
+    assert index_planes(spark, SF_DIR) == 4
+    # second call must come from the per-(session, sf_dir) cache — a
+    # live index's width never silently changes
+    assert index_planes(spark, SF_DIR) == 4
+
+
+def test_auto_width_matches_pinned_width_at_fixture(spark):
+    # the oracles hard-code 4 planes; at fixture scale the auto path
+    # must produce byte-identical results to an explicit n_planes=4
+    from project_orbit_spark.operators.dedup import semantic_dedup_semdedup
+
+    auto = semantic_dedup_semdedup(spark, SF_DIR).toPandas()
+    pinned = semantic_dedup_semdedup(spark, SF_DIR, n_planes=4).toPandas()
+    assert auto.equals(pinned)

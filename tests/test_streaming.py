@@ -367,3 +367,70 @@ def test_stream_restart_from_checkpoint_processes_only_new_files(spark, tmp_path
     # the 10 overlapping keys carry the new run's value (upsert wins)
     assert final.filter((F.col("event_id") >= 90) & (F.col("event_id") < 100))\
         .filter(F.col("user_id") == 99).count() == 10
+
+
+@pytest.mark.timeout(240)
+def test_stream_processing_time_trigger_two_microbatches_matches_batch(spark, tmp_path):
+    """The trigger family AvailableNow parity cannot exercise: a
+    processingTime='1 second' trigger runs as a LONG-LIVED stream.
+    Drive the shared tumbling_counts plan through two real
+    micro-batches (batch 0 drains the seed file; a second file lands
+    mid-stream and batch >=1 picks it up), then stop and assert the
+    memory sink matches the batch face over the union — the
+    continuous-trigger face computes the same answer incrementally."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from project_orbit_spark.streaming.windows import tumbling_counts
+
+    src = str(tmp_path / "src")
+    schema = "ts timestamp, event_type string, value double"
+    seed = spark.createDataFrame(
+        [("2024-01-01 10:05:00", "click", 1.5), ("2024-01-01 10:40:00", "view", 2.0)],
+        "ts string, event_type string, value double",
+    ).select(F.col("ts").cast("timestamp"), "event_type", "value")
+    seed.write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        tumbling_counts(stream.withWatermark("ts", "1 hour"))
+        .writeStream.format("memory")
+        .queryName("ptime_smoke")
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+
+        def wait_for(pred, what):
+            while time.time() < deadline:
+                if pred():
+                    return
+                time.sleep(0.5)
+            raise AssertionError(f"timed out waiting for {what}")
+
+        wait_for(
+            lambda: (q.lastProgress or {}).get("batchId", -1) >= 0,
+            "micro-batch 0",
+        )
+        late = spark.createDataFrame(
+            [("2024-01-01 10:55:00", "click", 3.0), ("2024-01-01 11:10:00", "click", 4.0)],
+            "ts string, event_type string, value double",
+        ).select(F.col("ts").cast("timestamp"), "event_type", "value")
+        late.write.mode("append").parquet(src)
+        # a LATER micro-batch (batchId >= 1) must ingest the new file —
+        # the incremental path AvailableNow's single drain never takes
+        wait_for(
+            lambda: (q.lastProgress or {}).get("batchId", -1) >= 1
+            and spark.sql("select sum(n_events) n from ptime_smoke").collect()[0]["n"] == 4,
+            "micro-batch >= 1 to ingest the second file",
+        )
+        assert len(q.recentProgress) >= 2
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.sql("select * from ptime_smoke").collect())
+    batch = sorted(tuple(r) for r in tumbling_counts(seed.unionByName(late)).collect())
+    assert got == batch
+    assert len(got) == 3, "10:00 window merges click counts across micro-batches"
