@@ -674,28 +674,38 @@ def simhash_bits(corpus: DataFrame, *, n_words: int) -> DataFrame:
     return hashed.select("doc_id", "lang", bits.alias("bits"))
 
 
-def _simhash_pairs(corpus: DataFrame, *, n_words: int, band_bits: int) -> DataFrame:
-    """(doc_id, lang, text) → (left_id, right_id, hamming ≤ 3) simhash
-    near-dup pairs at width ``32 * n_words`` bits with ``band_bits``-bit
-    pigeonhole bands. The 64-bit hash is represented as n_words 32-bit
-    WORDS (md5 hex slices) because the vote arithmetic runs in float64,
-    which holds 32-bit ints exactly but not 64-bit ones — the word
-    split keeps the derivation portable (DuckDB mirrors the same hex
-    slices). Banding stays lossless for hamming ≤ 3 as long as there
-    are ≥ 4 bands: 3 differing bits touch ≤ 3 bands, so every
-    qualifying pair shares ≥ 1 exact band."""
+def _simhash_pairs(
+    corpus: DataFrame, *, n_words: int, band_bits: int, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_id, lang, text) → (left_id, right_id, hamming ≤ max_hamming)
+    simhash near-dup pairs at width ``32 * n_words`` bits with
+    ``band_bits``-bit pigeonhole bands. The 64-bit hash is represented
+    as n_words 32-bit WORDS (md5 hex slices) because the vote
+    arithmetic runs in float64, which holds 32-bit ints exactly but not
+    64-bit ones — the word split keeps the derivation portable (DuckDB
+    mirrors the same hex slices). Banding stays lossless for hamming ≤
+    max_hamming as long as there are ≥ max_hamming + 1 bands:
+    max_hamming differing bits touch ≤ max_hamming bands, so every
+    qualifying pair shares ≥ 1 exact band. Scaling the width WITHOUT
+    scaling max_hamming tightens the near-dup criterion itself (a
+    one-token edit flips ~width × p bits, so fixed h≤3 over 2× width
+    halves the edit budget) — the measured knob ladder in docs/SCALE.md
+    round 9 therefore scales them together (64b/h≤3 → 128b/h≤6)."""
     n_bits = 32 * n_words
     n_bands = n_bits // band_bits
-    assert n_bands >= 4, "pigeonhole needs >= 4 bands for hamming <= 3"
+    assert n_bands >= max_hamming + 1, (
+        "pigeonhole needs >= max_hamming + 1 bands for losslessness"
+    )
     sh = simhash_bits(corpus, n_words=n_words)
-    # pigeonhole banding: band value packed to an int (≤ 16 bits fits)
+    # pigeonhole banding: band value packed to a long (holds any
+    # band_bits <= 62 — the 128-bit knob tier uses 32-bit bands)
     band_keys = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda bidx: F.struct(
             bidx.cast("int").alias("band_idx"),
             F.aggregate(
                 F.slice(F.col("bits"), bidx * band_bits + 1, band_bits),
-                F.lit(0),
+                F.lit(0).cast("long"),
                 lambda s, v: s * 2 + v,
             ).alias("band_val"),
         ),
@@ -734,7 +744,7 @@ def _simhash_pairs(corpus: DataFrame, *, n_words: int, band_bits: int) -> DataFr
     )
     return (
         cand.select("left_id", "right_id", hamming.cast("long").alias("hamming"))
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= max_hamming)
         .orderBy("left_id", "right_id")
     )
 

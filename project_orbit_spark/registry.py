@@ -171,28 +171,30 @@ def get_query(name: str) -> Query:
 # whose code path changed this round, and this round's additions —
 # these MUST land in the driver's first-50 sample. Rebuilt each round.
 _DRIVER_PRIORITY = (
-    # Round 8 head stays small (8 entries) so the 42 remaining LRV
-    # slots absorb the full stale set (8 r02 + 33 r04 records all fit
-    # this window; verified in-session by tools/driver_sim.py on all
-    # 41 plus tools/check.py across the whole registry).
-    # --- fixture/oracle regenerated in round 8 (the four r7 extractor
-    # --- fixes are now oracle-reachable: nested <ul> in breadcrumbs +
-    # --- self-closing <nav/>, nested <div> in a pricing card, an
-    # --- unclosed role <p> + 'Speak With Us' decoy + third member, a
-    # --- boardToken-mentioning non-matching first script) ---
+    # Round 9 head: 9 entries, so the 41 remaining LRV slots absorb
+    # all 38 r05 records (3-rounds stale this round) plus the 3
+    # oldest r06 ones — CORRECTNESS_r09 then leaves no record older
+    # than r06 (the rotation bar).
+    # --- new in round 9: hash-checkable audit twins for the raw
+    # --- sketch queries (never driver-verified; LRV would also sort
+    # --- them first, listed for the changed-path audit trail) ---
+    "approx_distinct_audit",
+    "approx_percentile_audit",
+    # --- code path changed in round 9 (lxml-recovery parity: hr
+    # --- implies p-close, slash-ignored <div/> in cards, unmatched
+    # --- region closes no longer flush anchors) ---
     "nav_structure_extract",
-    "pricing_page_parse",
     "team_page_extract",
-    "greenhouse_board_discovery",
-    # --- code path changed in round 8 (last-page-wins merge threads
-    # --- page through normalize_ats_payloads' shared branches) ---
-    "ats_normalize_jobs",
-    # --- changed in round 8 ((label, LSH-sub-bucket) pair blocking +
-    # --- two-phase CC) ---
+    # --- code path changed in round 9 (self-scaling LSH block width
+    # --- via auto_planes / index_planes; fixture scale derives the
+    # --- same 4-plane oracle contract) ---
     "semantic_dedup_semdedup",
-    # --- new in round 8 ---
-    "semantic_decontamination",  # embedding-level eval-set decontamination
-    "soft_dedup_weights",        # 1/commonness reweighting tier
+    "incremental_embedding_dedup",
+    "semantic_decontamination",
+    # --- code path changed in round 9 (band_val packs into a long
+    # --- accumulator so the 128-bit knob tier's 32-bit bands fit) ---
+    "simhash_hamming_dups",
+    "simhash64_hamming_dups",
 )
 
 
