@@ -749,3 +749,57 @@ def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy(F.desc("n_customers"), F.desc("n_orders"))
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    tags=("relational", "subquery", "join", "agg"),
+    doc="TPC-H Q17 shape: average yearly revenue lost to small-"
+    "quantity orders — a CORRELATED scalar subquery (per-part 20% "
+    "of avg quantity) written the way Catalyst decorrelates it: the "
+    "per-part average is a partial-agg shuffle on l_partkey, joined "
+    "back to lineitem as a broadcast (its row count is bounded by "
+    "the part dim, not the fact table), with the part dim itself a "
+    "second broadcast. Determinism: l_quantity holds integers, so "
+    "avg = exact-integer-sum / count is order-independent; revenue "
+    "is summed in exact cents (round(price*100) as long) so the "
+    "final 2dp figure has no float summation-order exposure at all.",
+    oracle="""
+        SELECT p.p_brand,
+               round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                     / 700.0, 2) AS avg_yearly_revenue
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN ('Brand#3', 'Brand#8', 'Brand#14', 'Brand#19', 'Brand#25')
+          AND l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = p.p_partkey
+          )
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#3", "Brand#8", "Brand#14", "Brand#19", "Brand#25")
+    )
+    # the decorrelated subquery: one row per part, bounded by the part
+    # dim, hence broadcast-able back onto the fact scan
+    part_avg = (
+        li.groupBy("l_partkey")
+        .agg((F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"))
+        .select("l_partkey", (F.lit(0.2) * F.col("avg_qty")).alias("qty_cut"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(cents).cast("double") / 700.0, 2).alias("avg_yearly_revenue")
+        )
+        .orderBy("p_brand")
+    )

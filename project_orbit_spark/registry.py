@@ -65,6 +65,7 @@ _QUERY_MODULES = (
     "project_orbit_spark.operators.profiling",
     "project_orbit_spark.operators.behavior",
     "project_orbit_spark.operators.graph",
+    "project_orbit_spark.operators.clustering",
     "project_orbit_spark.functions.textbank",
     "project_orbit_spark.functions.textquality",
     "project_orbit_spark.functions.extraction",
@@ -180,6 +181,15 @@ _DRIVER_PRIORITY = (
     # --- them first, listed for the changed-path audit trail) ---
     "approx_distinct_audit",
     "approx_percentile_audit",
+    # --- new in round 9: deterministic Lloyd k-means family plus the
+    # --- Q17 correlated-subquery decorrelation shape (never-verified,
+    # --- so LRV would also sort them first; listed for the audit
+    # --- trail). Head + never-verified + the 37 remaining r05
+    # --- records = exactly 50, so CORRECTNESS_r09 leaves no record
+    # --- older than r06 (verified in-session via _driver_order).
+    "kmeans_embedding_clusters",
+    "cluster_balanced_sample",
+    "q17_small_quantity_revenue",
     # --- code path changed in round 9 (lxml-recovery parity: hr
     # --- implies p-close, slash-ignored <div/> in cards, unmatched
     # --- region closes no longer flush anchors) ---

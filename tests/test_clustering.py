@@ -1,0 +1,77 @@
+"""Deterministic k-means family (operators/clustering.py): the
+contract is exact reproducibility, full-coverage assignment, bounded
+quota sampling, and the empty-cluster keep-old rule."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_orbit_spark.operators import clustering as cl
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_assignments_deterministic_across_runs(spark):
+    a = {r["vec_id"]: r["cluster_id"] for r in cl.kmeans_assignments(spark, SF_DIR).collect()}
+    b = {r["vec_id"]: r["cluster_id"] for r in cl.kmeans_assignments(spark, SF_DIR).collect()}
+    assert a == b
+    assert len(a) == cl.quantized_vectors(spark, SF_DIR).count()
+
+
+def test_every_vector_assigned_to_a_valid_cluster(spark):
+    rows = cl.kmeans_embedding_clusters(spark, SF_DIR).collect()
+    assert {r["vec_id"] for r in rows} == set(range(len(rows)))
+    assert all(0 <= r["cluster_id"] < cl.K for r in rows)
+
+
+def test_iterations_refine_not_explode(spark):
+    """After 3 rounds, multiple clusters are actually populated (the
+    hash-seeded init did not collapse to one cell) and no cluster
+    holds everything."""
+    sizes = [
+        r["n"]
+        for r in cl.kmeans_assignments(spark, SF_DIR)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) >= 2
+    assert max(sizes) < sum(sizes)
+
+
+def test_balanced_sample_quota_and_rank_contiguity(spark):
+    rows = cl.cluster_balanced_sample(spark, SF_DIR).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["cluster_id"], []).append(r["rank"])
+    for cid, ranks in per.items():
+        assert len(ranks) <= cl.SAMPLE_PER_CLUSTER
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), cid
+    # sample ids are a subset of the corpus
+    ids = {r["vec_id"] for r in rows}
+    assert len(ids) == len(rows)
+
+
+def test_update_keeps_previous_centroid_for_empty_cluster(spark):
+    assigned = spark.createDataFrame(
+        [(0, [2, 4], 0), (1, [4, 8], 0)], "vec_id long, q array<long>, cid long"
+    )
+    prev = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [9.0, 9.0])], "cid long, cent array<double>"
+    )
+    out = {r["cid"]: r["cent"] for r in cl.update_centroids(assigned, prev).collect()}
+    assert out[0] == [3.0, 6.0]  # exact integer mean
+    assert out[1] == [9.0, 9.0]  # empty cluster keeps its centroid
+
+
+def test_quantization_is_integer_thousandths(spark):
+    row = cl.quantized_vectors(spark, SF_DIR).first()
+    emb = (
+        cl.load(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") == row["vec_id"])
+        .first()["embedding"]
+    )
+    assert len(row["q"]) == len(emb)
+    # HALF_UP: every quantized value is within half a step of x*1000
+    # (Python round() is banker's, so exact equality is not asserted)
+    assert all(abs(q - float(x) * cl.QSCALE) <= 0.5 for q, x in zip(row["q"], emb))

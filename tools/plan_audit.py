@@ -42,6 +42,9 @@ BNLJ_BOUNDED = {
     # pattern / probe grids (tens of rows)
     "ats_probe_frontier", "feed_autodiscovery", "fuzzy_translate_join",
     "substring_theta_join", "investor_semi_join", "risk_report_gold",
+    # single-row packed k-means centroid table (k=8 structs in one
+    # broadcast row; operators/clustering.py::assign_clusters)
+    "kmeans_embedding_clusters", "cluster_balanced_sample",
     # single global-stats or threshold rows joined back to the corpus
     "benchmark_contamination", "bigram_logprob_scores", "bloom_pruned_join",
     "corpus_mixture_sample", "events_value_histogram", "heavy_hitters_two_pass",
