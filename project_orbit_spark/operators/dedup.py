@@ -686,11 +686,16 @@ def _simhash_pairs(
     mirrors the same hex slices). Banding stays lossless for hamming ≤
     max_hamming as long as there are ≥ max_hamming + 1 bands:
     max_hamming differing bits touch ≤ max_hamming bands, so every
-    qualifying pair shares ≥ 1 exact band. Scaling the width WITHOUT
-    scaling max_hamming tightens the near-dup criterion itself (a
-    one-token edit flips ~width × p bits, so fixed h≤3 over 2× width
-    halves the edit budget) — the measured knob ladder in docs/SCALE.md
-    round 9 therefore scales them together (64b/h≤3 → 128b/h≤6)."""
+    qualifying pair shares ≥ 1 exact band. Width is a SEMANTICS knob,
+    not a cost knob: scaling it without scaling max_hamming tightens
+    the near-dup criterion (a one-token edit flips ~width × p bits, so
+    fixed h≤3 over 2× width halves the edit budget — measured 0.4%
+    injected-dup recall), and even the budget-preserving ladder
+    (64b/h≤3 → 128b/h≤6) keeps only ~44% of the pair decisions while
+    costing 5–6× more at 100× scale (docs/SCALE.md round 9, probed by
+    tools/simhash_knob_probe.py). The 64b/4×16/h≤3 tier is the
+    contract; a future widening is a re-calibration, exposed here as
+    parameters so it is a one-line change."""
     n_bits = 32 * n_words
     n_bands = n_bits // band_bits
     assert n_bands >= max_hamming + 1, (

@@ -318,17 +318,18 @@ def test_simhash_pigeonhole_banding_is_lossless(fingerprint, flip_bits):
     )
 )
 def test_simhash_banding_is_lossless_both_tiers(spark, texts):
-    # the pigeonhole claim: for hamming <= 3 with >= 4 bands, the
+    # the pigeonhole claim: for hamming <= h with >= h+1 bands, the
     # banded candidate join finds EXACTLY the pairs a brute-force
     # all-pairs comparison of the fingerprints finds — on arbitrary
-    # corpora, for both the 32-bit and 64-bit tiers
+    # corpora, for the 32-bit and 64-bit tiers AND the round-9
+    # 128-bit/h<=6 knob tier (8x16-bit bands, long band accumulator)
     from project_orbit_spark.operators.dedup import _simhash_pairs, simhash_bits
 
     rows = [(i, "xx", t) for i, t in enumerate(texts) if t.strip()]
     if len(rows) < 2:
         return
     corpus = spark.createDataFrame(rows, "doc_id long, lang string, text string")
-    for n_words, band_bits in ((1, 8), (2, 16)):
+    for n_words, band_bits, max_hamming in ((1, 8, 3), (2, 16, 3), (4, 16, 6)):
         bits = {
             r["doc_id"]: r["bits"]
             for r in simhash_bits(corpus, n_words=n_words).collect()
@@ -338,12 +339,12 @@ def test_simhash_banding_is_lossless_both_tiers(spark, texts):
         for i, a in enumerate(ids):
             for b in ids[i + 1 :]:
                 ham = sum(x != y for x, y in zip(bits[a], bits[b]))
-                if ham <= 3:
+                if ham <= max_hamming:
                     brute.add((a, b, ham))
         banded = {
             (r["left_id"], r["right_id"], r["hamming"])
             for r in _simhash_pairs(
-                corpus, n_words=n_words, band_bits=band_bits
+                corpus, n_words=n_words, band_bits=band_bits, max_hamming=max_hamming
             ).collect()
         }
         assert banded == brute

@@ -70,6 +70,7 @@ QUERIES = (
     "semantic_decontamination",  # broadcast eval set, map-only corpus scan
     "bigram_logprob_scores",    # interpolated bigram LM quality tier
     "corpus_shuffle_shards",    # deterministic training shuffle
+    "kmeans_embedding_clusters",  # 3-round Lloyd: broadcast assign + keyed sums
     # relational star-schema facts (customer/orders/lineitem replicated
     # with consistent keys; dims stay base-size and broadcast)
     "q1_pricing_summary",
