@@ -148,11 +148,24 @@ def update_centroids(assigned: DataFrame, prev: DataFrame) -> DataFrame:
 
 
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cluster_id) after ITERS Lloyd rounds."""
+    """(vec_id, cluster_id) after ITERS Lloyd rounds.
+
+    Each round's centroid table (k rows) is localCheckpoint'ed — the
+    same once-per-round discipline as the CC loop in
+    operators/graph.py. Iteration i's plan nests BOTH uses of
+    iteration i-1's centroids (assignment and the keep-old join), a
+    ~2^ITERS blow-up in the logical tree; locally Spark's
+    ReusedExchange already dedups the identical subtrees (measured:
+    no wall-clock change at sf0.1), but the checkpoint makes the
+    once-per-round guarantee structural — O(k·dims) bytes of state —
+    instead of leaning on an optimizer heuristic whose reuse
+    detection is plan-shape-sensitive."""
     qvec = quantized_vectors(spark, sf_dir)
-    cents = seed_centroids(qvec)
+    cents = seed_centroids(qvec).localCheckpoint(eager=True)
     for _ in range(ITERS - 1):
-        cents = update_centroids(assign_clusters(qvec, cents), cents)
+        cents = update_centroids(
+            assign_clusters(qvec, cents), cents
+        ).localCheckpoint(eager=True)
     return assign_clusters(qvec, cents).select(
         "vec_id", F.col("cid").alias("cluster_id")
     )

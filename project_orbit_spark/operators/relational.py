@@ -753,6 +753,7 @@ def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q17_small_quantity_revenue",
+    bench=True,
     tags=("relational", "subquery", "join", "agg"),
     doc="TPC-H Q17 shape: average yearly revenue lost to small-"
     "quantity orders — a CORRELATED scalar subquery (per-part 20% "

@@ -1,0 +1,256 @@
+"""Subquery-decorrelation shapes (TPC-H Q2/Q4/Q15/Q22 adapted to the
+trimmed star schema): correlated min, correlated EXISTS with a
+cross-table predicate, uncorrelated scalar max, and NOT EXISTS plus a
+global-average threshold.
+
+Each query is written the way Catalyst decorrelates the SQL form —
+the per-key subquery becomes an aggregate bounded by a dimension
+(broadcast back onto the fact scan) or a single stats row (1-row
+broadcast, allowlisted in tools/plan_audit.py) — so the DataFrame
+plan IS the decorrelated plan, with the physical strategy explicit
+instead of left to the rewriter.
+
+Determinism: every monetary aggregate that feeds an equality or a
+hash-checked output is computed in exact integer cents
+(``round(x*100)`` as long), so sums are order-independent and
+cross-engine float equality is exact, not approximate — the same
+contract as the k-means quantization (operators/clustering.py).
+
+Complements `q17_small_quantity_revenue` (operators/relational.py),
+which covers the correlated scalar-average shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_orbit_spark.catalog import load
+from project_orbit_spark.registry import register
+
+
+@register(
+    "q2_min_cost_supplier",
+    tags=("relational", "subquery", "join"),
+    doc="TPC-H Q2 shape without partsupp: per (part, supplier) the "
+    "minimum observed unit cost from lineitem, keep the suppliers "
+    "matching the per-part minimum (correlated MIN subquery, "
+    "decorrelated to a per-part aggregate bounded by the part dim "
+    "and broadcast back), then the supplier→nation dim chain. "
+    "Unit costs are per-row double divisions — identical in both "
+    "engines — so the min-equality is exact.",
+    oracle="""
+        WITH supply AS (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        pmin AS (
+          SELECT l_partkey, min(unit_cost) AS min_cost
+          FROM supply GROUP BY l_partkey
+        )
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+               round(sp.unit_cost, 4) AS unit_cost
+        FROM supply sp
+        JOIN pmin m ON m.l_partkey = sp.l_partkey
+                   AND sp.unit_cost = m.min_cost
+        JOIN part p ON p.p_partkey = sp.l_partkey
+        JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_size <= 5 AND p.p_type = 'STANDARD'
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 5) & (F.col("p_type") == "STANDARD")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    # the decorrelated correlated-MIN: one row per part, bounded by
+    # the part dim, broadcast back onto the supply aggregate
+    pmin = supply.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        supply.join(F.broadcast(pmin), "l_partkey")
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), p.p_partkey == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+@register(
+    "q4_late_shipment_priority",
+    # driver=False for ROUND 9 ONLY (registry.Query.driver case 2):
+    # the round-9 head + never-verified set + the 37 r05 records
+    # exactly fill the driver's 50-slot sample; this query cedes its
+    # slot so the rotation bar ("no record older than r06") holds.
+    # Verified this round by tools/check at sf0.001/0.01/0.1,
+    # tools/driver_sim.py, and pytest. r10: flip to driver=True.
+    driver=False,
+    tags=("relational", "subquery", "semi", "agg"),
+    doc="TPC-H Q4 shape on available columns: orders from 1996Q3 with "
+    "at least one line shipped >60 days after the order date, counted "
+    "per priority. The correlated EXISTS carries a CROSS-TABLE "
+    "predicate (l_shipdate vs o_orderdate), so it decorrelates to a "
+    "left-semi join with a compound condition — key equality drives "
+    "the shuffle, the date comparison rides as a join residual.",
+    oracle="""
+        SELECT o.o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    tags=("relational", "subquery", "agg", "broadcast"),
+    doc="TPC-H Q15 shape: quarterly revenue per supplier, keep the "
+    "supplier(s) matching the global maximum (the view + scalar-MAX "
+    "subquery, decorrelated to a single max row broadcast back over "
+    "the revenue aggregate — 1-row BNLJ build, allowlisted). Revenue "
+    "accumulates as exact integer cents×discount-percent products "
+    "(price 2dp × (1−disc) 2dp → integer / 10⁴), so the max-equality "
+    "is exact and summation order is irrelevant.",
+    oracle="""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS r4
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT r.l_suppkey, s.s_name,
+               round(CAST(r.r4 AS DOUBLE) / 10000.0, 2) AS total_revenue
+        FROM rev r
+        JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.r4 = (SELECT max(r4) FROM rev)
+        ORDER BY r.l_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    r4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(r4).alias("r4"))
+    mx = rev.agg(F.max("r4").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("r4") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "l_suppkey",
+            "s_name",
+            F.round(F.col("r4").cast("double") / 10000.0, 2).alias("total_revenue"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+@register(
+    "q22_lapsed_customer_balance",
+    tags=("relational", "subquery", "anti", "agg"),
+    doc="TPC-H Q22 shape adapted (no phone country codes in the "
+    "trimmed schema): per nation, the count and total balance of "
+    "above-average-balance customers with NO order since 2000-01-01 "
+    "— an uncorrelated scalar-average threshold (1-row broadcast, "
+    "allowlisted) plus a NOT EXISTS decorrelated to a left-anti join "
+    "against the pruned recent-orders scan. Balances are exact "
+    "integer cents, so the threshold comparison and the output sum "
+    "are order-independent.",
+    oracle="""
+        WITH cb AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer
+        ),
+        thr AS (
+          SELECT CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cents
+          FROM cb WHERE cents > 0
+        )
+        SELECT cb.c_nationkey, count(*) AS n_lapsed,
+               round(sum(CAST(cents AS DOUBLE)) / 100.0, 2) AS total_balance
+        FROM cb, thr
+        WHERE CAST(cb.cents AS DOUBLE) > thr.avg_cents
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = cb.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
+        GROUP BY cb.c_nationkey
+        ORDER BY cb.c_nationkey
+    """,
+)
+def q22_lapsed_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cb = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    thr = cb.filter(F.col("cents") > 0).agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_cents"
+        )
+    )
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cb.crossJoin(F.broadcast(thr))
+        .filter(F.col("cents").cast("double") > F.col("avg_cents"))
+        .join(recent, cb.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lapsed"),
+            F.round(F.sum(F.col("cents").cast("double")) / 100.0, 2).alias(
+                "total_balance"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )

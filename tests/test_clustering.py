@@ -75,3 +75,29 @@ def test_quantization_is_integer_thousandths(spark):
     # HALF_UP: every quantized value is within half a step of x*1000
     # (Python round() is banker's, so exact equality is not asserted)
     assert all(abs(q - float(x) * cl.QSCALE) <= 0.5 for q, x in zip(row["q"], emb))
+
+
+def test_quantization_half_boundary_parity_with_duckdb(spark):
+    """float32 values whose x*1000 product lands EXACTLY on .5 (small
+    dyadic mantissas like 0.0625 -> 62.5): Spark's HALF_UP and
+    DuckDB's round() must both go away from zero, or the kmeans
+    oracle would diverge on boundary embeddings."""
+    import duckdb
+
+    vals = [0.0625, -0.0625, 0.1875, -0.1875, 0.5, -0.5, 0.0005, -0.0035]
+    df = spark.createDataFrame(
+        [(0, vals)], "vec_id long, embedding array<float>"
+    )
+    q_spark = df.select(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * cl.QSCALE, 0).cast("long"),
+        ).alias("q")
+    ).first()["q"]
+    lit = "[" + ",".join(repr(v) for v in vals) + "]"
+    q_duck = duckdb.sql(
+        f"SELECT list_transform(CAST({lit} AS FLOAT[])::DOUBLE[], "
+        f"x -> CAST(round(x * {cl.QSCALE}) AS BIGINT))"
+    ).fetchone()[0]
+    assert q_spark == q_duck
+    assert q_spark[0] == 63 and q_spark[1] == -63  # away from zero both sides

@@ -26,7 +26,15 @@ spark = (SparkSession.builder.master("local[8]")
          .config("spark.ui.enabled", "false")
          .getOrCreate())
 import __spark_entry__ as e
-rows = e.queries()[{name!r}](spark, {sf_dir!r}).collect()
+qs = e.queries()
+if {name!r} in qs:
+    fn = qs[{name!r}]
+else:
+    # explicitly-named non-driver query (driver=False): resolve through
+    # the full registry so deferred/bench-only queries stay simulatable
+    from project_orbit_spark.registry import get_query
+    fn = get_query({name!r}).fn
+rows = fn(spark, {sf_dir!r}).collect()
 print("DRIVER_SIM_OK", {name!r}, len(rows))
 """
 

@@ -46,6 +46,7 @@ BNLJ_BOUNDED = {
     # broadcast row; operators/clustering.py::assign_clusters)
     "kmeans_embedding_clusters", "cluster_balanced_sample",
     # single global-stats or threshold rows joined back to the corpus
+    "q15_top_supplier", "q22_lapsed_customer_balance",
     "benchmark_contamination", "bigram_logprob_scores", "bloom_pruned_join",
     "corpus_mixture_sample", "events_value_histogram", "heavy_hitters_two_pass",
     "key_skew_profile", "tfidf_top_terms", "unigram_logprob_scores",
