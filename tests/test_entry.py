@@ -105,3 +105,31 @@ def test_driver_priority_entries_are_registered():
     assert not missing, f"priority entries not in registry: {missing}"
     # and the priority head must fit the driver's sample window
     assert len(registry._DRIVER_PRIORITY) <= 50
+
+
+def test_first50_sample_finishes_the_staleness_rotation():
+    """The driver hash-checks only the FIRST 50 queries() entries per
+    round. The rotation contract (VERDICT r8 ask #2 and onward): no
+    registered query's latest CORRECTNESS record may fall more than 3
+    rounds behind the newest record. This guard recomputes the window
+    from the repo's CORRECTNESS_r*.json files — if a future round's
+    head + never-verified set grows past the spare slots, the
+    overflow fails HERE, not in the official driver record."""
+    from project_orbit_spark import registry
+
+    last = registry._last_verified()
+    if not last:
+        return  # no driver records yet (fresh clone) — nothing to rotate
+    newest = max(last.values())
+    qs = list(registry.query_map())
+    first50 = set(qs[:50])
+    overdue = [
+        n
+        for n in qs
+        if last.get(n, 0) <= newest - 3 and n not in first50
+    ]
+    assert not overdue, (
+        f"records going >3 rounds stale are outside the first-50 driver "
+        f"sample: {overdue} — trim _DRIVER_PRIORITY or defer a new query "
+        f"(registry.Query.driver case 2)"
+    )
