@@ -78,6 +78,11 @@ QUERIES = (
     "q5_revenue_by_nation",
     "q6_forecast_revenue",
     "q18_large_order_customers",
+    "q17_small_quantity_revenue",  # correlated scalar avg, decorrelated
+    "q2_min_cost_supplier",        # correlated min, decorrelated
+    "q4_late_shipment_priority",   # cross-table EXISTS -> semi + residual
+    "q15_top_supplier",            # scalar max, 1-row broadcast
+    "q22_lapsed_customer_balance", # NOT EXISTS + threshold row
     "payload_assembly_nested",
     "rolling_30d_revenue",
     "order_value_percentiles",
