@@ -349,3 +349,48 @@ def test_semdedup_pairs_block_on_label_and_bucket(spark):
         "vec_id < vec_id must ride an equi join as a filter, not force NLJ"
     )
     assert "bucket" in f.text, "LSH sub-bucket must appear in the join keys"
+
+
+def test_q17_correlated_avg_broadcasts_bounded_sides(spark):
+    # the decorrelated per-part average and the filtered part dim are
+    # both bounded by the part dim — they must broadcast, leaving the
+    # fact scan as the only large input (no sort-merge join at all)
+    f = facts("q17_small_quantity_revenue", spark)
+    assert f.n_broadcast_joins >= 2
+    assert f.n_sortmerge_joins == 0
+    assert f.pushed_filters, "shipdate/brand filters must reach the scans"
+
+
+def test_q4_exists_is_semi_join_with_residual(spark):
+    # the cross-table EXISTS must plan as ONE semi join (key equality
+    # drives the shuffle; the 60-day date comparison rides as a join
+    # residual) — not as an inner join + dedup, which would explode
+    # multi-line orders before aggregating
+    f = facts("q4_late_shipment_priority", spark)
+    assert "LeftSemi" in f.text
+    assert f.pushed_filters, "the 1996Q3 window must reach the orders scan"
+
+
+def test_q2_min_equality_joins_broadcast(spark):
+    f = facts("q2_min_cost_supplier", spark)
+    assert f.n_broadcast_joins >= 3, "pmin/part/supplier/nation sides broadcast"
+    assert f.n_sortmerge_joins == 0
+    assert f.partial_agg, "supply aggregate needs map-side partials"
+
+
+def test_q22_anti_join_prunes_recent_orders_scan(spark):
+    # NOT EXISTS decorrelates to a left-anti join against the
+    # date-pruned orders scan; the threshold is a 1-row broadcast
+    f = facts("q22_lapsed_customer_balance", spark)
+    assert "LeftAnti" in f.text
+    assert f.pushed_filters, "the >=2000-01-01 prune must reach the orders scan"
+    assert f.n_sortmerge_joins == 0
+
+
+def test_kmeans_assignment_is_map_only_broadcast(spark):
+    # assignment must be a 1-row broadcast against the corpus scan;
+    # the only exchanges are the (cluster, dim) partial-sum shuffles
+    # and the seed top-K — never a fact-fact join
+    f = facts("kmeans_embedding_clusters", spark)
+    assert f.n_sortmerge_joins == 0
+    assert "CartesianProduct" not in f.text

@@ -15,8 +15,9 @@ AQE-free plan inspection on the unexecuted DataFrame) and flags:
 Usage: python tools/plan_audit.py [sf_dir]
 Exit code 0 iff no cartesians, no errors, and no un-allowlisted BNLJ.
 
-Round-8 audit result: CARTESIAN=[], ERRORS=[], BNLJ = exactly the
-allowlist below (27 queries, all bounded builds).
+Round-9 audit result: CARTESIAN=[], ERRORS=[], BNLJ = exactly the
+allowlist below (31 queries, all bounded builds — r9 adds the packed
+1-row k-means centroid builds and the Q15/Q22 stats-row builds).
 """
 
 from __future__ import annotations
