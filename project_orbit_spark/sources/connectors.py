@@ -174,11 +174,42 @@ def union_tagged_sources(**sources: DataFrame) -> DataFrame:
     return out
 
 
-def write_partitioned(df: DataFrame, path: str, *, partition_cols: list[str], mode: str = "overwrite") -> None:
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    files_per_partition: int | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
     """S11/S12/S13 artifact sinks (ref src/scraper_v2.py:3863-3894):
     parquet partitioned by the artifact key columns — partition
-    pruning replaces the reference's per-company directory layout."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    pruning replaces the reference's per-company directory layout.
+
+    100 TB file-count control: by default every upstream task writes
+    its own file into every partition directory it touches — N shuffle
+    partitions × P partition values files, the classic small-files
+    explosion. ``files_per_partition=k`` repartitions on
+    (partition_cols, deterministic row-hash salt % k) first, so each
+    directory gets AT MOST k files while hot partitions still spread
+    over k writer tasks (k=1 is the compact layout but serializes a
+    hot partition through one task — pick k ≈ partition bytes /
+    target file size). The salt is xxhash64 of the whole row, never
+    RNG (hygiene rule: reruns produce identical layouts).
+    ``max_records_per_file`` additionally caps rows per file (Spark
+    splits oversize writer outputs), bounding the memory a downstream
+    whole-file reader needs."""
+    out = df
+    if files_per_partition is not None:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_partition)
+        )
+        out = df.repartition(*[F.col(c) for c in partition_cols], salt)
+    writer = out.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_cols).parquet(path)
 
 
 def write_append_log(df: DataFrame, path: str, *, dt_col: str = "dt") -> None:

@@ -336,3 +336,57 @@ def test_expire_partitions_drops_oldest_keeps_rows(spark, tmp_path):
     assert back.count() == df.filter(F.col("dt") > "2024-01-03").count()
     # idempotent: nothing more to drop at the same horizon
     assert expire_partitions(spark, log, keep_latest=2) == []
+
+
+def test_write_partitioned_file_count_control(spark, tmp_path):
+    """files_per_partition must cap files per directory (the 100 TB
+    small-files control) while the uncontrolled write fans out one
+    file per upstream task per directory; the salted layout must be
+    deterministic across reruns (no RNG)."""
+    from pathlib import Path
+
+    rows = [(f"c{i % 2}", f"b{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["company_id", "body"]).repartition(8)
+
+    def files_per_dir(root):
+        out = {}
+        for d in Path(root).glob("company_id=*"):
+            out[d.name] = sorted(
+                p.name for p in d.glob("*.parquet") if p.is_file()
+            )
+        return out
+
+    loose = str(tmp_path / "loose")
+    write_partitioned(df, loose, partition_cols=["company_id"])
+    n_loose = max(len(v) for v in files_per_dir(loose).values())
+    assert n_loose > 2, "expected multi-file fan-out from 8 upstream tasks"
+
+    tight = str(tmp_path / "tight")
+    write_partitioned(
+        df, tight, partition_cols=["company_id"], files_per_partition=2
+    )
+    per_dir = files_per_dir(tight)
+    assert per_dir and all(1 <= len(v) <= 2 for v in per_dir.values()), per_dir
+
+    # deterministic relayout: same data -> same per-directory row sets
+    again = str(tmp_path / "again")
+    write_partitioned(
+        df, again, partition_cols=["company_id"], files_per_partition=2
+    )
+    a = spark.read.parquet(tight).orderBy("company_id", "body").collect()
+    b = spark.read.parquet(again).orderBy("company_id", "body").collect()
+    assert a == b
+
+    # row-count cap splits oversize writer outputs
+    capped = str(tmp_path / "capped")
+    write_partitioned(
+        df,
+        capped,
+        partition_cols=["company_id"],
+        files_per_partition=1,
+        max_records_per_file=30,
+    )
+    per_dir = files_per_dir(capped)
+    # 100 rows per partition / 30-row cap -> 4 files, single writer task
+    assert all(len(v) == 4 for v in per_dir.values()), per_dir
+    assert spark.read.parquet(capped).count() == 200
