@@ -101,3 +101,35 @@ def test_quantization_half_boundary_parity_with_duckdb(spark):
     ).fetchone()[0]
     assert q_spark == q_duck
     assert q_spark[0] == 63 and q_spark[1] == -63  # away from zero both sides
+
+
+def test_incremental_assign_matches_full_fit_and_is_o_new(spark):
+    """assign_batch against the warm centroid table must (1) agree
+    with the full pipeline's assignment for existing vectors, (2)
+    assign genuinely new vectors without touching the fitted corpus
+    (plan contains no second embeddings scan), (3) reuse the persisted
+    model across calls."""
+    from project_orbit_spark.plans.audit import formatted_plan
+
+    cents = cl.warm_kmeans_centroids(spark, SF_DIR)
+    assert cents is cl.warm_kmeans_centroids(spark, SF_DIR)  # cached
+
+    full = {
+        r["vec_id"]: r["cluster_id"]
+        for r in cl.kmeans_assignments(spark, SF_DIR).collect()
+    }
+    batch = cl.load(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") % 25 == 0
+    ).select("vec_id", "embedding")
+    out = cl.assign_batch(batch, cents)
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {v: c for v, c in full.items() if v % 25 == 0}
+
+    # O(new): the centroid side is served from the persisted model
+    # (InMemoryTableScan — the parquet scans named inside the
+    # InMemoryRelation are its recorded ORIGIN, not re-executed work)
+    # and there is no join against the fitted corpus, only the 1-row
+    # broadcast pack
+    plan = formatted_plan(out)
+    assert "InMemoryTableScan" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
