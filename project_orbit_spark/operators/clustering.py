@@ -148,8 +148,11 @@ def update_centroids(assigned: DataFrame, prev: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cluster_id) after ITERS Lloyd rounds.
+def _fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ITERS-round Lloyd fit: seed, then (assign → update) with a
+    per-round localCheckpoint — the single shared loop behind both
+    the oracled full-fit query and the warm model face, so an ITERS/K
+    or checkpoint change can't diverge the two (ADVICE r9).
 
     Each round's centroid table (k rows) is localCheckpoint'ed — the
     same once-per-round discipline as the CC loop in
@@ -167,6 +170,14 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = update_centroids(
             assign_clusters(qvec, cents), cents
         ).localCheckpoint(eager=True)
+    return cents
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id) after ITERS Lloyd rounds (see
+    _fit_centroids for the loop's checkpoint discipline)."""
+    qvec = quantized_vectors(spark, sf_dir)
+    cents = _fit_centroids(spark, sf_dir)
     return assign_clusters(qvec, cents).select(
         "vec_id", F.col("cid").alias("cluster_id")
     )
@@ -320,13 +331,7 @@ def warm_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     without touching the corpus the model was fit on."""
     key = (cache_token(spark), sf_dir)
     if key not in _KMEANS_CACHE:
-        qvec = quantized_vectors(spark, sf_dir)
-        cents = seed_centroids(qvec).localCheckpoint(eager=True)
-        for _ in range(ITERS - 1):
-            cents = update_centroids(
-                assign_clusters(qvec, cents), cents
-            ).localCheckpoint(eager=True)
-        c = cents.persist()
+        c = _fit_centroids(spark, sf_dir).persist()
         c.count()
         _KMEANS_CACHE[key] = c
     return _KMEANS_CACHE[key]
@@ -336,8 +341,8 @@ def assign_batch(batch: DataFrame, cents: DataFrame) -> DataFrame:
     """Incremental O(new) assignment: (vec_id, embedding) batch →
     (vec_id, cluster_id) against a fitted centroid table. Map-only —
     the centroid pack broadcasts, the batch never joins the corpus.
-    Registered as a driver query in round 10 (slot budget); until
-    then the contract is pinned by tests/test_clustering.py."""
+    Driver-checked via kmeans_incremental_assign; the agrees-with-
+    full-fit contract is pinned by tests/test_clustering.py."""
     q = batch.select(
         "vec_id",
         F.transform(
@@ -347,4 +352,56 @@ def assign_batch(batch: DataFrame, cents: DataFrame) -> DataFrame:
     )
     return assign_clusters(q, cents).select(
         "vec_id", F.col("cid").alias("cluster_id")
+    )
+
+
+@register(
+    "kmeans_incremental_assign",
+    bench=True,
+    tags=("similarity", "cluster", "incremental", "embedding"),
+    doc="Incremental k-means assignment — the O(new) daily-batch face "
+    "of the clustering stage, completing the incremental family "
+    "(minhash band / vector / span index): an incoming batch "
+    "(every-25th vector cloned at vec_id+10000, the "
+    "incremental_embedding_dedup convention) is assigned against the "
+    "PERSISTED warm centroid model in one map-only pass — the 8-row "
+    "model broadcasts as a packed single row, the fitted corpus is "
+    "never rejoined. At 100 TB the model is a stored index artifact "
+    "refreshed offline; per-batch cost is O(new·k·dims) with zero "
+    "shuffle. The oracle refits the same 3 deterministic Lloyd "
+    "rounds and assigns the batch against the final centroids, so "
+    "the whole incremental path is hash-checked. Prepare hook warms "
+    "the model outside the bench timer.",
+    oracle=f"""
+        WITH {_DUCK_KMEANS},
+        new_batch AS (
+          SELECT vec_id + 10000 AS new_id, q
+          FROM qv WHERE vec_id % 25 = 0
+        )
+        SELECT new_id, cid AS cluster_id FROM (
+          SELECT b.new_id, c.cid,
+                 row_number() OVER (PARTITION BY b.new_id ORDER BY
+                   list_reduce(
+                     list_transform(range(1, len(b.q) + 1),
+                       i -> (CAST(b.q[i] AS DOUBLE) - c.cent[i])
+                          * (CAST(b.q[i] AS DOUBLE) - c.cent[i])),
+                     (x, y) -> x + y),
+                   c.cid) AS rn
+          FROM new_batch b CROSS JOIN c2 c
+        ) WHERE rn = 1
+        ORDER BY new_id
+    """,
+    prepare=lambda spark, sf_dir: warm_kmeans_centroids(spark, sf_dir) and None,
+)
+def kmeans_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 25 == 0)
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    cents = warm_kmeans_centroids(spark, sf_dir)
+    return (
+        assign_batch(batch, cents)
+        .select(F.col("vec_id").alias("new_id"), "cluster_id")
+        .orderBy("new_id")
     )

@@ -804,3 +804,281 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "q7_nation_pair_volume",
+    bench=True,
+    tags=("relational", "join", "agg", "broadcast"),
+    doc="TPC-H Q7 shape (volume shipping) on the trimmed star schema: "
+    "revenue between two trading nations by (supplier nation, customer "
+    "nation, ship year) for 1996-1997, where one side is NATION_3 and "
+    "the other NATION_7 in either direction. Both nation-filtered dims "
+    "(supplier⋈nation, customer⋈nation) broadcast onto the fact scans "
+    "— the customer-side filter prunes orders BEFORE the only real "
+    "shuffle (orders⋈lineitem on orderkey), so at 100 TB the shuffled "
+    "volume is ~2/25ths of the fact table, not all of it. The pair "
+    "disjunction rides as a residual on the assembled rows. Revenue "
+    "accumulates as exact integer cents×discount-percent products "
+    "(the q15 contract), so summation order is irrelevant.",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               round(CAST(sum(v4) AS DOUBLE) / 10000.0, 2) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS v4
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+          JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+          WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ("NATION_3", "NATION_7")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    # nation-filtered dims: tiny, broadcast onto each fact side
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    # customer filter prunes orders BEFORE the orderkey shuffle
+    o = load(spark, sf_dir, "orders").join(
+        F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")
+    )
+    v4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    )
+    return (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(v4).cast("double") / 10000.0, 2).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_nation_market_share",
+    bench=True,
+    tags=("relational", "join", "agg", "broadcast"),
+    doc="TPC-H Q8 shape (national market share): of the ECONOMY-part "
+    "order volume sold into AMERICA-region customers during 1996-1997, "
+    "the share supplied from NATION_6, per order year. The CASE-ratio "
+    "decorrelates to two conditional sums in ONE aggregate pass — "
+    "never a self-join of the yearly totals. All dims (part filtered "
+    "to one type, region→nation→customer chain, supplier→nation) "
+    "broadcast; part and customer prune the fact scans ahead of the "
+    "single orderkey shuffle. Numerator and denominator both "
+    "accumulate exact integer cents×percent, so the final double "
+    "ratio is a deterministic function of two exact integers.",
+    oracle="""
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_6'
+                                   THEN v4 ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(v4) AS DOUBLE), 6) AS mkt_share
+        FROM (
+          SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 n1.n_name AS supp_nation,
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS v4
+          FROM lineitem l
+          JOIN part p     ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+          JOIN region r   ON r.r_regionkey = n2.n_regionkey
+          WHERE r.r_name = 'AMERICA'
+            AND p.p_type = 'ECONOMY'
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        )
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+)
+def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    # region→nation→customer chain, filtered to AMERICA
+    cr = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "AMERICA")
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(cr), F.col("c_custkey") == F.col("o_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    v4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    ).alias("v4")
+    vol = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_year", "supp_nation", v4)
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_6", F.col("v4")).otherwise(F.lit(0))
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                num.cast("double") / F.sum("v4").cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    tags=("relational", "join", "agg", "broadcast"),
+    doc="TPC-H Q14 shape (promotion effect): the percentage of one "
+    "month's lineitem revenue attributable to PROMO-type parts — the "
+    "CASE-ratio over a month-pruned fact scan joined to the broadcast "
+    "part dim. One aggregate pass, one output row; both sums are "
+    "exact integer cents×percent, so the percentage is deterministic. "
+    "The shipdate month prunes at the parquet scan (PushedFilters).",
+    oracle="""
+        SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                           THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                                * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+                                           ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE),
+                     4) AS promo_revenue_pct
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    v4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", v4).otherwise(F.lit(0)))
+    return li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).agg(
+        F.round(
+            F.lit(100.0) * promo.cast("double") / F.sum(v4).cast("double"), 4
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    tags=("relational", "join", "agg", "pushdown"),
+    doc="TPC-H Q19 shape (discounted revenue, disjunctive predicates): "
+    "revenue from lines matching an OR of three (brand, size range, "
+    "quantity range) conjunctions — the one predicate SHAPE where what "
+    "reaches the scan decides the cost at 100 TB. Catalyst will not "
+    "push a cross-table OR, so each scan gets its IMPLIED single-table "
+    "envelope explicitly: the part scan gets the (brand,size) "
+    "disjunction, the lineitem scan gets the derived quantity bounds "
+    "(1..30) — both land in PushedFilters (pinned by a plan test) — "
+    "and the full compound condition rides as a residual after the "
+    "broadcast part join. Revenue in exact integer cents×percent.",
+    oracle="""
+        SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                              * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE)
+                     / 10000.0, 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # implied single-table envelopes, pushed to each scan explicitly
+    p = load(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    v4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    )
+    compound = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(compound)
+        .agg(
+            F.round(F.sum(v4).cast("double") / 10000.0, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -93,13 +93,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q4_late_shipment_priority",
-    # driver=False for ROUND 9 ONLY (registry.Query.driver case 2):
-    # the round-9 head + never-verified set + the 37 r05 records
-    # exactly fill the driver's 50-slot sample; this query cedes its
-    # slot so the rotation bar ("no record older than r06") holds.
-    # Verified this round by tools/check at sf0.001/0.01/0.1,
-    # tools/driver_sim.py, and pytest. r10: flip to driver=True.
-    driver=False,
+    # Was driver=False for round 9 only (registry.Query.driver case 2,
+    # slot budget); flipped back per that note. Never-verified, so the
+    # LRV sort puts it in the round-10 first-50 automatically.
+    driver=True,
     tags=("relational", "subquery", "semi", "agg"),
     doc="TPC-H Q4 shape on available columns: orders from 1996Q3 with "
     "at least one line shipped >60 days after the order date, counted "
@@ -253,4 +250,54 @@ def q22_lapsed_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    tags=("relational", "subquery", "anti", "agg", "distinct"),
+    doc="TPC-H Q16 shape on the trimmed schema (lineitem stands in "
+    "for partsupp as the part↔supplier relation): how many distinct "
+    "suppliers ship each surviving (brand, type, size) bucket, "
+    "excluding a NOT-IN supplier set (here: suppliers with negative-"
+    "signal balances < 2000, the complaints-subquery analog). The "
+    "NOT IN decorrelates to a left-anti join against the tiny "
+    "excluded-supplier list (broadcast); the part predicate — two "
+    "negations plus a size IN-list — prunes the part dim before its "
+    "broadcast onto the fact scan; the count-distinct shuffles once "
+    "on the group keys. Output is pure ints/strings — no float "
+    "exposure at all.",
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#5'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 5, 10, 15, 20, 25)
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    excluded = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2000)
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )

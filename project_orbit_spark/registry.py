@@ -177,46 +177,30 @@ def get_query(name: str) -> Query:
 # whose code path changed this round, and this round's additions —
 # these MUST land in the driver's first-50 sample. Rebuilt each round.
 _DRIVER_PRIORITY = (
-    # Round 9 head. Slot budget: 8 never-verified (they sort first
-    # under LRV anyway) + 37 r05 records + 5 changed-path entries
-    # with fresh records = exactly 50, so CORRECTNESS_r09 leaves no
-    # record older than r06 (the rotation bar; verified in-session
-    # via _driver_order).
-    # --- new in round 9: hash-checkable audit twins for the raw
-    # --- sketch queries ---
-    "approx_distinct_audit",
-    "approx_percentile_audit",
-    # --- new in round 9: deterministic Lloyd k-means family, plus
-    # --- the subquery-decorrelation pack (Q17 correlated scalar avg,
-    # --- Q2 correlated min, Q4 cross-table EXISTS, Q15 scalar max,
-    # --- Q22 NOT EXISTS + threshold) ---
-    "kmeans_embedding_clusters",
-    "cluster_balanced_sample",
-    "q17_small_quantity_revenue",
-    "q2_min_cost_supplier",
-    # (q4_late_shipment_priority is driver-deferred to r10 — see its
-    # register() site — so the 37 r05 records all fit the window)
-    "q15_top_supplier",
-    "q22_lapsed_customer_balance",
-    # --- code path changed in round 9 (lxml-recovery parity: hr
-    # --- implies p-close, slash-ignored <div/> in cards, unmatched
-    # --- region closes no longer flush anchors) ---
-    "nav_structure_extract",
-    "team_page_extract",
-    # --- code path changed in round 9 (self-scaling LSH block width):
-    # --- semdedup covers the inline auto_planes count, incremental
-    # --- covers the cached index_planes path. semantic_decontamination
-    # --- shares semdedup's inline mechanism verbatim and its r08
-    # --- record is fresh, so it cedes its slot to the r05 rotation
-    # --- (still covered by tools/check + driver_sim at 3 SFs).
-    "semantic_dedup_semdedup",
-    "incremental_embedding_dedup",
-    # --- code path changed in round 9 (band_val packs into a long
-    # --- accumulator): simhash_hamming_dups drives the shared
-    # --- _simhash_pairs helper through the driver; the 64-bit twin
-    # --- runs the identical packing code with n_words=2 and keeps
-    # --- its fresh r08 record, ceding its slot likewise.
-    "simhash_hamming_dups",
+    # Round 10 head. Slot budget: 42 r06 records need rotation slots;
+    # 50 − 42 = 8 spare. Occupants: q4 (flipped back per its round-9
+    # deferral note) + 6 new round-10 queries — all seven are
+    # never-verified, so the LRV sort would pull them in anyway; the
+    # head makes the guarantee explicit — plus ONE fresh-record entry
+    # (semantic_decontamination). Exactly 50; the spare-slot budget is
+    # enforced by tests/test_entry.py against the records, not a
+    # constant.
+    "q4_late_shipment_priority",
+    # --- new in round 10: incremental k-means assignment (the O(new)
+    # --- face of the r9 clustering stage), the nation-pair volume /
+    # --- market-share shapes (TPC-H Q7/Q8), promo revenue share
+    # --- (Q14), distinct-supplier grouping (Q16), and the
+    # --- disjunctive-predicate shape (Q19) ---
+    "kmeans_incremental_assign",
+    "q7_nation_pair_volume",
+    "q8_nation_market_share",
+    "q14_promo_revenue_share",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    # --- code path changed in round 9 (self-scaling LSH block width)
+    # --- but last driver record r08 predates it: driver-verify the
+    # --- changed path (VERDICT r9 ask #6; zero new code) ---
+    "semantic_decontamination",
 )
 
 

@@ -107,6 +107,37 @@ def test_driver_priority_entries_are_registered():
     assert len(registry._DRIVER_PRIORITY) <= 50
 
 
+def test_priority_head_fits_the_spare_slot_budget():
+    """The 50-slot sample must first absorb every query whose record
+    is going stale (the rotation), so the head + never-verified set
+    may only occupy the SPARE slots — computed from the records, not
+    a hand-maintained constant (VERDICT r9 ask #8). Failing here at
+    build time beats an overdue query silently missing the official
+    CORRECTNESS record at round boundary."""
+    from project_orbit_spark import registry
+
+    last = registry._last_verified()
+    if not last:
+        return  # fresh clone — no records, nothing rotating
+    newest = max(last.values())
+    qmap = registry.all_queries()
+    names = [n for n in qmap if qmap[n].driver]
+    # queries whose record hits the 3-rounds-behind bar once this
+    # round's record lands (i.e. must be re-verified THIS round)
+    rotating = [n for n in names if 0 < last.get(n, 0) <= newest - 3]
+    never = [n for n in names if last.get(n, 0) == 0]
+    head_fresh = [
+        n for n in registry._DRIVER_PRIORITY if last.get(n, 0) > newest - 3
+    ]
+    occupied = len(set(rotating) | set(never) | set(head_fresh))
+    assert occupied <= 50, (
+        f"first-50 budget overflow: {len(rotating)} rotating + "
+        f"{len(never)} never-verified + {len(head_fresh)} fresh-record head "
+        f"entries = {occupied} > 50 — defer a new query "
+        f"(registry.Query.driver case 2) or trim the head"
+    )
+
+
 def test_first50_sample_finishes_the_staleness_rotation():
     """The driver hash-checks only the FIRST 50 queries() entries per
     round. The rotation contract (VERDICT r8 ask #2 and onward): no

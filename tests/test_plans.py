@@ -394,3 +394,53 @@ def test_kmeans_assignment_is_map_only_broadcast(spark):
     f = facts("kmeans_embedding_clusters", spark)
     assert f.n_sortmerge_joins == 0
     assert "CartesianProduct" not in f.text
+
+
+def test_q7_nation_dims_broadcast_no_cartesian(spark):
+    # both nation-filtered dims must broadcast; the only real shuffle
+    # is the orderkey join — never a cartesian pair-up of the nations
+    f = facts("q7_nation_pair_volume", spark)
+    assert f.n_broadcast_joins >= 2
+    assert "CartesianProduct" not in f.text
+    assert f.partial_agg
+
+
+def test_q8_market_share_is_one_agg_pass(spark):
+    # the CASE-ratio must be conditional sums in ONE aggregate —
+    # a yearly-totals self-join would show >3 shuffles / an extra SMJ
+    f = facts("q8_nation_market_share", spark)
+    assert f.n_broadcast_joins >= 3, "part/supplier/customer dims must broadcast"
+    assert "CartesianProduct" not in f.text
+    assert f.partial_agg
+
+
+def test_q14_month_prunes_at_scan(spark):
+    f = facts("q14_promo_revenue_share", spark)
+    assert "l_shipdate" in f.text.split("PushedFilters")[1][:400], (
+        "shipdate month must reach the lineitem scan"
+    )
+    assert f.n_broadcast_joins >= 1 and f.n_sortmerge_joins == 0
+
+
+def test_q16_excluded_suppliers_anti_broadcast(spark):
+    f = facts("q16_supplier_part_counts", spark)
+    assert f.n_broadcast_joins >= 2, "NOT-IN set and part dim must broadcast"
+    assert "CartesianProduct" not in f.text
+
+
+def test_q19_disjunction_reaches_both_scans(spark):
+    """The 100 TB question for OR-of-ANDs: does anything prune at the
+    scans? Positive finding (pinned here): with the single-table
+    envelopes stated explicitly, the part scan's PushedFilters carries
+    the (brand,size) disjunction and the lineitem scan carries the
+    quantity bounds — Catalyst even derives the per-disjunct quantity
+    OR from the residual on its own."""
+    f = facts("q19_disjunctive_revenue", spark)
+    pushed = [seg.split("]")[0] for seg in f.text.split("PushedFilters: [")[1:]]
+    assert any("p_brand" in s and "p_size" in s and "Or(" in s for s in pushed), (
+        "part scan must receive the (brand,size) disjunction"
+    )
+    assert any("l_quantity" in s for s in pushed), (
+        "lineitem scan must receive the quantity envelope"
+    )
+    assert f.n_broadcast_joins >= 1 and f.n_sortmerge_joins == 0
