@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from project_orbit_spark.catalog import load
 from project_orbit_spark.operators.dedup import word_shingles
 from project_orbit_spark.registry import register
+from project_orbit_spark.similarity.lsh import _duck_auto_bucket as _lsh_duck_auto_bucket
 from project_orbit_spark.similarity.lsh import _duck_bucket as _lsh_duck_bucket
 from project_orbit_spark.similarity.lsh import lsh_bucket as _lsh_bucket
 
@@ -559,15 +560,18 @@ def max_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "face as incremental_embedding_dedup but with train as the big "
     "side. Candidate comparisons are cut by (label, LSH sub-bucket) "
     "equality inside the broadcast hash join — width self-scaled "
-    "from the corpus size via auto_planes (4 at fixture scale, the "
-    "oracle's contract); recall trade stated there applies (exact "
-    "copies always collide).",
+    "from the corpus size via auto_planes; the oracle derives the "
+    "SAME width in SQL from the same count (_duck_auto_bucket), so "
+    "it tracks any corpus size. Recall trade stated there applies "
+    "(exact copies always collide).",
     oracle=f"""
         WITH emb AS (
           SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
         ),
         bucketed AS (
-          SELECT vec_id, label, emb, {_lsh_duck_bucket("emb", 4)} AS bucket FROM emb
+          SELECT vec_id, label, emb,
+                 {_lsh_duck_auto_bucket("emb", "SELECT count(*) FROM embeddings")} AS bucket
+          FROM emb
         ),
         eval_set AS (
           SELECT vec_id AS eval_id, label, emb, bucket
@@ -603,16 +607,18 @@ def semantic_decontamination(
     spark: SparkSession, sf_dir: str, n_planes: int | None = None
 ) -> DataFrame:
     from project_orbit_spark.similarity.cosine import as_double, cosine
-    from project_orbit_spark.similarity.lsh import auto_planes
+    from project_orbit_spark.similarity.lsh import index_planes
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("emb")
     )
     # block width self-scales with the training-corpus size (train =
-    # corpus - eval + injected clones = the embeddings count); 4 at
-    # fixture scale per the oracle's 4-plane contract
+    # corpus - eval + injected clones = exactly the embeddings count,
+    # which is also what the vector index is sized from) — so reuse
+    # the per-(session, sf_dir) cached index_planes instead of
+    # re-counting per invocation (ADVICE r9)
     if n_planes is None:
-        n_planes = auto_planes(e.select("vec_id").count())
+        n_planes = index_planes(spark, sf_dir)
     bucketed = e.select(
         "vec_id", "label", "emb", _lsh_bucket(F.col("emb"), n_planes).alias("bucket")
     )

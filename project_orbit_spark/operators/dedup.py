@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from project_orbit_spark.catalog import load
 from project_orbit_spark.registry import register
 from project_orbit_spark.session import cache_token, register_df_cache
+from project_orbit_spark.similarity.lsh import _duck_auto_bucket as _lsh_duck_auto_bucket
 from project_orbit_spark.similarity.lsh import _duck_bucket as _lsh_duck_bucket
 from project_orbit_spark.similarity.lsh import lsh_bucket as _lsh_bucket
 
@@ -1317,6 +1318,25 @@ def _semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.unionByName(dups)
 
 
+_SEMDEDUP_PLANES_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _semdedup_planes(spark: SparkSession, sf_dir: str) -> int:
+    """auto_planes over the dup-injected corpus size, cached per
+    (session, sf_dir) like lsh.index_planes — the width is a stat of
+    the corpus, not something to recount per invocation (ADVICE r9).
+    The registered oracle derives the identical width in SQL
+    (_duck_auto_bucket over the corpus0 CTE count)."""
+    from project_orbit_spark.similarity.lsh import auto_planes
+
+    key = (cache_token(spark), sf_dir)
+    if key not in _SEMDEDUP_PLANES_CACHE:
+        _SEMDEDUP_PLANES_CACHE[key] = auto_planes(
+            _semdedup_corpus(spark, sf_dir).select("vec_id").count()
+        )
+    return _SEMDEDUP_PLANES_CACHE[key]
+
+
 def _semdedup_pairs(corpus: DataFrame, n_planes: int = 4) -> DataFrame:
     """SemDeDup's candidate-pair stage, exposed so its plan is
     auditable on its own: the registered query feeds it to the eager
@@ -1393,12 +1413,15 @@ def _semdedup_pairs(corpus: DataFrame, n_planes: int = 4) -> DataFrame:
         WITH RECURSIVE emb AS (
           SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
         ),
+        corpus0 AS (
+          SELECT vec_id, label, emb FROM emb
+          UNION ALL
+          SELECT vec_id + 10000 AS vec_id, label, emb FROM emb WHERE vec_id % 25 = 0
+        ),
         corpus AS (
-          SELECT vec_id, label, emb, {_lsh_duck_bucket("emb", 4)} AS bucket FROM (
-            SELECT vec_id, label, emb FROM emb
-            UNION ALL
-            SELECT vec_id + 10000 AS vec_id, label, emb FROM emb WHERE vec_id % 25 = 0
-          )
+          SELECT vec_id, label, emb,
+                 {_lsh_duck_auto_bucket("emb", "SELECT count(*) FROM corpus0")} AS bucket
+          FROM corpus0
         ),
         cent AS (
           SELECT label, list(cval ORDER BY dim) AS cvec
@@ -1451,21 +1474,20 @@ def semantic_dedup_semdedup(
     spark: SparkSession, sf_dir: str, n_planes: int | None = None
 ) -> DataFrame:
     # n_planes is the block-width knob, self-scaled from the corpus
-    # size when not pinned (auto_planes: 4 planes at fixture scale —
-    # the oracle's 4-plane contract — +1 per corpus doubling past the
-    # calibration point). Within-block pair count grows quadratically
-    # at a FIXED width (measured: 11.2x per 30x, 72.7x per 100x); the
-    # derived width restores the per-unit cost — the measured knob
-    # curve is in docs/SCALE.md rounds 8-9. The count is one
-    # column-pruned scan, the price of choosing the width from data
-    # rather than a manual rebuild decision.
+    # size when not pinned (auto_planes: 4 planes at fixture scale,
+    # +1 per corpus doubling past the calibration point — and the
+    # oracle derives the SAME width in SQL from the same count, so
+    # the two track at any corpus size). Within-block pair count
+    # grows quadratically at a FIXED width (measured: 11.2x per 30x,
+    # 72.7x per 100x); the derived width restores the per-unit cost —
+    # the measured knob curve is in docs/SCALE.md rounds 8-9. The
+    # sizing count is cached per (session, sf_dir) (_semdedup_planes).
     from project_orbit_spark.operators.graph import connected_components_two_phase
     from project_orbit_spark.similarity.cosine import centroids, cosine
-    from project_orbit_spark.similarity.lsh import auto_planes
 
     corpus = _semdedup_corpus(spark, sf_dir)
     if n_planes is None:
-        n_planes = auto_planes(corpus.select("vec_id").count())
+        n_planes = _semdedup_planes(spark, sf_dir)
     cent = centroids(corpus)
     pairs = _semdedup_pairs(corpus, n_planes)
     groups = connected_components_two_phase(pairs).select(

@@ -53,6 +53,13 @@ N_PLANES = 3
 # found optimal (6.7x cheaper than fixed-4 at 97.0% near-dup recall).
 PLANES_BASE = 4
 PLANES_CALIB_ROWS = 12_500
+# Headroom for the width-ADAPTIVE oracle form (_duck_auto_bucket):
+# the oracle emits this many sign bits and keeps the derived-width
+# prefix, so it tracks auto_planes exactly up to
+# PLANES_CALIB_ROWS * 2^(PLANES_MAX - PLANES_BASE) = 3.2M vectors —
+# orders of magnitude past any oracle-checked corpus (oracles run at
+# sf <= 0.1; the 100x probes never run oracles).
+PLANES_MAX = 12
 
 
 def auto_planes(
@@ -106,6 +113,24 @@ def _duck_bucket(vec: str, n_planes: int = N_PLANES, plane_offset: int = 0) -> s
         ).format(v=vec, p=p)
         bits.append(f"CASE WHEN {dot_p} >= 0 THEN '1' ELSE '0' END")
     return " || ".join(bits)
+
+
+def _duck_auto_bucket(vec: str, count_sql: str) -> str:
+    """Width-ADAPTIVE twin of ``_duck_bucket`` for the auto_planes
+    paths (ADVICE r9): emits PLANES_MAX sign bits and keeps the
+    prefix whose width the SQL itself derives from ``count_sql`` (a
+    scalar subquery returning the same corpus count the Spark side
+    feeds auto_planes) by the identical base + ceil(log2(n/calib))
+    rule. Plane p's bit is independent of the total width, so the
+    w-wide prefix of the PLANES_MAX-bit string IS the w-plane bucket
+    — the oracle now matches the Spark path at ANY corpus size
+    instead of hard-coding the fixture width and silently hash-
+    diverging past the calibration point."""
+    width = (
+        f"(CASE WHEN ({count_sql}) <= {PLANES_CALIB_ROWS} THEN {PLANES_BASE} "
+        f"ELSE {PLANES_BASE} + CAST(ceil(log2(({count_sql}) / {PLANES_CALIB_ROWS}.0)) AS INT) END)"
+    )
+    return f"substring({_duck_bucket(vec, PLANES_MAX, 0)}, 1, {width})"
 
 
 @register(
@@ -352,12 +377,15 @@ def warm_embedding_index(
           FROM embeddings
         ),
         indexed AS (
-          SELECT vec_id, label, {_duck_bucket("emb", 4, 0)} AS bucket, emb
+          SELECT vec_id, label,
+                 {_duck_auto_bucket("emb", "SELECT count(*) FROM embeddings")} AS bucket,
+                 emb
           FROM emb
         ),
         new_batch AS (
           SELECT vec_id + 10000 AS new_id, label,
-                 {_duck_bucket("emb", 4, 0)} AS bucket, emb
+                 {_duck_auto_bucket("emb", "SELECT count(*) FROM embeddings")} AS bucket,
+                 emb
           FROM emb WHERE vec_id % 25 = 0
         )
         SELECT n.new_id, i.vec_id AS match_id,

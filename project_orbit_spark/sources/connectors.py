@@ -174,6 +174,20 @@ def union_tagged_sources(**sources: DataFrame) -> DataFrame:
     return out
 
 
+def _xxhashable(dt) -> bool:
+    """True when xxhash64 accepts the type — MapType is unordered and
+    unsupported at any nesting depth."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _xxhashable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_xxhashable(f.dataType) for f in dt.fields)
+    return True
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -182,6 +196,7 @@ def write_partitioned(
     mode: str = "overwrite",
     files_per_partition: int | None = None,
     max_records_per_file: int | None = None,
+    salt_cols: list[str] | None = None,
 ) -> None:
     """S11/S12/S13 artifact sinks (ref src/scraper_v2.py:3863-3894):
     parquet partitioned by the artifact key columns — partition
@@ -195,15 +210,35 @@ def write_partitioned(
     directory gets AT MOST k files while hot partitions still spread
     over k writer tasks (k=1 is the compact layout but serializes a
     hot partition through one task — pick k ≈ partition bytes /
-    target file size). The salt is xxhash64 of the whole row, never
-    RNG (hygiene rule: reruns produce identical layouts).
-    ``max_records_per_file`` additionally caps rows per file (Spark
-    splits oversize writer outputs), bounding the memory a downstream
-    whole-file reader needs."""
+    target file size). The salt is xxhash64 over ``salt_cols`` when
+    given — pass a stable key subset (e.g. the row's id) so the file
+    layout doesn't shift when unrelated columns are added — else over
+    every xxhash64-SUPPORTED column (MapType at any nesting depth is
+    excluded rather than erroring at runtime; ADVICE r9). Never RNG
+    (hygiene rule: reruns produce identical layouts). If no hashable
+    column exists the salt degrades to a constant — one writer task
+    per partition, still correct. ``max_records_per_file``
+    additionally caps rows per file (Spark splits oversize writer
+    outputs), bounding the memory a downstream whole-file reader
+    needs."""
     out = df
     if files_per_partition is not None:
-        salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_partition)
+        if salt_cols is not None:
+            missing = [c for c in salt_cols if c not in df.columns]
+            if missing:
+                raise ValueError(f"salt_cols not in DataFrame: {missing}")
+            key_cols = list(salt_cols)
+        else:
+            key_cols = [
+                f.name for f in df.schema.fields if _xxhashable(f.dataType)
+            ]
+        salt = (
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in key_cols]),
+                F.lit(files_per_partition),
+            )
+            if key_cols
+            else F.lit(0)
         )
         out = df.repartition(*[F.col(c) for c in partition_cols], salt)
     writer = out.write.mode(mode)

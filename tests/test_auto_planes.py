@@ -57,3 +57,61 @@ def test_auto_width_matches_pinned_width_at_fixture(spark):
     auto = semantic_dedup_semdedup(spark, SF_DIR).toPandas()
     pinned = semantic_dedup_semdedup(spark, SF_DIR, n_planes=4).toPandas()
     assert auto.equals(pinned)
+
+
+def test_duck_width_formula_matches_python_everywhere():
+    """The ADVICE-r9 divergence fix: the oracle derives its block
+    width IN SQL (_duck_auto_bucket) from the same count the Spark
+    side feeds auto_planes — the two formulas must agree at every
+    size, especially past the calibration point where the old
+    hard-coded-4 oracles would have silently hash-failed."""
+    import duckdb
+
+    from project_orbit_spark.similarity.lsh import PLANES_MAX, _duck_auto_bucket
+
+    con = duckdb.connect()
+    sizes = [
+        100, 500, 2080, PLANES_CALIB_ROWS, PLANES_CALIB_ROWS + 1,
+        2 * PLANES_CALIB_ROWS, 2 * PLANES_CALIB_ROWS + 1,
+        4 * PLANES_CALIB_ROWS, 200_000, 1_000_000,
+        PLANES_CALIB_ROWS * 2 ** (PLANES_MAX - PLANES_BASE),  # headroom edge
+    ]
+    for n in sizes:
+        bucket_sql = _duck_auto_bucket("v", str(n))
+        got = con.execute(
+            f"SELECT len({bucket_sql}) FROM (SELECT [0.3, -0.7, 0.1]::DOUBLE[] AS v)"
+        ).fetchone()[0]
+        want = auto_planes(n)
+        assert want <= PLANES_MAX, (n, want)  # oracle headroom holds
+        assert got == want, (n, got, want)
+
+
+def test_duck_auto_bucket_is_prefix_of_spark_bucket(spark):
+    """Above the calibration point the adaptive oracle must produce
+    the SAME bucket Spark's lsh_bucket(emb, auto_planes(n)) does —
+    bit-for-bit, not just same width."""
+    import duckdb
+
+    from project_orbit_spark.similarity.lsh import lsh_bucket
+
+    import pyspark.sql.functions as F
+
+    vecs = [[0.31, -0.72, 0.11, 0.9], [-0.5, 0.25, -0.125, 0.0625], [1.0, 1.0, -1.0, 0.5]]
+    n = 60_000  # auto_planes -> 7
+    w = auto_planes(n)
+    sdf = spark.createDataFrame([(v,) for v in vecs], "emb array<double>")
+    spark_buckets = [
+        r[0] for r in sdf.select(lsh_bucket(F.col("emb"), w)).collect()
+    ]
+    con = duckdb.connect()
+    from project_orbit_spark.similarity.lsh import _duck_auto_bucket
+
+    duck_buckets = [
+        con.execute(
+            f"SELECT {_duck_auto_bucket('v', str(n))} "
+            f"FROM (SELECT {v}::DOUBLE[] AS v)"
+        ).fetchone()[0]
+        for v in vecs
+    ]
+    assert spark_buckets == duck_buckets
+    assert all(len(b) == w for b in duck_buckets)

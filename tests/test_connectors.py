@@ -390,3 +390,70 @@ def test_write_partitioned_file_count_control(spark, tmp_path):
     # 100 rows per partition / 30-row cap -> 4 files, single writer task
     assert all(len(v) == 4 for v in per_dir.values()), per_dir
     assert spark.read.parquet(capped).count() == 200
+
+
+def test_write_partitioned_salt_handles_maps_and_salt_cols(spark, tmp_path):
+    """ADVICE r9: the file-count salt must not explode on MapType
+    columns (xxhash64 rejects maps), and an explicit salt_cols list
+    must pin the layout to the named key columns so adding unrelated
+    columns can't shift which file a row lands in."""
+    from pathlib import Path
+
+    rows = [(f"c{i % 2}", f"id{i}", {"k": f"v{i}"}) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "company_id string, doc_id string, props map<string,string>"
+    ).repartition(8)
+
+    def files_per_dir(root):
+        return {
+            d.name: sorted(p.name for p in d.glob("*.parquet") if p.is_file())
+            for d in Path(root).glob("company_id=*")
+        }
+
+    # default salt: map column silently excluded, write succeeds, cap holds
+    mapped = str(tmp_path / "mapped")
+    write_partitioned(
+        df, mapped, partition_cols=["company_id"], files_per_partition=2
+    )
+    per_dir = files_per_dir(mapped)
+    assert per_dir and all(1 <= len(v) <= 2 for v in per_dir.values()), per_dir
+    assert spark.read.parquet(mapped).count() == 100
+
+    # explicit salt key: layout is a function of (partition, doc_id) only —
+    # the same rows with an EXTRA column land in the same per-file row sets
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    write_partitioned(
+        df.select("company_id", "doc_id"),
+        a_dir,
+        partition_cols=["company_id"],
+        files_per_partition=2,
+        salt_cols=["doc_id"],
+    )
+    write_partitioned(
+        df.withColumn("extra", F.length("doc_id")).select(
+            "company_id", "doc_id", "extra"
+        ),
+        b_dir,
+        partition_cols=["company_id"],
+        files_per_partition=2,
+        salt_cols=["doc_id"],
+    )
+    def layout(root, spark=spark):
+        out = {}
+        for d in Path(root).glob("company_id=*"):
+            for i, f in enumerate(sorted(p for p in d.glob("*.parquet"))):
+                ids = {
+                    r.doc_id for r in spark.read.parquet(str(f)).select("doc_id").collect()
+                }
+                out[(d.name, i)] = ids
+        return out
+
+    assert layout(a_dir) == layout(b_dir)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="salt_cols not in DataFrame"):
+        write_partitioned(
+            df, str(tmp_path / "bad"), partition_cols=["company_id"],
+            files_per_partition=2, salt_cols=["nope"],
+        )

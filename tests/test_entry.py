@@ -142,7 +142,11 @@ def test_first50_sample_finishes_the_staleness_rotation():
     """The driver hash-checks only the FIRST 50 queries() entries per
     round. The rotation contract (VERDICT r8 ask #2 and onward): no
     registered query's latest CORRECTNESS record may fall more than 3
-    rounds behind the newest record. This guard recomputes the window
+    rounds behind the newest record — so a record EXACTLY 3 rounds
+    behind must be in THIS round's first-50 (once the new record
+    lands, an unrotated such query would be 4 behind); hence the
+    ``<=`` below (ADVICE r9 wording fix — the condition was always
+    the operative bar). This guard recomputes the window
     from the repo's CORRECTNESS_r*.json files — if a future round's
     head + never-verified set grows past the spare slots, the
     overflow fails HERE, not in the official driver record."""
