@@ -1082,3 +1082,148 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q9_nation_profit",
+    # driver=False for ROUND 10 ONLY (registry.Query.driver case 2):
+    # the round-10 window is exactly full (42 r06 rotations + q4 + 6
+    # new + 1 changed-path = 50), so this round's extra relational
+    # shapes cede their slots and flip to True in round 11. Verified
+    # this round by tools/check at sf0.001/0.01/0.1, driver_sim, and
+    # pytest.
+    driver=False,
+    tags=("relational", "join", "agg", "broadcast"),
+    doc="TPC-H Q9 shape (product-type profit) on the trimmed schema: "
+    "profit per (supplier nation, order year) for parts named "
+    "'*widget*', with retail cost standing in for the missing "
+    "ps_supplycost (profit = discounted revenue − p_retailprice × "
+    "quantity). Part and supplier⋈nation dims broadcast; the only "
+    "shuffle is orders⋈lineitem on orderkey. Revenue and cost both "
+    "accumulate in the exact 10⁻⁴-dollar integer domain (cents × "
+    "discount-percent; cents × integer qty × 100), so the profit sum "
+    "is order-independent. The output stays the UNROUNDED exact "
+    "integer / 10⁴ (magnitudes < 2^53, so the double is exact and "
+    "bit-identical in both engines): cost terms are multiples of 100 "
+    "in the 10⁻⁴ domain, which parks sums on .xx5 half-cent "
+    "boundaries where Spark (shortest-decimal HALF_UP) and DuckDB "
+    "(binary-value) round(x, 2) legitimately disagree — measured on "
+    "this very query at sf0.001.",
+    oracle="""
+        SELECT nation, o_year,
+               CAST(sum(profit4) AS DOUBLE) / 10000.0 AS profit
+        FROM (
+          SELECT n.n_name AS nation,
+                 CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+                 - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                   * CAST(l.l_quantity AS BIGINT) * 100 AS profit4
+          FROM lineitem l
+          JOIN part p     ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n   ON n.n_nationkey = s.s_nationkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          WHERE p.p_name LIKE '%widget%'
+        )
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    profit4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+        - F.round(F.col("p_retailprice") * 100, 0).cast("long")
+        * F.col("l_quantity").cast("long")
+        * F.lit(100).cast("long")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg((F.sum(profit4).cast("double") / 10000.0).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q10_returned_item_customers",
+    # driver=False for ROUND 10 ONLY (case 2) — see q9_nation_profit.
+    driver=False,
+    tags=("relational", "join", "agg", "topk"),
+    doc="TPC-H Q10 shape (returned-item reporting): the top 20 "
+    "customers by revenue lost to returns (l_returnflag = 'R') for "
+    "orders placed in 1996Q4, with their nation. Customer⋈nation "
+    "broadcasts; the quarter filter prunes orders at the scan before "
+    "the orderkey shuffle; the global top-20 is a TakeOrdered (per-"
+    "partition heap + driver merge), never a full sort. Revenue in "
+    "exact cents×percent makes the rank — and therefore the LIMIT "
+    "boundary — deterministic, with c_custkey as the tie-break.",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                              * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE)
+                     / 10000.0, 2) AS revenue,
+               round(c.c_acctbal, 2) AS c_acctbal, n.n_name
+        FROM customer c
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        load(spark, sf_dir, "customer")
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    v4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cn), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(v4).cast("double") / 10000.0, 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

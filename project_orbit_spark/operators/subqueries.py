@@ -22,7 +22,7 @@ which covers the correlated scalar-average shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_orbit_spark.catalog import load
@@ -300,4 +300,86 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_dominant_part_suppliers",
+    # driver=False for ROUND 10 ONLY (case 2) — see q9_nation_profit
+    # (operators/relational.py): the r10 window is exactly full, so
+    # this round's extra shapes flip to True in round 11. Verified
+    # this round by tools/check at 3 SFs, driver_sim, and pytest.
+    driver=False,
+    tags=("relational", "subquery", "agg", "semi"),
+    doc="TPC-H Q20 shape without partsupp (availqty → shipped share): "
+    "suppliers who DOMINATED a 'cold*' part in 1996 — shipped more "
+    "than half of that part's total 1996 volume — reported with "
+    "their nation. An agg-over-agg correlated threshold: the inner "
+    "per-(part, supplier) sum compares against 0.5 × the per-part "
+    "total. Decorrelation choice, plan-tested: the per-part total is "
+    "a WINDOW sum over the pair aggregate — a groupBy + join-back "
+    "duplicates the whole pair subtree in the plan (two fact scans, "
+    "2× the IO at 100 TB, observed on this query), while the window "
+    "re-partitions the already-aggregated (part, supplier) rows "
+    "once, bounded by the dims. Quantities are integer-valued, so "
+    "the half-threshold compare is exact integer arithmetic "
+    "(2·pair > total avoids the 0.5 float entirely).",
+    oracle="""
+        WITH pair AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS pair_qty
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_name LIKE 'cold%'
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l.l_partkey, l.l_suppkey
+        ),
+        ptot AS (
+          SELECT l_partkey, CAST(sum(pair_qty) AS BIGINT) AS total_qty
+          FROM pair GROUP BY l_partkey
+        )
+        SELECT s.s_name, n.n_name, pr.l_partkey AS p_partkey,
+               pr.pair_qty, t.total_qty
+        FROM pair pr
+        JOIN ptot t ON t.l_partkey = pr.l_partkey
+        JOIN supplier s ON s.s_suppkey = pr.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE 2 * pr.pair_qty > t.total_qty
+        ORDER BY s.s_name, p_partkey
+    """,
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("cold%")).select(
+        "p_partkey"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    pair = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("pair_qty"))
+    )
+    # per-part totals as a window over the pair agg: one fact scan
+    # (groupBy + join-back would duplicate the pair subtree)
+    return (
+        pair.withColumn(
+            "total_qty",
+            F.sum("pair_qty").over(Window.partitionBy("l_partkey")),
+        )
+        .filter(F.lit(2) * F.col("pair_qty") > F.col("total_qty"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "pair_qty",
+            "total_qty",
+        )
+        .orderBy("s_name", "p_partkey")
     )

@@ -444,3 +444,39 @@ def test_q19_disjunction_reaches_both_scans(spark):
         "lineitem scan must receive the quantity envelope"
     )
     assert f.n_broadcast_joins >= 1 and f.n_sortmerge_joins == 0
+
+
+def test_q9_dims_broadcast_single_shuffle_join(spark):
+    f = facts("q9_nation_profit", spark)
+    assert f.n_broadcast_joins >= 2, "part and supplier⋈nation dims must broadcast"
+    assert "CartesianProduct" not in f.text
+    assert f.partial_agg
+
+
+def test_q10_top20_is_take_ordered(spark):
+    # the global top-20 must be a per-partition heap + driver merge,
+    # never a full sort of the customer aggregate
+    f = facts("q10_returned_item_customers", spark)
+    assert "TakeOrderedAndProject" in f.text
+    assert f.n_broadcast_joins >= 1
+    assert "CartesianProduct" not in f.text
+
+
+def test_q20_per_part_total_reuses_pair_agg_one_fact_scan(spark):
+    """The per-part total must be a WINDOW over the pair aggregate —
+    the groupBy + join-back form duplicates the pair subtree and
+    re-reads the fact table (two lineitem scans, 2× the IO at
+    100 TB; observed before the rewrite)."""
+    import re
+
+    f = facts("q20_dominant_part_suppliers", spark)
+    li_scans = [
+        b
+        for b in re.split(r"^(?=\(\d+\) )", f.text, flags=re.M)
+        if b.startswith("(") and "Scan parquet" in b.split("\n", 1)[0]
+        and "lineitem.parquet" in b
+    ]
+    assert len(li_scans) == 1, len(li_scans)
+    assert f.n_broadcast_joins >= 3
+    assert "Window" in f.text
+    assert "CartesianProduct" not in f.text
