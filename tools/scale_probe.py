@@ -83,6 +83,15 @@ QUERIES = (
     "q4_late_shipment_priority",   # cross-table EXISTS -> semi + residual
     "q15_top_supplier",            # scalar max, 1-row broadcast
     "q22_lapsed_customer_balance", # NOT EXISTS + threshold row
+    "q7_nation_pair_volume",       # nation-pair volume, dim-pruned facts
+    "q8_nation_market_share",      # CASE-ratio share, one agg pass
+    "q9_nation_profit",            # profit rollup, two broadcast dims
+    "q10_returned_item_customers", # returned-revenue top-20 TakeOrdered
+    "q14_promo_revenue_share",     # month-pruned promo ratio
+    "q16_supplier_part_counts",    # NOT-IN anti + count-distinct
+    "q19_disjunctive_revenue",     # OR-of-ANDs, envelope pushdown
+    "q20_dominant_part_suppliers", # agg-over-agg window threshold
+    "kmeans_incremental_assign",   # O(new) assign vs warm centroid model
     "payload_assembly_nested",
     "rolling_30d_revenue",
     "order_value_percentiles",
