@@ -663,3 +663,52 @@ def semantic_decontamination(
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "weighted_poisson_sample",
+    # driver=False for ROUND 10 ONLY (case 2) — see q9_nation_profit
+    # (operators/relational.py); flip to True in round 11.
+    driver=False,
+    tags=("corpus", "sampling", "weighted"),
+    doc="Deterministic WEIGHTED corpus sampling (Poisson sampling, "
+    "inclusion probability ∝ document weight — here n_chars, the "
+    "stand-in for token count): accept doc i iff "
+    "u32(md5(doc_id)) · max_w < 2³² · wᵢ. The acceptance test is "
+    "EXACT 64-bit integer arithmetic — no pow/ln/float ratio, so "
+    "Spark and DuckDB agree bit-for-bit (the A-Res u^(1/w) form was "
+    "rejected precisely because libm pow may differ in the last ulp "
+    "across engines). Map-only over the corpus with a 1-row "
+    "broadcast max-weight row (the 100 TB shape: zero shuffles of "
+    "the corpus; expected sample mass Σw/max_w is a pure function "
+    "of the data, stable under re-runs and backfills, never RNG).",
+    oracle="""
+        WITH mw AS (SELECT max(n_chars) AS max_w FROM documents)
+        SELECT d.doc_id, d.n_chars AS weight,
+               round(CAST(d.n_chars AS DOUBLE) / CAST(mw.max_w AS DOUBLE), 6)
+                 AS p_include
+        FROM documents d, mw
+        WHERE CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) AS BIGINT) * mw.max_w
+              < 4294967296 * d.n_chars
+        ORDER BY d.doc_id
+    """,
+)
+def weighted_poisson_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    mw = d.agg(F.max("n_chars").alias("max_w"))
+    return (
+        d.crossJoin(F.broadcast(mw))
+        .filter(u32 * F.col("max_w") < F.lit(4294967296).cast("long") * F.col("n_chars"))
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("max_w").cast("double"), 6
+            ).alias("p_include"),
+        )
+        .orderBy("doc_id")
+    )

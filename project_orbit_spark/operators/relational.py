@@ -1227,3 +1227,54 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q12_delay_bucket_priority",
+    # driver=False for ROUND 10 ONLY (case 2) — see q9_nation_profit.
+    driver=False,
+    tags=("relational", "join", "agg"),
+    doc="TPC-H Q12 shape on the trimmed schema (shipping-delay "
+    "buckets stand in for the missing l_shipmode): 1996 orders "
+    "bucketed by ship lag (<30d fast / ≤60d normal / late), with the "
+    "CASE-counts of critical (1-URGENT/2-HIGH) vs other priorities "
+    "per bucket — Q12's conditional-count shape. One orderkey "
+    "shuffle; the year filter prunes orders at the scan; counts are "
+    "pure integers, no float exposure.",
+    oracle="""
+        SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30
+                    THEN 'fast'
+                    WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 60
+                    THEN 'normal' ELSE 'late' END AS delay_bucket,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS critical_lines,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS other_lines
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY delay_bucket
+        ORDER BY delay_bucket
+    """,
+)
+def q12_delay_bucket_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lag < 30, "fast").when(lag <= 60, "normal").otherwise("late")
+    )
+    is_crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(is_crit, 1).otherwise(0)).alias("critical_lines"),
+            F.sum(F.when(is_crit, 0).otherwise(1)).alias("other_lines"),
+        )
+        .orderBy("delay_bucket")
+    )

@@ -480,3 +480,30 @@ def test_q20_per_part_total_reuses_pair_agg_one_fact_scan(spark):
     assert f.n_broadcast_joins >= 3
     assert "Window" in f.text
     assert "CartesianProduct" not in f.text
+
+
+def test_q12_conditional_counts_one_agg_pass(spark):
+    f = facts("q12_delay_bucket_priority", spark)
+    assert f.pushed_filters, "the 1996 year filter must reach the orders scan"
+    assert f.partial_agg
+    assert "CartesianProduct" not in f.text
+
+
+def test_weighted_sample_is_map_only_one_stats_row(spark):
+    # the acceptance test must be a map-only corpus scan against the
+    # broadcast 1-row max-weight build — zero shuffles of the corpus
+    import re
+
+    f = facts("weighted_poisson_sample", spark)
+    assert f.n_sortmerge_joins == 0
+    assert "CartesianProduct" not in f.text
+    # the only shuffle exchanges allowed: the 1-row stats single-
+    # partition exchange and the final orderBy range exchange —
+    # counted as detail blocks ("(N) Exchange"), since the raw text
+    # repeats node names and BroadcastExchange contains "Exchange"
+    ex_blocks = [
+        b
+        for b in re.split(r"^(?=\(\d+\) )", f.text, flags=re.M)
+        if b.startswith("(") and b.split("\n", 1)[0].strip().endswith(" Exchange")
+    ]
+    assert len(ex_blocks) <= 2, len(ex_blocks)

@@ -46,8 +46,10 @@ BNLJ_BOUNDED = {
     # single-row packed k-means centroid table (k=8 structs in one
     # broadcast row; operators/clustering.py::assign_clusters)
     "kmeans_embedding_clusters", "cluster_balanced_sample",
+    "kmeans_incremental_assign",
     # single global-stats or threshold rows joined back to the corpus
     "q15_top_supplier", "q22_lapsed_customer_balance",
+    "weighted_poisson_sample",
     "benchmark_contamination", "bigram_logprob_scores", "bloom_pruned_join",
     "corpus_mixture_sample", "events_value_histogram", "heavy_hitters_two_pass",
     "key_skew_profile", "tfidf_top_terms", "unigram_logprob_scores",
