@@ -1175,12 +1175,18 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the orderkey shuffle; the global top-20 is a TakeOrdered (per-"
     "partition heap + driver merge), never a full sort. Revenue in "
     "exact cents×percent makes the rank — and therefore the LIMIT "
-    "boundary — deterministic, with c_custkey as the tie-break.",
+    "boundary — deterministic, with c_custkey as the tie-break. The "
+    "revenue output is the UNROUNDED exact integer / 10⁴ (the q9 "
+    "contract): the rounding-boundary audit found 7 customers at "
+    "sf0.01 (45 at sf0.1) whose returned-revenue sums sit exactly on "
+    "a half cent, where Spark and DuckDB round() disagree — rounding "
+    "here was a latent hash flip waiting for one of them to enter "
+    "the top 20.",
     oracle="""
         SELECT c.c_custkey, c.c_name,
-               round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                              * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE)
-                     / 10000.0, 2) AS revenue,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE)
+                 / 10000.0 AS revenue,
                round(c.c_acctbal, 2) AS c_acctbal, n.n_name
         FROM customer c
         JOIN nation n   ON n.n_nationkey = c.c_nationkey
@@ -1216,7 +1222,7 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(cn), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(v4).cast("double") / 10000.0, 2).alias("revenue"))
+        .agg((F.sum(v4).cast("double") / 10000.0).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",

@@ -1,0 +1,272 @@
+"""Half-cent / half-ulp ROUNDING-BOUNDARY audit for the exact-integer
+money queries (the q9_nation_profit finding, generalized).
+
+The class: a query that outputs ``round(exact_integer / 10^k, d)``
+hash-diverges between engines iff the true decimal value terminates
+EXACTLY on the rounding boundary (…5 at the d+1-th place): Spark's
+round() goes through BigDecimal.valueOf(double) — the SHORTEST
+decimal representation — and rounds the literal …5 HALF_UP, while
+DuckDB rounds the BINARY double, which sits an ulp above or below the
+true …5 unpredictably. q9 measured this live (267218.725 → Spark .73,
+DuckDB .72) and was moved to an unrounded exact output; the other
+money queries keep round() because their sums never touch a boundary
+ON THE SHIPPED DATA — which is exactly what this module proves, per
+query, per scale factor, in DuckDB alone (no Spark session — the
+boundary is a property of the data, not of either engine).
+
+If a future testdata regeneration trips one of these, the failure
+names the query and the offending residue instead of surfacing as an
+unexplained CORRECTNESS hash mismatch three rounds later.
+
+Boundary conditions (all exact integer arithmetic, HUGEINT-safe):
+- round(S/10^4, 2)  is on-boundary iff S ≡ 50 (mod 100)
+- round(S/700, 2)   is on-boundary iff (S·100) ≡ 350 (mod 700)
+- round(N/D, 6)     is on-boundary iff (N·2·10^6) ≡ D (mod 2·D)
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF_DIRS = [f"/root/testdata/sf{sf}" for sf in ("0.001", "0.01", "0.1")]
+
+# shared exact-integer building blocks (match the registered oracles)
+V4 = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * CAST(round((1 - l_discount) * 100) AS BIGINT)"
+)
+
+
+def _con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation",
+              "region", "part", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _assert_no_boundary(rows: list, query: str, sf_dir: str) -> None:
+    assert not rows, (
+        f"{query} at {sf_dir}: {len(rows)} aggregate(s) land EXACTLY on a "
+        f"rounding boundary — Spark/DuckDB round() will disagree; switch "
+        f"that output to the unrounded exact form (see q9_nation_profit) "
+        f"or re-derive the contract: {rows[:5]}"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_q7_revenue_sums_off_half_cent(sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(f"""
+        SELECT supp_nation, cust_nation, l_year, s4 FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                 CAST(sum({V4}) AS HUGEINT) AS s4
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+          JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+          WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY 1, 2, 3
+        ) WHERE s4 % 100 = 50
+    """).fetchall()
+    _assert_no_boundary(rows, "q7_nation_pair_volume", sf_dir)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_q8_share_ratios_off_half_microunit(sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(f"""
+        SELECT o_year, num, den FROM (
+          SELECT o_year,
+                 CAST(sum(CASE WHEN supp_nation = 'NATION_6'
+                               THEN v4 ELSE 0 END) AS HUGEINT) AS num,
+                 CAST(sum(v4) AS HUGEINT) AS den
+          FROM (
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   n1.n_name AS supp_nation, {V4} AS v4
+            FROM lineitem l
+            JOIN part p     ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+            JOIN region r   ON r.r_regionkey = n2.n_regionkey
+            WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          ) GROUP BY o_year
+        ) WHERE (num * 2000000) % (2 * den) = den
+    """).fetchall()
+    _assert_no_boundary(rows, "q8_nation_market_share", sf_dir)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_q14_promo_pct_off_boundary(sf_dir):
+    con = _con(sf_dir)
+    # round(100 * num/den, 4): boundary iff (num·100·2·10^4) ≡ den (mod 2·den)
+    rows = con.execute(f"""
+        SELECT num, den FROM (
+          SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {V4} ELSE 0 END)
+                      AS HUGEINT) AS num,
+                 CAST(sum({V4}) AS HUGEINT) AS den
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+            AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        ) WHERE (num * 2000000) % (2 * den) = den
+    """).fetchall()
+    _assert_no_boundary(rows, "q14_promo_revenue_share", sf_dir)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_q15_and_q19_revenue_sums_off_half_cent(sf_dir):
+    con = _con(sf_dir)
+    # q15 outputs only the max-revenue supplier(s): boundary residues
+    # elsewhere in the intermediate (6 suppliers at sf0.1 sit exactly
+    # on a half cent!) never reach the output, so the audit scope is
+    # the OUTPUT row — the audit that matters for the hash contract
+    rows = con.execute(f"""
+        WITH rev AS (
+          SELECT l_suppkey, CAST(sum({V4}) AS HUGEINT) AS s4
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT l_suppkey, s4 FROM rev
+        WHERE s4 = (SELECT max(s4) FROM rev) AND s4 % 100 = 50
+    """).fetchall()
+    _assert_no_boundary(rows, "q15_top_supplier", sf_dir)
+    rows = con.execute(f"""
+        SELECT s4 FROM (
+          SELECT CAST(sum({V4}) AS HUGEINT) AS s4
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                 AND l.l_quantity BETWEEN 1 AND 11)
+             OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                 AND l.l_quantity BETWEEN 10 AND 20)
+             OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15
+                 AND l.l_quantity BETWEEN 20 AND 30)
+        ) WHERE s4 % 100 = 50
+    """).fetchall()
+    _assert_no_boundary(rows, "q19_disjunctive_revenue", sf_dir)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_q17_yearly_avg_off_boundary(sf_dir):
+    con = _con(sf_dir)
+    # round(S/700, 2): boundary iff (S·100) ≡ 350 (mod 700)
+    rows = con.execute("""
+        SELECT p_brand, s FROM (
+          SELECT p.p_brand,
+                 CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                      AS HUGEINT) AS s
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_brand IN ('Brand#3','Brand#8','Brand#14','Brand#19','Brand#25')
+            AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = p.p_partkey)
+          GROUP BY p.p_brand
+        ) WHERE (s * 100) % 700 = 350
+    """).fetchall()
+    _assert_no_boundary(rows, "q17_small_quantity_revenue", sf_dir)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_q10_boundary_hits_documented(sf_dir):
+    """q10 is the measured positive: 7 customers at sf0.01 / 45 at
+    sf0.1 have returned-revenue sums EXACTLY on a half cent. Its
+    output is therefore the UNROUNDED exact integer / 10^4 (see the
+    register() docstring) — this test pins that the hazard is real
+    (the boundary population is non-empty at the driver's SF), i.e.
+    re-introducing round() there would be a latent hash flip."""
+    con = _con(sf_dir)
+    rows = con.execute(f"""
+        SELECT c_custkey, s4 FROM (
+          SELECT o.o_custkey AS c_custkey, CAST(sum({V4}) AS HUGEINT) AS s4
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+            AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            AND l.l_returnflag = 'R'
+          GROUP BY 1
+        ) WHERE s4 % 100 = 50
+    """).fetchall()
+    if sf_dir.endswith("0.001"):
+        return  # population too small to assert either way
+    assert rows, "boundary population vanished — q10 could round again"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_q2_unit_costs_off_half_at_4dp(sf_dir):
+    con = _con(sf_dir)
+    # round(v, 4) boundary: v·10^4 fractional part exactly .5. The
+    # intermediate (part, supplier) min-costs include dozens of
+    # boundary values (price/8, price/4 …), but q2 outputs only the
+    # rows matching the per-part minimum UNDER the part filter —
+    # audit exactly those (the hash contract's scope)
+    rows = con.execute("""
+        WITH supply AS (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem GROUP BY 1, 2
+        ),
+        pmin AS (
+          SELECT l_partkey, min(unit_cost) AS min_cost
+          FROM supply GROUP BY 1
+        )
+        SELECT sp.l_partkey, sp.l_suppkey, sp.unit_cost
+        FROM supply sp
+        JOIN pmin m ON m.l_partkey = sp.l_partkey
+                   AND sp.unit_cost = m.min_cost
+        JOIN part p ON p.p_partkey = sp.l_partkey
+        WHERE p.p_size <= 5 AND p.p_type = 'STANDARD'
+          AND abs(sp.unit_cost * 10000
+                  - floor(sp.unit_cost * 10000) - 0.5) < 1e-9
+    """).fetchall()
+    # q2's output DOES contain 4dp-boundary unit costs (1 at sf0.001,
+    # 9 at sf0.1) and has always hash-passed — because the engines'
+    # two different mechanisms happen to AGREE on every shipped value
+    # (measured live: Spark rounds BigDecimal.valueOf(v), i.e. the
+    # SHORTEST decimal repr, HALF_UP; DuckDB rounds v·10^4 after one
+    # more IEEE multiply; 10/10 agreements including
+    # 530.0297499999999 where BOTH round down). That agreement is
+    # value-specific, so the contract pinned here is MEASURED
+    # per-value agreement, not boundary absence: emulate Spark with
+    # decimal-shortest-HALF_UP and compare against DuckDB's round.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for row in rows:
+        v = row[2]
+        spark_style = float(
+            Decimal(repr(v)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+        duck_style = con.execute(
+            "SELECT round(CAST(? AS DOUBLE), 4)", [v]
+        ).fetchone()[0]
+        assert spark_style == duck_style, (
+            f"q2_min_cost_supplier at {sf_dir}: boundary unit cost {v!r} "
+            f"rounds differently (spark-style {spark_style} vs duckdb "
+            f"{duck_style}) — switch q2's unit_cost to an unrounded or "
+            f"integer-domain output before the next driver record"
+        )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_weighted_sample_probs_off_boundary(sf_dir):
+    con = _con(sf_dir)
+    # round(w/max_w, 6): boundary iff (w·2·10^6) ≡ max_w (mod 2·max_w)
+    rows = con.execute("""
+        WITH mw AS (SELECT CAST(max(n_chars) AS HUGEINT) AS m FROM documents)
+        SELECT doc_id FROM documents, mw
+        WHERE (CAST(n_chars AS HUGEINT) * 2000000) % (2 * mw.m) = mw.m
+    """).fetchall()
+    _assert_no_boundary(rows, "weighted_poisson_sample", sf_dir)
