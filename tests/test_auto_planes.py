@@ -115,3 +115,49 @@ def test_duck_auto_bucket_is_prefix_of_spark_bucket(spark):
     ]
     assert spark_buckets == duck_buckets
     assert all(len(b) == w for b in duck_buckets)
+
+
+def test_adaptive_oracle_hash_matches_above_calibration(spark, tmp_path):
+    """END-TO-END close of the ADVICE-r9 divergence: run
+    incremental_embedding_dedup — Spark path AND registered DuckDB
+    oracle — on a synthetic corpus ABOVE the calibration point
+    (13 000 > 12 500 vectors, so BOTH sides must derive 5 planes),
+    and require the same order-insensitive result the driver would.
+    Before _duck_auto_bucket, the oracle hard-coded 4 planes and this
+    corpus would hash-fail by design. Vectors are md5-free pure
+    arithmetic of (i, d) — deterministic, no RNG (hygiene rule)."""
+    import duckdb
+    import pandas as pd
+
+    from project_orbit_spark import registry
+    from project_orbit_spark.similarity.lsh import auto_planes
+
+    n = 13_000
+    assert auto_planes(n) == 5  # the test is vacuous at base width
+    sdf = spark.range(n).selectExpr(
+        "id AS vec_id",
+        "CAST(id % 5 AS INT) AS label",
+        "transform(sequence(0, 7), d -> CAST(((id * 31 + d * 17) % 97)"
+        " / 97.0 - 0.5 AS FLOAT)) AS embedding",
+    )
+    sdf.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    q = registry.get_query("incremental_embedding_dedup")
+    got = q.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    want = con.execute(q.oracle).fetchdf()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            df[c] = df[c].map(repr)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    # the injected every-25th clones are exact copies: identical
+    # vectors share every sign bit, so the result is non-vacuous
+    assert len(got) >= n // 25
+    pd.testing.assert_frame_equal(canon(got), canon(want))
