@@ -1344,8 +1344,8 @@ def _semdedup_pairs(corpus: DataFrame, n_planes: int = 4) -> DataFrame:
     longer visible in the final query's plan. tests/test_plans.py
     asserts the (label, bucket) blocking here."""
     # (label, LSH-sub-bucket) blocking with the bucket materialized
-    # behind a repartition barrier: the 4-plane bucket expression is
-    # 4 x O(dim) md5 dots, and the barrier both stops Catalyst from
+    # behind a repartition barrier: the n-plane bucket expression is
+    # n x O(dim) md5 dots, and the barrier both stops Catalyst from
     # inlining it per join branch and lets ReuseExchange feed both
     # sides of the self-join from one shuffle
     from project_orbit_spark.similarity.cosine import cosine
