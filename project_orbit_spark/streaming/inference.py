@@ -1,0 +1,77 @@
+"""Streaming model inference — the broadcast-model micro-batch face.
+
+The 100 TB pattern this pins: a SMALL trained artifact (here the
+k-means centroid model fitted offline by ``_fit_centroids``) is held
+as a static, session-cached DataFrame and joined into an unbounded
+stream of feature rows; every micro-batch gets the identical map-only
+nearest-centroid assignment the batch face uses — same plan builder
+(``assign_clusters``), zero state, zero stream-side shuffle. This is
+the streaming twin of ``kmeans_incremental_assign`` exactly the way
+``stream_tumbling_counts`` twins ``tumbling_hourly_counts``: batch
+face oracle-checked by the driver, streaming face pinned by an
+AvailableNow parity test (tests/test_streaming.py).
+
+Stream-static join notes: the static side is an aggregate (the packed
+1-row centroid broadcast); Spark recomputes static-side plans per
+micro-batch, so the model is ``persist()``-ed by warm_kmeans_centroids
+and the per-batch cost is the broadcast pickup, not a refit. Model
+REFRESH is an index-rebuild decision (swap the cached model between
+restarts), the same contract as lsh.warm_embedding_index.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_orbit_spark.operators.clustering import (
+    assign_clusters,
+    warm_kmeans_centroids,
+)
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` face of the embeddings table (explicit schema,
+    as streaming file sources require). Handles both shipped layouts
+    the way catalog.read_events_stream does: a single
+    ``embeddings.parquet`` file (testdata) streams ``sf_dir`` with a
+    basename glob; a directory of part files (synthesized corpora)
+    streams the directory itself."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = "vec_id long, embedding array<float>, label int"
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(path):
+        return reader.load(path)
+    return reader.option("pathGlobFilter", "embeddings.parquet").load(sf_dir)
+
+
+def stream_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id) assignments of the embeddings STREAM
+    against the persisted warm centroid model — one map-only
+    stream-static broadcast join per micro-batch."""
+    stream = read_embeddings_stream(spark, sf_dir)
+    q = stream.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("q"),
+    )
+    cents = warm_kmeans_centroids(spark, sf_dir)
+    return assign_clusters(q, cents).select(
+        "vec_id", F.col("cid").alias("cluster_id")
+    )
+
+
+def batch_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch twin over the same rows (parity target for the
+    AvailableNow test): identical plan builder, identical model."""
+    from project_orbit_spark.catalog import load
+
+    q = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("q"),
+    )
+    cents = warm_kmeans_centroids(spark, sf_dir)
+    return assign_clusters(q, cents).select(
+        "vec_id", F.col("cid").alias("cluster_id")
+    )

@@ -434,3 +434,34 @@ def test_stream_processing_time_trigger_two_microbatches_matches_batch(spark, tm
     batch = sorted(tuple(r) for r in tumbling_counts(seed.unionByName(late)).collect())
     assert got == batch
     assert len(got) == 3, "10:00 window merges click counts across micro-batches"
+
+
+def test_stream_cluster_assign_matches_batch(spark):
+    """Broadcast-model streaming inference: the embeddings stream
+    assigned against the persisted warm k-means centroid model must
+    emit exactly the batch face's (vec_id, cluster_id) rows — same
+    plan builder (assign_clusters), zero stream-side state. Pins the
+    stream-static join of a stream with an AGGREGATED static side
+    (the packed 1-row centroid broadcast)."""
+    from project_orbit_spark.streaming.inference import (
+        batch_cluster_assign,
+        stream_cluster_assign,
+    )
+
+    stream_df = stream_cluster_assign(spark, SF_DIR)
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("cluster_assign_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql("select * from cluster_assign_smoke").collect()
+    }
+    batch = {tuple(r) for r in batch_cluster_assign(spark, SF_DIR).collect()}
+    assert got == batch
+    assert len(got) == 500  # every sf0.001 vector assigned exactly once
