@@ -310,7 +310,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this round's extra shapes flip to True in round 11. Verified
     # this round by tools/check at 3 SFs, driver_sim, and pytest.
     driver=False,
-    tags=("relational", "subquery", "agg", "semi"),
+    tags=("relational", "subquery", "agg", "window"),
     doc="TPC-H Q20 shape without partsupp (availqty → shipped share): "
     "suppliers who DOMINATED a 'cold*' part in 1996 — shipped more "
     "than half of that part's total 1996 volume — reported with "
