@@ -119,3 +119,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views for spark.sql usage."""
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def maybe_broadcast(df: DataFrame, bound: int, probe: DataFrame | None = None) -> DataFrame:
+    """Size-gated broadcast hint (VERDICT r10 ask #5): hint
+    ``broadcast(df)`` only when the build side provably fits a
+    documented row bound; otherwise return ``df`` unhinted and let
+    AQE pick the join strategy from the REAL runtime size.
+
+    A forced ``F.broadcast`` on a dim-derived build encodes the probe
+    corpus's "dims stay base-size" assumption; on a star where dims
+    scale with the fact table it turns into a driver/executor OOM
+    rather than a slow plan. The gate costs one early-terminating
+    probe job — ``limit(bound+1).count()`` stops growing the partition
+    scan as soon as bound+1 rows exist, so the price of the check is
+    O(bound) rows, not a full scan.
+
+    ``probe`` (optional) is a CHEAPER upper bound on df's row count —
+    e.g. gate a per-key aggregate by probing its key-domain dim, so
+    the gate never executes the aggregate itself twice. Caller
+    contract: ``probe`` must never have fewer rows than ``df``
+    (filtered-dim → per-key-agg satisfies this: one output row per
+    surviving key at most).
+    """
+    from pyspark.sql import functions as F
+
+    src = probe if probe is not None else df
+    if src.limit(bound + 1).count() <= bound:
+        return F.broadcast(df)
+    return df

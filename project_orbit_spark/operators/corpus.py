@@ -667,9 +667,9 @@ def semantic_decontamination(
 
 @register(
     "weighted_poisson_sample",
-    # driver=False for ROUND 10 ONLY (case 2) — see q9_nation_profit
-    # (operators/relational.py); flip to True in round 11.
-    driver=False,
+    # Was driver=False for round 10 only (case 2); flipped per the
+    # q9_nation_profit note (operators/relational.py).
+    driver=True,
     tags=("corpus", "sampling", "weighted"),
     doc="Deterministic WEIGHTED corpus sampling (Poisson sampling, "
     "inclusion probability ∝ document weight — here n_chars, the "
@@ -681,7 +681,14 @@ def semantic_decontamination(
     "across engines). Map-only over the corpus with a 1-row "
     "broadcast max-weight row (the 100 TB shape: zero shuffles of "
     "the corpus; expected sample mass Σw/max_w is a pure function "
-    "of the data, stable under re-runs and backfills, never RNG).",
+    "of the data, stable under re-runs and backfills, never RNG). "
+    "PRECONDITION (ADVICE r10): weights must satisfy w < 2³¹ — the "
+    "acceptance product u32·max_w is < 2³²·2³¹ = 2⁶³ and exact in "
+    "BIGINT on both sides; past that, Spark's long silently wraps "
+    "while DuckDB raises, an asymmetric divergence. n_chars-scale "
+    "weights (≤577 shipped; document lengths in general) sit far "
+    "inside the bound, pinned at 3 SFs by "
+    "tests/test_rounding_boundaries.py.",
     oracle="""
         WITH mw AS (SELECT max(n_chars) AS max_w FROM documents)
         SELECT d.doc_id, d.n_chars AS weight,

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from project_orbit_spark.catalog import load
+from project_orbit_spark.catalog import load, maybe_broadcast
 from project_orbit_spark.registry import register
 
 
@@ -757,14 +757,21 @@ def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "subquery", "join", "agg"),
     doc="TPC-H Q17 shape: average yearly revenue lost to small-"
     "quantity orders — a CORRELATED scalar subquery (per-part 20% "
-    "of avg quantity) written the way Catalyst decorrelates it: the "
-    "per-part average is a partial-agg shuffle on l_partkey, joined "
-    "back to lineitem as a broadcast (its row count is bounded by "
-    "the part dim, not the fact table), with the part dim itself a "
-    "second broadcast. Determinism: l_quantity holds integers, so "
-    "avg = exact-integer-sum / count is order-independent; revenue "
-    "is summed in exact cents (round(price*100) as long) so the "
-    "final 2dp figure has no float summation-order exposure at all.",
+    "of avg quantity) written the way Catalyst decorrelates it, with "
+    "the subquery input PRUNED FIRST (VERDICT r10 ask #3): lineitem "
+    "is semi-joined to the brand-filtered part set BEFORE the "
+    "per-part aggregate, so only the ~1/5 of fact rows whose partkey "
+    "can survive the final join are ever aggregated (the correlated "
+    "avg is per-partkey, so dropping other partkeys' rows is "
+    "result-identical). The aggregate then joins back under a "
+    "SIZE-GATED broadcast hint (probe: the filtered part dim, an "
+    "upper bound on the agg's row count) — on a star where the part "
+    "dim scales with the data, the gate declines and AQE picks the "
+    "strategy instead of force-broadcasting a dim-sized aggregate. "
+    "Determinism: l_quantity holds integers, so avg = exact-integer-"
+    "sum / count is order-independent; revenue is summed in exact "
+    "cents (round(price*100) as long) so the final 2dp figure has no "
+    "float summation-order exposure at all.",
     oracle="""
         SELECT p.p_brand,
                round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
@@ -786,17 +793,25 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(
         F.col("p_brand").isin("Brand#3", "Brand#8", "Brand#14", "Brand#19", "Brand#25")
     )
-    # the decorrelated subquery: one row per part, bounded by the part
-    # dim, hence broadcast-able back onto the fact scan
+    pkeys = p.select("p_partkey")
+    # the decorrelated subquery, pruned first: the correlated avg is
+    # per-partkey, so semi-joining lineitem to the brand-filtered part
+    # set before the groupBy drops the ~80% of the aggregation that
+    # the final inner join would discard anyway — result-identical
     part_avg = (
-        li.groupBy("l_partkey")
+        li.join(F.broadcast(pkeys), li.l_partkey == pkeys.p_partkey, "left_semi")
+        .groupBy("l_partkey")
         .agg((F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"))
         .select("l_partkey", (F.lit(0.2) * F.col("avg_qty")).alias("qty_cut"))
     )
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    # bound: 1M rows of (long, double) ≈ 16 MB — comfortably a
+    # broadcast; past it, AQE decides from the runtime size. The probe
+    # (filtered part dim) upper-bounds the agg's one-row-per-partkey
+    # output without executing the aggregate twice.
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(part_avg), "l_partkey")
+        .join(maybe_broadcast(part_avg, 1_000_000, probe=pkeys), "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .groupBy("p_brand")
         .agg(
@@ -862,9 +877,12 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
-    # customer filter prunes orders BEFORE the orderkey shuffle
+    # customer filter prunes orders BEFORE the orderkey shuffle.
+    # Size-gated hint (bound: 1M two-column rows ≈ 24 MB): the build
+    # derives from the CUSTOMER dim, which scales with the star on a
+    # real lake — past the bound AQE picks the strategy instead.
     o = load(spark, sf_dir, "orders").join(
-        F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")
+        maybe_broadcast(c, 1_000_000), F.col("c_custkey") == F.col("o_custkey")
     )
     v4 = (
         F.round(F.col("l_extendedprice") * 100, 0).cast("long")
@@ -960,7 +978,9 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(cr), F.col("c_custkey") == F.col("o_custkey"))
+        # size-gated: the AMERICA-filtered customer chain is ~1/5 of a
+        # dim that scales with the star (bound: 1M single-key rows)
+        .join(maybe_broadcast(cr, 1_000_000), F.col("c_custkey") == F.col("o_custkey"))
         .select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
     )
     li = load(spark, sf_dir, "lineitem")
@@ -1086,13 +1106,11 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_nation_profit",
-    # driver=False for ROUND 10 ONLY (registry.Query.driver case 2):
-    # the round-10 window is exactly full (42 r06 rotations + q4 + 6
-    # new + 1 changed-path = 50), so this round's extra relational
-    # shapes cede their slots and flip to True in round 11. Verified
-    # this round by tools/check at sf0.001/0.01/0.1, driver_sim, and
-    # pytest.
-    driver=False,
+    # Was driver=False for round 10 only (case 2, slot budget);
+    # flipped per that note — round 11's window has exactly the spare
+    # slots (44 r07 rotations + 5 flips + q17 changed-path = 50).
+    driver=True,
+    bench=True,
     tags=("relational", "join", "agg", "broadcast"),
     doc="TPC-H Q9 shape (product-type profit) on the trimmed schema: "
     "profit per (supplier nation, order year) for parts named "
@@ -1165,8 +1183,10 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_item_customers",
-    # driver=False for ROUND 10 ONLY (case 2) — see q9_nation_profit.
-    driver=False,
+    # Was driver=False for round 10 only (case 2); flipped per the
+    # q9_nation_profit note.
+    driver=True,
+    bench=True,
     tags=("relational", "join", "agg", "topk"),
     doc="TPC-H Q10 shape (returned-item reporting): the top 20 "
     "customers by revenue lost to returns (l_returnflag = 'R') for "
@@ -1237,8 +1257,10 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q12_delay_bucket_priority",
-    # driver=False for ROUND 10 ONLY (case 2) — see q9_nation_profit.
-    driver=False,
+    # Was driver=False for round 10 only (case 2); flipped per the
+    # q9_nation_profit note.
+    driver=True,
+    bench=True,
     tags=("relational", "join", "agg"),
     doc="TPC-H Q12 shape on the trimmed schema (shipping-delay "
     "buckets stand in for the missing l_shipmode): 1996 orders "

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from project_orbit_spark.catalog import load
+from project_orbit_spark.catalog import load, maybe_broadcast
 from project_orbit_spark.registry import register
 
 
@@ -294,8 +294,10 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    # size-gated anti-join build: the low-balance supplier set derives
+    # from a dim that scales with the star (bound: 1M single-key rows)
     return (
-        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        li.join(maybe_broadcast(excluded, 1_000_000), li.l_suppkey == excluded.s_suppkey, "left_anti")
         .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -305,11 +307,10 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q20_dominant_part_suppliers",
-    # driver=False for ROUND 10 ONLY (case 2) — see q9_nation_profit
-    # (operators/relational.py): the r10 window is exactly full, so
-    # this round's extra shapes flip to True in round 11. Verified
-    # this round by tools/check at 3 SFs, driver_sim, and pytest.
-    driver=False,
+    # Was driver=False for round 10 only (case 2); flipped per the
+    # q9_nation_profit note (operators/relational.py).
+    driver=True,
+    bench=True,
     tags=("relational", "subquery", "agg", "window"),
     doc="TPC-H Q20 shape without partsupp (availqty → shipped share): "
     "suppliers who DOMINATED a 'cold*' part in 1996 — shipped more "

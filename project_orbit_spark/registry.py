@@ -175,32 +175,28 @@ def get_query(name: str) -> Query:
 
 # Per-round priority head: queries that erred last round, every query
 # whose code path changed this round, and this round's additions —
-# these MUST land in the driver's first-50 sample. Rebuilt each round.
+# these MUST land in the driver's first-50 sample. SELF-EXPIRING
+# (VERDICT r10 ask #1): _driver_order ignores an entry whose latest
+# record already equals the newest round — it has served its purpose
+# the moment the driver writes that record, so the head never pins
+# stale slots at a round boundary and never needs a same-round
+# hand-trim when rotation demand + head size would exceed 50.
 _DRIVER_PRIORITY = (
-    # Round 10 head. Slot budget: 42 r06 records need rotation slots;
-    # 50 − 42 = 8 spare. Occupants: q4 (flipped back per its round-9
-    # deferral note) + 6 new round-10 queries — all seven are
-    # never-verified, so the LRV sort would pull them in anyway; the
-    # head makes the guarantee explicit — plus ONE fresh-record entry
-    # (semantic_decontamination). Exactly 50; the spare-slot budget is
-    # enforced by tests/test_entry.py against the records, not a
-    # constant.
-    "q4_late_shipment_priority",
-    # --- new in round 10: incremental k-means assignment (the O(new)
-    # --- face of the r9 clustering stage), the nation-pair volume /
-    # --- market-share shapes (TPC-H Q7/Q8), promo revenue share
-    # --- (Q14), distinct-supplier grouping (Q16), and the
-    # --- disjunctive-predicate shape (Q19) ---
-    "kmeans_incremental_assign",
-    "q7_nation_pair_volume",
-    "q8_nation_market_share",
-    "q14_promo_revenue_share",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    # --- code path changed in round 9 (self-scaling LSH block width)
-    # --- but last driver record r08 predates it: driver-verify the
-    # --- changed path (VERDICT r9 ask #6; zero new code) ---
-    "semantic_decontamination",
+    # Round 11 head. Slot budget: 44 r07 records rotate this round;
+    # 50 − 44 = 6 spare. Occupants: the five round-10 case-2
+    # deferrals flipped to driver=True (all never-verified, so the
+    # LRV sort would pull them in anyway; the head makes the
+    # guarantee explicit) + ONE changed-path entry:
+    # q17_small_quantity_revenue, whose per-part average subquery was
+    # rebuilt this round (semi-join before the aggregate, size-gated
+    # broadcast — VERDICT r10 ask #3) after its r09 record. Exactly
+    # 50; enforced by tests/test_entry.py against the records.
+    "q9_nation_profit",
+    "q10_returned_item_customers",
+    "q12_delay_bucket_priority",
+    "q20_dominant_part_suppliers",
+    "weighted_poisson_sample",
+    "q17_small_quantity_revenue",
 )
 
 
@@ -208,9 +204,22 @@ def _driver_order(names: list[str]) -> list[str]:
     """This round's erred/changed/new queries first, then everything
     else least-recently-verified-first (ties in registration order) —
     so the driver's first-50 sample re-verifies every change AND
-    rotates the stalest records back onto the official record."""
-    prio = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+    rotates the stalest records back onto the official record.
+
+    Head entries SELF-EXPIRE: once a priority query's latest record
+    equals the newest round on disk, it stops pinning a head slot and
+    falls back into the LRV order (where its fresh record sorts it
+    last anyway). This is what keeps the rotation guards green AT the
+    round boundary — the moment the driver writes CORRECTNESS_r{N},
+    the freshly verified head frees exactly the slots the next
+    round's rotation needs."""
     last = _last_verified()
+    newest = max(last.values(), default=0)
+    prio = {
+        n: i
+        for i, n in enumerate(_DRIVER_PRIORITY)
+        if last.get(n, 0) < newest or newest == 0
+    }
     reg_idx = {n: i for i, n in enumerate(names)}
     return sorted(
         names,

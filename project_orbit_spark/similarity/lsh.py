@@ -66,13 +66,18 @@ def auto_planes(
     n_rows: int, base: int = PLANES_BASE, calib: int = PLANES_CALIB_ROWS
 ) -> int:
     """Derive the LSH sub-bucket width from the corpus size: ``base``
-    planes up to ``calib`` rows, one more per doubling beyond. Pure
-    and deterministic — same corpus, same width."""
+    planes up to ``calib`` rows, one more per doubling beyond,
+    CLAMPED to PLANES_MAX. The clamp keeps Python and the SQL oracle
+    agreeing by construction (ADVICE r10): _duck_auto_bucket can only
+    emit PLANES_MAX sign bits, so an unclamped Python width past
+    ~calib·2^(MAX-base) rows (~3.2M) would silently use more planes
+    than the oracle's substring can ever produce. Pure and
+    deterministic — same corpus, same width."""
     import math
 
     if n_rows <= calib:
         return base
-    return base + math.ceil(math.log2(n_rows / calib))
+    return min(base + math.ceil(math.log2(n_rows / calib)), PLANES_MAX)
 
 
 def _plane_component(p: int, d: Column) -> Column:
@@ -127,8 +132,9 @@ def _duck_auto_bucket(vec: str, count_sql: str) -> str:
     instead of hard-coding the fixture width and silently hash-
     diverging past the calibration point."""
     width = (
-        f"(CASE WHEN ({count_sql}) <= {PLANES_CALIB_ROWS} THEN {PLANES_BASE} "
-        f"ELSE {PLANES_BASE} + CAST(ceil(log2(({count_sql}) / {PLANES_CALIB_ROWS}.0)) AS INT) END)"
+        f"LEAST(CASE WHEN ({count_sql}) <= {PLANES_CALIB_ROWS} THEN {PLANES_BASE} "
+        f"ELSE {PLANES_BASE} + CAST(ceil(log2(({count_sql}) / {PLANES_CALIB_ROWS}.0)) AS INT) END, "
+        f"{PLANES_MAX})"
     )
     return f"substring({_duck_bucket(vec, PLANES_MAX, 0)}, 1, {width})"
 

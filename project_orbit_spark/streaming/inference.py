@@ -24,10 +24,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from project_orbit_spark.operators.clustering import (
-    assign_clusters,
+    assign_batch,
     warm_kmeans_centroids,
 )
 
@@ -50,28 +49,25 @@ def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster_id) assignments of the embeddings STREAM
     against the persisted warm centroid model — one map-only
-    stream-static broadcast join per micro-batch."""
-    stream = read_embeddings_stream(spark, sf_dir)
-    q = stream.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("q"),
-    )
+    stream-static broadcast join per micro-batch.
+
+    Both faces route through clustering.assign_batch — the SAME
+    quantize-then-assign helper the driver-green incremental query
+    uses — so the stream operates in the model's QSCALE-quantized
+    domain (centroids are means of round(x*1000) longs; feeding raw
+    ~[-0.5,0.5] doubles would collapse every row onto the smallest-
+    norm centroid — ADVICE r10 #1)."""
+    stream = read_embeddings_stream(spark, sf_dir).select("vec_id", "embedding")
     cents = warm_kmeans_centroids(spark, sf_dir)
-    return assign_clusters(q, cents).select(
-        "vec_id", F.col("cid").alias("cluster_id")
-    )
+    return assign_batch(stream, cents)
 
 
 def batch_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch twin over the same rows (parity target for the
-    AvailableNow test): identical plan builder, identical model."""
+    AvailableNow test): identical plan builder (assign_batch),
+    identical model, identical quantization."""
     from project_orbit_spark.catalog import load
 
-    q = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("q"),
-    )
+    batch = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = warm_kmeans_centroids(spark, sf_dir)
-    return assign_clusters(q, cents).select(
-        "vec_id", F.col("cid").alias("cluster_id")
-    )
+    return assign_batch(batch, cents)

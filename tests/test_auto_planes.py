@@ -75,6 +75,11 @@ def test_duck_width_formula_matches_python_everywhere():
         2 * PLANES_CALIB_ROWS, 2 * PLANES_CALIB_ROWS + 1,
         4 * PLANES_CALIB_ROWS, 200_000, 1_000_000,
         PLANES_CALIB_ROWS * 2 ** (PLANES_MAX - PLANES_BASE),  # headroom edge
+        # PAST the edge: both sides must CLAMP to PLANES_MAX (ADVICE
+        # r10 — unclamped Python vs substring-capped SQL diverged here)
+        PLANES_CALIB_ROWS * 2 ** (PLANES_MAX - PLANES_BASE) + 1,
+        PLANES_CALIB_ROWS * 2 ** (PLANES_MAX - PLANES_BASE + 3),
+        10_000_000_000,
     ]
     for n in sizes:
         bucket_sql = _duck_auto_bucket("v", str(n))

@@ -126,8 +126,12 @@ def test_priority_head_fits_the_spare_slot_budget():
     # round's record lands (i.e. must be re-verified THIS round)
     rotating = [n for n in names if 0 < last.get(n, 0) <= newest - 3]
     never = [n for n in names if last.get(n, 0) == 0]
+    # self-expiring head (VERDICT r10 ask #1): an entry whose record
+    # equals the newest round no longer pins a slot
     head_fresh = [
-        n for n in registry._DRIVER_PRIORITY if last.get(n, 0) > newest - 3
+        n
+        for n in registry._DRIVER_PRIORITY
+        if newest - 3 < last.get(n, 0) < newest
     ]
     occupied = len(set(rotating) | set(never) | set(head_fresh))
     assert occupied <= 50, (
@@ -168,3 +172,49 @@ def test_first50_sample_finishes_the_staleness_rotation():
         f"sample: {overdue} — trim _DRIVER_PRIORITY or defer a new query "
         f"(registry.Query.driver case 2)"
     )
+
+
+def test_guards_stay_green_at_the_round_boundary(monkeypatch):
+    """Boundary simulation (VERDICT r10 ask #1 'done' criterion): the
+    moment the driver writes THIS round's CORRECTNESS record — every
+    query in the current first-50 sample stamped with a new newest
+    round — both rotation guards must STILL hold, because the
+    freshly-recorded head entries self-expire and free their slots
+    for the next round's rotation. Rounds 9 and 10 both went red at
+    exactly this boundary under the hand-rebuilt head; this test
+    makes the regression impossible to reintroduce silently."""
+    from project_orbit_spark import registry
+
+    real = registry._last_verified()
+    if not real:
+        return  # fresh clone — no boundary to simulate
+    newest = max(real.values())
+    first50 = list(registry.query_map())[:50]
+    # simulate the driver's write: everything sampled this round gets
+    # a green record in round newest+1
+    simulated = dict(real)
+    for n in first50:
+        simulated[n] = newest + 1
+    monkeypatch.setattr(registry, "_last_verified", lambda: simulated)
+
+    sim_newest = newest + 1
+    qmap = registry.all_queries()
+    names = [n for n in qmap if qmap[n].driver]
+    rotating = [n for n in names if 0 < simulated.get(n, 0) <= sim_newest - 3]
+    never = [n for n in names if simulated.get(n, 0) == 0]
+    head_fresh = [
+        n
+        for n in registry._DRIVER_PRIORITY
+        if sim_newest - 3 < simulated.get(n, 0) < sim_newest
+    ]
+    occupied = len(set(rotating) | set(never) | set(head_fresh))
+    assert occupied <= 50, (
+        f"next-round budget overflow at the boundary: {len(rotating)} rotating "
+        f"+ {len(never)} never-verified + {len(head_fresh)} fresh head = {occupied}"
+    )
+    qs = list(registry.query_map())
+    nxt50 = set(qs[:50])
+    overdue = [
+        n for n in qs if simulated.get(n, 0) <= sim_newest - 3 and n not in nxt50
+    ]
+    assert not overdue, f"overdue outside next round's first-50: {overdue}"

@@ -353,12 +353,72 @@ def test_semdedup_pairs_block_on_label_and_bucket(spark):
 
 def test_q17_correlated_avg_broadcasts_bounded_sides(spark):
     # the decorrelated per-part average and the filtered part dim are
-    # both bounded by the part dim — they must broadcast, leaving the
-    # fact scan as the only large input (no sort-merge join at all)
+    # both bounded by the part dim — they must broadcast at fixture
+    # scale (the size gate approves), leaving the fact scan as the
+    # only large input (no sort-merge join at all)
     f = facts("q17_small_quantity_revenue", spark)
     assert f.n_broadcast_joins >= 2
     assert f.n_sortmerge_joins == 0
     assert f.pushed_filters, "shipdate/brand filters must reach the scans"
+
+
+def test_q17_brand_filter_below_the_per_part_aggregate(spark):
+    """VERDICT r10 ask #3 'done' criterion: the per-part average must
+    aggregate ONLY brand-survivable partkeys — a LeftSemi prune of
+    lineitem against the filtered part set BELOW the groupBy. The
+    pre-fix plan aggregated the whole fact table (no semi join
+    anywhere) and force-broadcast a part-dim-sized aggregate."""
+    from project_orbit_spark import registry
+    from tests.conftest import SF_DIR
+
+    df = registry.get_query("q17_small_quantity_revenue").fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    agg = next(i for i, ln in enumerate(lines) if "qty_cut" in ln and "Aggregate" in ln)
+    semi = next(
+        (i for i, ln in enumerate(lines) if "Join LeftSemi" in ln), None
+    )
+    assert semi is not None, (
+        "per-part avg must be semi-join-pruned to the filtered brands"
+    )
+    # the indented logical tree: a deeper, later line is a descendant
+    depth = lambda ln: ln.find("+-")  # noqa: E731
+    assert semi > agg and depth(lines[semi]) > depth(lines[agg]), (
+        "semi prune must sit below the per-part aggregate"
+    )
+    # and the brand filter must sit below the semi join's build side
+    assert any(
+        "p_brand" in ln and "Filter" in ln and depth(ln) > depth(lines[semi])
+        for ln in lines[semi:]
+    )
+
+
+def test_maybe_broadcast_hints_only_under_the_bound(spark):
+    """The size gate (VERDICT r10 ask #5), both sides of the bound:
+    under → the plan carries the broadcast hint; over → no hint (AQE
+    decides from runtime size). The over-bound case disables the
+    auto-broadcast threshold so a missing hint is observable as a
+    non-broadcast join at ANY data size."""
+    from pyspark.sql import functions as F
+
+    from project_orbit_spark.catalog import maybe_broadcast
+
+    big = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    small = spark.range(0, 50).select(F.col("id").alias("k2"))
+
+    under = maybe_broadcast(small, 100)
+    plan = big.join(under, big.k == under.k2)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan, "under the bound the hint must be attached"
+
+    over = maybe_broadcast(small, 10)
+    plan = big.join(over, big.k == over.k2)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan, "over the bound no hint — AQE decides"
+
+    # probe path: the gate must consult the PROBE's cardinality, not
+    # the gated df's (here the probe is over-bound, df is tiny)
+    gated = maybe_broadcast(small, 10, probe=big)
+    plan = big.join(gated, big.k == gated.k2)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan
 
 
 def test_q4_exists_is_semi_join_with_residual(spark):

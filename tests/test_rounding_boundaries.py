@@ -261,6 +261,58 @@ def test_q2_unit_costs_off_half_at_4dp(sf_dir):
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_q12_is_pure_integer_no_rounding_surface(sf_dir):
+    """q12's no-op proof (VERDICT r10 ask #6): the query's entire
+    output is integer counts over an integer date-diff bucketing —
+    there is no round() anywhere, so the half-cent class cannot apply
+    AS LONG AS the oracle's output types stay integral. Pin exactly
+    that: every non-text output column types as BIGINT (a future edit
+    that introduces a DOUBLE column re-opens the class and fails
+    here, not in a driver record)."""
+    con = _con(sf_dir)
+    cols = con.execute("""
+        DESCRIBE SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30
+                    THEN 'fast'
+                    WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 60
+                    THEN 'normal' ELSE 'late' END AS delay_bucket,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS critical_lines,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS other_lines
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY delay_bucket
+    """).fetchall()
+    types = {name: dtype for name, dtype, *_ in cols}
+    assert types == {
+        "delay_bucket": "VARCHAR",
+        "critical_lines": "BIGINT",
+        "other_lines": "BIGINT",
+    }, f"q12 output drifted off the pure-integer contract: {types}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_q20_quantities_integral_for_exact_threshold(sf_dir):
+    """q20's integer-threshold proof (VERDICT r10 ask #6): the
+    dominance test is 2·pair_qty > total_qty in BIGINT — exact in
+    both engines IFF casting l_quantity to BIGINT is lossless. Pin
+    the data precondition: every l_quantity is integer-valued (the
+    TPC-H generator contract), so the cast truncation is a no-op and
+    the strict > can never be decided by a float ulp."""
+    con = _con(sf_dir)
+    (n_frac,) = con.execute(
+        "SELECT count(*) FROM lineitem WHERE l_quantity <> floor(l_quantity)"
+    ).fetchone()
+    assert n_frac == 0, (
+        f"{n_frac} fractional l_quantity values at {sf_dir} — q20's "
+        f"BIGINT cast truncates and the dominance threshold (and q17's "
+        f"exact integer avg) silently diverge between engines"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_weighted_sample_probs_off_boundary(sf_dir):
     con = _con(sf_dir)
     # round(w/max_w, 6): boundary iff (w·2·10^6) ≡ max_w (mod 2·max_w)
@@ -270,3 +322,18 @@ def test_weighted_sample_probs_off_boundary(sf_dir):
         WHERE (CAST(n_chars AS HUGEINT) * 2000000) % (2 * mw.m) = mw.m
     """).fetchall()
     _assert_no_boundary(rows, "weighted_poisson_sample", sf_dir)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_weighted_sample_weights_inside_exact_bigint_bound(sf_dir):
+    """weighted_poisson_sample's documented precondition (ADVICE r10):
+    w < 2³¹, so u32·max_w < 2⁶³ stays exact BIGINT on BOTH engines —
+    past it Spark's long silently wraps while DuckDB raises. Pin the
+    shipped data far inside the bound."""
+    con = _con(sf_dir)
+    (mx,) = con.execute("SELECT max(n_chars) FROM documents").fetchone()
+    assert 0 < mx < 2**31, (
+        f"max n_chars {mx} breaches the w < 2^31 exactness bound — "
+        f"switch the acceptance test to a per-row precomputed "
+        f"ceil(2^32·w/max_w) threshold before the next driver record"
+    )

@@ -442,7 +442,17 @@ def test_stream_cluster_assign_matches_batch(spark):
     emit exactly the batch face's (vec_id, cluster_id) rows — same
     plan builder (assign_clusters), zero stream-side state. Pins the
     stream-static join of a stream with an AGGREGATED static side
-    (the packed 1-row centroid broadcast)."""
+    (the packed 1-row centroid broadcast).
+
+    The parity target is kmeans_assignments — the ORACLE-CHECKED
+    full-fit assignment built from quantized_vectors + assign_clusters
+    — not merely the batch twin, so a transform bug shared by both
+    faces (the ADVICE r10 raw-double regression: unquantized
+    embeddings against QSCALE-domain centroids collapse onto the
+    smallest-norm centroid) cannot pass. The warm model IS the final
+    fit centroids, so the stream over the full table must reproduce
+    the full-fit assignment bit-for-bit."""
+    from project_orbit_spark.operators.clustering import kmeans_assignments
     from project_orbit_spark.streaming.inference import (
         batch_cluster_assign,
         stream_cluster_assign,
@@ -465,3 +475,9 @@ def test_stream_cluster_assign_matches_batch(spark):
     batch = {tuple(r) for r in batch_cluster_assign(spark, SF_DIR).collect()}
     assert got == batch
     assert len(got) == 500  # every sf0.001 vector assigned exactly once
+    # independent target: the oracle-checked full-fit assignment
+    fullfit = {tuple(r) for r in kmeans_assignments(spark, SF_DIR).collect()}
+    assert got == fullfit, "stream diverges from the fitted model's own assignment"
+    # a quantization bug collapses everything onto one centroid —
+    # require the real cluster spread
+    assert len({cid for _vid, cid in got}) > 1
