@@ -662,7 +662,16 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "having", "join"),
     doc="TPC-H Q18 shape: HAVING over a grouped sum (large-quantity "
     "orders), then join back to customer — aggregate-filter-join "
-    "pipeline with a broadcast-able filtered build side.",
+    "pipeline. The HAVING is WINDOW-FREE: the per-order sum "
+    "aggregates once on the orderkey (the single fact shuffle, "
+    "map-side partials) and the threshold filters the AGGREGATE "
+    "directly — no IN-subquery second lineitem scan. r11: the "
+    "qualifying-order build is SIZE-GATED (catalog.maybe_broadcast, "
+    "probe = the orders key column, an upper bound on the one-row-"
+    "per-orderkey aggregate) — it survives ~3% of an orders-scale "
+    "key set, unbounded on a star where orders scale with the fact "
+    "table, so past the bound AQE decides from the runtime size. "
+    "The top-50 is a TakeOrdered per-partition heap.",
     oracle="""
         WITH big AS (
           SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
@@ -690,8 +699,11 @@ def q18_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_tq") > 150)
         .select("l_orderkey", F.round("_tq", 2).alias("total_qty"))
     )
+    # bound: 1M rows; the probe (orders' key column) upper-bounds the
+    # per-orderkey aggregate without executing the aggregate twice
     return (
-        big.join(o, o.o_orderkey == big.l_orderkey)
+        o.join(maybe_broadcast(big, 1_000_000, probe=o.select("o_orderkey")),
+               o.o_orderkey == big.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
         .select(
             "c_custkey",

