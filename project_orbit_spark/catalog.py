@@ -121,6 +121,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
+# (session token, probe-plan semantic hash, bound) -> fits verdict.
+# Holds plain bools, no Spark resources — safe across clear_df_caches.
+_PROBE_CACHE: dict[tuple[str, int, int], bool] = {}
+
+
 def maybe_broadcast(df: DataFrame, bound: int, probe: DataFrame | None = None) -> DataFrame:
     """Size-gated broadcast hint (VERDICT r10 ask #5): hint
     ``broadcast(df)`` only when the build side provably fits a
@@ -141,10 +146,30 @@ def maybe_broadcast(df: DataFrame, bound: int, probe: DataFrame | None = None) -
     contract: ``probe`` must never have fewer rows than ``df``
     (filtered-dim → per-key-agg satisfies this: one output row per
     surviving key at most).
+
+    The verdict is MEMOIZED per (session, probe-plan semantic hash,
+    bound): repeated plan builds over the same static tables (bench
+    reps, a pipeline invoked per batch) pay the probe job once per
+    session, not once per call. Sound because the catalog's inputs
+    are immutable within a session; a new session (new cache token)
+    re-probes.
     """
     from pyspark.sql import functions as F
 
+    from project_orbit_spark.session import cache_token
+
     src = probe if probe is not None else df
-    if src.limit(bound + 1).count() <= bound:
-        return F.broadcast(df)
-    return df
+    try:
+        key = (
+            cache_token(src.sparkSession),
+            src._jdf.queryExecution().analyzed().semanticHash(),
+            bound,
+        )
+    except Exception:  # unexpected py4j surface change — probe uncached
+        key = None
+    if key is None or key not in _PROBE_CACHE:
+        fits = src.limit(bound + 1).count() <= bound
+        if key is None:
+            return F.broadcast(df) if fits else df
+        _PROBE_CACHE[key] = fits
+    return F.broadcast(df) if _PROBE_CACHE[key] else df
