@@ -122,8 +122,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 # (session token, probe-plan semantic hash, bound) -> fits verdict.
-# Holds plain bools, no Spark resources — safe across clear_df_caches.
-_PROBE_CACHE: dict[tuple[str, int, int], bool] = {}
+# Holds plain bools, no Spark resources, but registered with the
+# session cache registry so clear_df_caches() evicts dead sessions'
+# entries instead of growing without bound in a long-lived driver.
+from project_orbit_spark.session import register_df_cache  # noqa: E402
+
+_PROBE_CACHE: dict[tuple[str, int, int], bool] = register_df_cache({})
 
 
 def maybe_broadcast(df: DataFrame, bound: int, probe: DataFrame | None = None) -> DataFrame:
@@ -136,9 +140,22 @@ def maybe_broadcast(df: DataFrame, bound: int, probe: DataFrame | None = None) -
     corpus's "dims stay base-size" assumption; on a star where dims
     scale with the fact table it turns into a driver/executor OOM
     rather than a slow plan. The gate costs one early-terminating
-    probe job — ``limit(bound+1).count()`` stops growing the partition
-    scan as soon as bound+1 rows exist, so the price of the check is
-    O(bound) rows, not a full scan.
+    probe job — ``limit(bound+1).count()`` plans a LocalLimit per
+    input partition, so the worst case reads up to bound+1 rows PER
+    PARTITION (not O(bound) total); still far from a full aggregate
+    scan, and SCALE.md's round-11 table carries the measured cost
+    (~1.5 s for the widest probe on the 100× corpus).
+
+    POLICY (which broadcasts get gated): raw members and cheap
+    filters of ``BROADCAST_DIMS`` (region/nation/supplier/part —
+    bounded by business reality, the reference's seed-dimension
+    model) keep their unconditional ``F.broadcast``; builds derived
+    from tables that SCALE with the star (customer/orders/lineitem
+    projections and per-key aggregates) go through this gate. q16's
+    low-balance supplier set is gated despite supplier being a
+    BROADCAST_DIMS member because VERDICT r10 flagged it
+    specifically — gating a bounded build is harmless, forcing an
+    unbounded one is not.
 
     ``probe`` (optional) is a CHEAPER upper bound on df's row count —
     e.g. gate a per-key aggregate by probing its key-domain dim, so

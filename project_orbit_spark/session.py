@@ -69,7 +69,10 @@ def clear_df_caches() -> None:
     for cache in _DF_CACHES:
         for df in cache.values():
             try:
-                df.unpersist()
+                # registered caches may hold plain verdicts (the
+                # broadcast-gate probe cache) — only DataFrames pin blocks
+                if hasattr(df, "unpersist"):
+                    df.unpersist()
             except Exception:  # session already stopped — blocks are gone
                 pass
         cache.clear()

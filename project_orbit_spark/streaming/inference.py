@@ -83,6 +83,9 @@ def batch_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 12. Verified this round by tools/check at 3 SFs, driver_sim,
     # and the strengthened AvailableNow parity test.
     driver=False,
+    bench=True,  # bench-visible now (like its twin), so the prepare
+    # hook below actually runs and the per-round record tracks the
+    # steady-state assignment cost, not the one-off model fit
     tags=("streaming", "cluster", "incremental", "embedding"),
     doc="Driver face of the broadcast-model streaming inference twin "
     "(stream_cluster_assign): the SAME plan builder — warm persisted "

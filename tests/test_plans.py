@@ -381,8 +381,10 @@ def test_q17_brand_filter_below_the_per_part_aggregate(spark):
     assert semi is not None, (
         "per-part avg must be semi-join-pruned to the filtered brands"
     )
-    # the indented logical tree: a deeper, later line is a descendant
-    depth = lambda ln: ln.find("+-")  # noqa: E731
+    # the indented logical tree: a deeper, later line is a descendant.
+    # Depth = leading tree-drawing prefix width; handles both '+-'
+    # (last child) and ':-' (non-last child) branch renderings.
+    depth = lambda ln: len(ln) - len(ln.lstrip(" :+-"))  # noqa: E731
     assert semi > agg and depth(lines[semi]) > depth(lines[agg]), (
         "semi prune must sit below the per-part aggregate"
     )
@@ -395,10 +397,11 @@ def test_q17_brand_filter_below_the_per_part_aggregate(spark):
 
 def test_maybe_broadcast_hints_only_under_the_bound(spark):
     """The size gate (VERDICT r10 ask #5), both sides of the bound:
-    under → the plan carries the broadcast hint; over → no hint (AQE
-    decides from runtime size). The over-bound case disables the
-    auto-broadcast threshold so a missing hint is observable as a
-    non-broadcast join at ANY data size."""
+    under → the analyzed plan carries the broadcast hint
+    (ResolvedHint); over → no hint, leaving the strategy to AQE.
+    The pinned contract is hint presence/absence in the LOGICAL
+    plan — the physical join choice at fixture scale is Spark's
+    business either way."""
     from pyspark.sql import functions as F
 
     from project_orbit_spark.catalog import maybe_broadcast

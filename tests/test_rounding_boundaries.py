@@ -268,23 +268,14 @@ def test_q12_is_pure_integer_no_rounding_surface(sf_dir):
     AS LONG AS the oracle's output types stay integral. Pin exactly
     that: every non-text output column types as BIGINT (a future edit
     that introduces a DOUBLE column re-opens the class and fails
-    here, not in a driver record)."""
+    here, not in a driver record). The DESCRIBE runs the REGISTERED
+    oracle, not a copy — a drift guard that checks a frozen duplicate
+    can never catch the drift."""
+    from project_orbit_spark import registry
+
     con = _con(sf_dir)
-    cols = con.execute("""
-        DESCRIBE SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30
-                    THEN 'fast'
-                    WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 60
-                    THEN 'normal' ELSE 'late' END AS delay_bucket,
-               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                             THEN 1 ELSE 0 END) AS BIGINT) AS critical_lines,
-               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                             THEN 0 ELSE 1 END) AS BIGINT) AS other_lines
-        FROM lineitem l
-        JOIN orders o ON o.o_orderkey = l.l_orderkey
-        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-        GROUP BY delay_bucket
-    """).fetchall()
+    oracle = registry.get_query("q12_delay_bucket_priority").oracle
+    cols = con.execute(f"DESCRIBE {oracle}").fetchall()
     types = {name: dtype for name, dtype, *_ in cols}
     assert types == {
         "delay_bucket": "VARCHAR",
