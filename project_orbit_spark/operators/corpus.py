@@ -665,6 +665,19 @@ def semantic_decontamination(
     )
 
 
+def weighted_accept(id_col: Column, w_col: Column, max_w_col: Column) -> Column:
+    """The exact-integer Poisson acceptance predicate: keep the row
+    iff u32(md5(id)) · max_w < 2³² · w, i.e. accept with probability
+    w / max_w using the id's hash as the uniform draw. All BIGINT —
+    exact on both engines for w < 2³¹ (see weighted_poisson_sample's
+    documented precondition); property-tested against Python's exact
+    rational arithmetic in tests/test_properties.py."""
+    u32 = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return u32 * max_w_col < F.lit(4294967296).cast("long") * w_col
+
+
 @register(
     "weighted_poisson_sample",
     # Was driver=False for round 10 only (case 2); flipped per the
@@ -703,13 +716,10 @@ def semantic_decontamination(
 )
 def weighted_poisson_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    u32 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
     mw = d.agg(F.max("n_chars").alias("max_w"))
     return (
         d.crossJoin(F.broadcast(mw))
-        .filter(u32 * F.col("max_w") < F.lit(4294967296).cast("long") * F.col("n_chars"))
+        .filter(weighted_accept(F.col("doc_id"), F.col("n_chars"), F.col("max_w")))
         .select(
             "doc_id",
             F.col("n_chars").alias("weight"),

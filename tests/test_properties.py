@@ -424,3 +424,45 @@ def test_semantic_decontamination_catches_every_injected_clone(spark):
     assert clones, "fixture must inject eval clones"
     assert all(r.status == "removed" for r in clones)
     assert all(r.eval_id == r.vec_id - 10000 for r in clones)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),  # doc id
+            st.integers(min_value=1, max_value=2**31 - 1),  # weight (documented bound)
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_weighted_accept_matches_exact_rational(spark, rows):
+    """weighted_accept's BIGINT predicate must equal the exact
+    rational decision u32/2^32 < w/max_w computed in unbounded Python
+    integers — for ARBITRARY ids and any weight inside the documented
+    w < 2^31 bound (the ADVICE r10 overflow envelope), not just the
+    shipped n_chars distribution. Also pins the md5-u32 derivation
+    cross-implementation (Spark conv(substring(md5)) vs hashlib)."""
+    import hashlib
+
+    from project_orbit_spark.operators.corpus import weighted_accept
+
+    max_w = max(w for _i, w in rows)
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in df.select(
+            "doc_id",
+            weighted_accept(F.col("doc_id"), F.col("w"), F.lit(max_w)).alias("keep"),
+        ).collect()
+    }
+    for i, w in rows:
+        u32 = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        # exact rational: u32/2^32 < w/max_w  <=>  u32*max_w < 2^32*w
+        want = u32 * max_w < (2**32) * w
+        assert got[i] == want, (i, w, max_w, u32)
+        # and the max-weight row is always kept (p = 1)
+        if w == max_w:
+            assert got[i]
