@@ -166,3 +166,31 @@ def test_adaptive_oracle_hash_matches_above_calibration(spark, tmp_path):
     # vectors share every sign bit, so the result is non-vacuous
     assert len(got) >= n // 25
     pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_duck_width_formula_matches_python_at_arbitrary_sizes():
+    """Property version of the ladder test: the SQL width expression
+    and auto_planes must agree at ARBITRARY corpus sizes — including
+    deep inside the clamp region — not just the hand-picked ladder.
+    DuckDB-only, so hundreds of examples are cheap."""
+    import duckdb
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from project_orbit_spark.similarity.lsh import PLANES_MAX, _duck_auto_bucket
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=1, max_value=10**13))
+    def check(n):
+        got = con.execute(
+            f"SELECT len({_duck_auto_bucket('v', str(n))}) "
+            f"FROM (SELECT [0.3, -0.7, 0.1]::DOUBLE[] AS v)"
+        ).fetchone()[0]
+        want = auto_planes(n)
+        assert PLANES_BASE <= want <= PLANES_MAX
+        assert got == want, (n, got, want)
+
+    check()
