@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from project_orbit_spark.catalog import load
+from project_orbit_spark.catalog import load, maybe_broadcast
 from project_orbit_spark.operators.dedup import word_shingles
 from project_orbit_spark.registry import register
 from project_orbit_spark.similarity.lsh import _duck_auto_bucket as _lsh_duck_auto_bucket
@@ -727,5 +727,132 @@ def weighted_poisson_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_chars").cast("double") / F.col("max_w").cast("double"), 6
             ).alias("p_include"),
         )
+        .orderBy("doc_id")
+    )
+
+
+_SEG_W = 8  # tokens per non-overlapping segment (paragraph proxy)
+_BP_DF = 3  # document frequency at which a segment counts as boilerplate
+
+
+@register(
+    "boilerplate_segment_scrub",
+    # driver=False for round 11 only (case 2, registry.py:39): the
+    # round-11 first-50 window is fully committed. Verified locally
+    # at 3 SFs + driver_sim + pytest; flip to driver=True in round 12.
+    driver=False,
+    bench=True,
+    tags=("corpus", "curation", "dedup", "text"),
+    doc="C4/CCNet-style boilerplate scrub, the APPLY stage downstream "
+    "of repeated_span_mining's MINE stage: chop each document into "
+    "non-overlapping 8-token segments (the corpus has no newlines, "
+    "so fixed-width segments stand in for C4's line unit), count "
+    "each segment's document frequency corpus-wide, and REWRITE "
+    "every document with segments seen in >= 3 distinct documents "
+    "excised (nav menus / footers / license headers at crawl "
+    "scale). Fixed-width segmentation is ALIGNMENT-SENSITIVE by "
+    "construction — a repeated passage is only caught where it sits "
+    "on the same segment grid in each doc (tests/test_properties.py "
+    "pins both directions); repeated_span_mining is the rolling, "
+    "alignment-free miner for the general case. One posexplode, one "
+    "60-bit-md5 segment-hash aggregate "
+    "(8-byte keys shuffle, not strings), then the boilerplate set — "
+    "small by construction, it's the REPEATED tail — joins back "
+    "through the size gate and each doc reassembles in segment "
+    "order. Output pins both the counts and the rewritten text, so "
+    "any segmentation/ordering drift flips the hash.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        seg AS (
+          SELECT doc_id, (i - 1) // {_SEG_W} AS seg_idx,
+                 array_to_string(
+                   list_slice(toks, i, i + {_SEG_W} - 1), ' ') AS seg
+          FROM tok, UNNEST(range(1, len(toks) + 1, {_SEG_W})) AS t(i)
+        ),
+        bp AS (
+          SELECT seg FROM seg
+          GROUP BY seg HAVING count(DISTINCT doc_id) >= {_BP_DF}
+        ),
+        flagged AS (
+          SELECT s.doc_id, s.seg_idx, s.seg,
+                 b.seg IS NOT NULL AS is_bp
+          FROM seg s LEFT JOIN bp b USING (seg)
+        ),
+        rebuilt AS (
+          SELECT doc_id,
+                 count(*) AS n_segments,
+                 CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+                 coalesce(string_agg(
+                   CASE WHEN NOT is_bp THEN seg END, ' '
+                   ORDER BY seg_idx), '') AS clean_text
+          FROM flagged GROUP BY doc_id
+        )
+        SELECT doc_id, n_segments, n_dropped, clean_text,
+               length(clean_text) AS clean_n_chars
+        FROM rebuilt ORDER BY doc_id
+    """,
+)
+def boilerplate_segment_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return scrub_boilerplate(d)
+
+
+def scrub_boilerplate(
+    d: DataFrame, seg_w: int = _SEG_W, bp_df: int = _BP_DF
+) -> DataFrame:
+    """Library face of ``boilerplate_segment_scrub``: rewrite each
+    (doc_id, text) row with every ``seg_w``-token segment that occurs
+    in >= ``bp_df`` distinct documents excised."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 1)
+    segs = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("toks") / F.lit(seg_w)).cast("int") - 1,
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice("toks", i * seg_w + 1, seg_w)
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    ).withColumn(
+        "seg_hash",
+        F.conv(F.substring(F.md5("seg"), 1, 15), 16, 10).cast("long"),
+    )
+    bp = (
+        segs.groupBy("seg_hash")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= bp_df)
+        .select("seg_hash", F.lit(True).alias("is_bp"))
+    )
+    # boilerplate set = segments REPEATED across >=3 docs; bounded by
+    # corpus redundancy, not corpus size, but it still derives from a
+    # table that scales with the star -> size-gated (bound: 1M rows)
+    flagged = segs.join(maybe_broadcast(bp, 1_000_000), "seg_hash", "left")
+    kept = F.when(~F.coalesce(F.col("is_bp"), F.lit(False)), F.struct("seg_idx", "seg"))
+    clean = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept)), lambda x: x.getField("seg")
+        ),
+        " ",
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.coalesce(F.col("is_bp"), F.lit(False)).cast("long")).alias(
+                "n_dropped"
+            ),
+            clean.alias("clean_text"),
+        )
+        .withColumn("clean_n_chars", F.length("clean_text").cast("long"))
         .orderBy("doc_id")
     )

@@ -617,3 +617,36 @@ def test_weighted_sample_is_map_only_one_stats_row(spark):
         if b.startswith("(") and b.split("\n", 1)[0].strip().endswith(" Exchange")
     ]
     assert len(ex_blocks) <= 2, len(ex_blocks)
+
+
+def test_q21_two_distincts_one_pass_no_expand(spark):
+    """Q21's contract: BOTH exact distinct counts (all suppliers /
+    late suppliers per order) come from collect_set in a single
+    aggregation pass — a two-countDistinct agg would insert an
+    Expand that doubles the fact rows entering the orderkey
+    shuffle. The per-order sets aggregate map-side
+    (ObjectHashAggregate partials), the supplier⋈nation⋈region
+    chain broadcasts, and the top-100 is a TakeOrdered heap."""
+    f = facts("q21_suppliers_kept_waiting", spark)
+    assert "Expand" not in f.text, "distinct counts must not Expand the fact"
+    assert "ObjectHashAggregate" in f.text
+    assert "CartesianProduct" not in f.text
+    assert "TakeOrderedAndProject" in f.text
+    assert f.n_broadcast_joins >= 1
+    assert f.n_sortmerge_joins == 0
+    assert f.partial_agg
+
+
+def test_boilerplate_scrub_shuffles_hashes_not_strings(spark):
+    """The segment-frequency aggregate must key on the 60-bit md5
+    segment hash (8-byte shuffle keys), never the segment strings;
+    no cartesian anywhere; the doc reassembly keeps map-side
+    partials."""
+    f = facts("boilerplate_segment_scrub", spark)
+    assert "CartesianProduct" not in f.text
+    assert f.partial_agg
+    # the df-count aggregate groups by seg_hash, not seg
+    import re
+
+    agg_keys = re.findall(r"Keys \[1\]: \[(\w+)", f.text)
+    assert any("seg_hash" in k for k in agg_keys), agg_keys

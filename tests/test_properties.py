@@ -466,3 +466,45 @@ def test_weighted_accept_matches_exact_rational(spark, rows):
         # and the max-weight row is always kept (p = 1)
         if w == max_w:
             assert got[i]
+
+
+def test_boilerplate_scrub_excises_repeated_segments(spark):
+    """A footer segment pasted into >= bp_df docs must vanish from
+    every doc; unique content survives verbatim and in order; a doc
+    that is ALL boilerplate rewrites to ''; trailing partial
+    segments are kept; n_segments = ceil(tokens / seg_w)."""
+    from project_orbit_spark.operators.corpus import scrub_boilerplate
+
+    footer = "subscribe to our newsletter for weekly updates today friend"  # 9 toks
+    # prefixes are multiples of seg_w=3 so the pasted footer lands on
+    # segment boundaries in every doc (the documented alignment
+    # precondition of fixed-width segmentation)
+    uniq = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota",  # 9 toks
+        2: "one two three four five six seven eight nine ten eleven twelve",
+        3: "red orange yellow green blue indigo",  # 6 toks
+    }
+    rows = [(i, f"{uniq[i]} {footer}") for i in uniq]
+    rows.append((4, footer))  # all-boilerplate doc
+    # misaligned copy: a 1-token prefix shifts the footer off the
+    # segment grid, so NONE of its segments match the aligned ones
+    rows.append((5, f"misfit {footer}"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in scrub_boilerplate(d, seg_w=3, bp_df=3).collect()
+    }
+    assert len(out) == 5
+    # footer = 3 segments of width 3, each in 4 aligned docs -> excised
+    for i, u in uniq.items():
+        assert out[i]["clean_text"] == u.lower()
+        assert out[i]["n_dropped"] == 3
+        n_toks = len(u.split()) + 9
+        assert out[i]["n_segments"] == -(-n_toks // 3)
+        assert out[i]["clean_n_chars"] == len(u)
+    assert out[4]["clean_text"] == ""
+    assert out[4]["n_dropped"] == out[4]["n_segments"] == 3
+    assert out[4]["clean_n_chars"] == 0
+    # the shifted doc keeps everything: alignment is load-bearing
+    assert out[5]["n_dropped"] == 0
+    assert out[5]["clean_text"] == f"misfit {footer}"
