@@ -10,7 +10,7 @@ except the final ordering.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_orbit_spark.catalog import load
@@ -407,5 +407,123 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.avg("lp"), 4).alias("avg_logprob"),
         )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "ccnet_perplexity_bands",
+    # driver=False for round 11 only (case 2, registry.py:39): the
+    # round-11 first-50 window is fully committed. Verified locally
+    # at 3 SFs + driver_sim + pytest; flip to driver=True in round 12.
+    driver=False,
+    bench=True,
+    tags=("text", "quality", "langmodel", "corpus"),
+    doc="CCNet-style head/middle/tail perplexity banding — the "
+    "stratification stage downstream of the LM scorer (CCNet splits "
+    "each language's crawl into terciles by 5-gram-LM perplexity and "
+    "trains on the head; same machinery here at n=2 over "
+    "bigram_logprob_scores, whose plan this REUSES verbatim). Band "
+    "cutoffs are score VALUES, not per-doc ranks: the distinct-score "
+    "table is BOUNDED (scores are rounded to 4dp over a few-nats "
+    "range, so at most ~10^5 rows at ANY corpus size), its "
+    "cumulative count runs on that bounded table (the one "
+    "single-partition window in the plan — bounded by the score "
+    "domain, never by the corpus), and the two (c1, c2) cutoffs "
+    "broadcast back as one row so per-doc assignment is MAP-ONLY. "
+    "Ties at a cutoff all land in the higher band, exactly like "
+    "CCNet's value-quantile buckets; ceil arithmetic is integer "
+    "((n+2) div 3), so both engines cut at identical counts.",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS ts
+          FROM documents
+        ),
+        big AS (
+          SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+          FROM base, UNNEST(range(1, len(ts))) AS t(i)
+        ),
+        tok AS (
+          SELECT doc_id, ts[i] AS token
+          FROM base, UNNEST(range(1, len(ts) + 1)) AS t(i)
+        ),
+        freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+        c2t AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+        c1t AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        scores AS (
+          SELECT b.doc_id,
+                 round(avg(ln(
+                   0.7 * (c2t.c2::DOUBLE / c1t.c1) +
+                   0.3 * (f.cnt::DOUBLE / tot.total)
+                 )), 4) AS avg_logprob
+          FROM big b
+          JOIN c2t USING (w1, w2)
+          JOIN c1t USING (w1)
+          JOIN freq f ON f.token = b.w2, tot
+          GROUP BY b.doc_id
+        ),
+        dist AS (
+          SELECT avg_logprob, count(*) AS cnt FROM scores GROUP BY avg_logprob
+        ),
+        cum AS (
+          SELECT avg_logprob,
+                 sum(cnt) OVER (ORDER BY avg_logprob DESC) AS cum
+          FROM dist
+        ),
+        n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM dist),
+        cuts AS (
+          SELECT max(CASE WHEN cum >= (n + 2) // 3
+                     THEN avg_logprob END) AS cut1,
+                 max(CASE WHEN cum >= (2 * n + 2) // 3
+                     THEN avg_logprob END) AS cut2
+          FROM cum, n
+        )
+        SELECT s.doc_id, s.avg_logprob,
+               CASE WHEN s.avg_logprob >= c.cut1 THEN 'head'
+                    WHEN s.avg_logprob >= c.cut2 THEN 'middle'
+                    ELSE 'tail' END AS band
+        FROM scores s, cuts c
+        ORDER BY s.doc_id
+    """,
+)
+def ccnet_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = bigram_logprob_scores(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
+    dist = scores.groupBy("avg_logprob").agg(F.count(F.lit(1)).alias("cnt"))
+    # the ONLY single-partition window: over the bounded distinct-
+    # score table (4dp domain), never the corpus
+    w = Window.orderBy(F.desc("avg_logprob")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dist.withColumn("cum", F.sum("cnt").over(w))
+    n = dist.agg(F.sum("cnt").cast("long").alias("n"))
+    cuts = (
+        cum.crossJoin(F.broadcast(n))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("cum") >= F.expr("(n + 2) div 3"),
+                    F.col("avg_logprob"),
+                )
+            ).alias("cut1"),
+            F.max(
+                F.when(
+                    F.col("cum") >= F.expr("(2 * n + 2) div 3"),
+                    F.col("avg_logprob"),
+                )
+            ).alias("cut2"),
+        )
+    )
+    band = (
+        F.when(F.col("avg_logprob") >= F.col("cut1"), "head")
+        .when(F.col("avg_logprob") >= F.col("cut2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scores.crossJoin(F.broadcast(cuts))
+        .select("doc_id", "avg_logprob", band.alias("band"))
         .orderBy("doc_id")
     )

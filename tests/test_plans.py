@@ -650,3 +650,20 @@ def test_boilerplate_scrub_shuffles_hashes_not_strings(spark):
 
     agg_keys = re.findall(r"Keys \[1\]: \[(\w+)", f.text)
     assert any("seg_hash" in k for k in agg_keys), agg_keys
+
+
+def test_ccnet_bands_single_partition_window_is_bounded(spark):
+    """The tercile cutoffs must come from the BOUNDED distinct-score
+    table: exactly one single-partition window in the plan, fed by
+    an aggregate on avg_logprob (the 4dp score domain), and the
+    per-doc band assignment is a broadcast of the 1-row cutoffs —
+    never a global sort or rank of the corpus."""
+    f = facts("ccnet_perplexity_bands", spark)
+    import re
+
+    # single-partition exchanges: the bounded cutoff window + nothing else
+    single = re.findall(r"Exchange SinglePartition", f.text)
+    assert len(single) <= 2, f.text.count("Exchange SinglePartition")
+    assert "CartesianProduct" not in f.text
+    assert f.n_broadcast_joins >= 1, "cutoff row must broadcast"
+    assert f.partial_agg

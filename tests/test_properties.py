@@ -508,3 +508,32 @@ def test_boilerplate_scrub_excises_repeated_segments(spark):
     # the shifted doc keeps everything: alignment is load-bearing
     assert out[5]["n_dropped"] == 0
     assert out[5]["clean_text"] == f"misfit {footer}"
+
+
+def test_ccnet_bands_are_value_monotone_terciles(spark):
+    """Band assignment must be monotone in score (min(head) >=
+    max(middle) >= ... ) and each cutoff must be TIGHT: head holds at
+    least ceil(n/3) docs, but removing its lowest-score tie group
+    drops it below ceil(n/3) — i.e. the cutoff is the largest value
+    whose >=-set reaches the tercile count. Same for head+middle at
+    ceil(2n/3)."""
+    from project_orbit_spark.registry import get_query
+    from tests.conftest import SF_DIR
+
+    rows = get_query("ccnet_perplexity_bands").fn(spark, SF_DIR).collect()
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r["band"], []).append(r["avg_logprob"])
+    n = len(rows)
+    k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+    head, mid = by_band.get("head", []), by_band.get("middle", [])
+    tail = by_band.get("tail", [])
+    assert sorted(head)[0] >= (max(mid) if mid else float("-inf"))
+    if mid:
+        assert min(mid) >= (max(tail) if tail else float("-inf"))
+    assert len(head) >= k1
+    assert len(head) - head.count(min(head)) < k1, "head cutoff not tight"
+    hm = len(head) + len(mid)
+    assert hm >= k2
+    boundary = min(mid) if mid else min(head)
+    assert hm - (head + mid).count(boundary) < k2, "middle cutoff not tight"
