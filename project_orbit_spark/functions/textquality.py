@@ -527,3 +527,80 @@ def ccnet_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "avg_logprob", band.alias("band"))
         .orderBy("doc_id")
     )
+
+
+VOCAB_TOP_K = 16  # fixture-calibrated: the synthetic corpus has 31
+# distinct tokens, so 16 leaves a real OOV tail at every SF;
+# production uses O(100k) with the SAME plan (TakeOrdered over the
+# bounded distinct-token table + a broadcast probe)
+
+
+@register(
+    "vocab_coverage_oov",
+    # driver=False for round 11 only (case 2, registry.py:39): the
+    # round-11 first-50 window is fully committed. Verified locally
+    # at 3 SFs + driver_sim + pytest; flip to driver=True in round 12.
+    driver=False,
+    bench=True,
+    tags=("text", "tokens", "quality", "corpus"),
+    doc="Tokenizer-vocabulary coverage audit: build the top-K "
+    "corpus vocabulary by frequency (ties broken by token, so the "
+    "boundary is deterministic in both engines) and score every "
+    "document's out-of-vocabulary rate — the pre-training check "
+    "that a tokenizer's vocab actually covers the corpus it will "
+    "tokenize, and the per-doc signal that flags gibberish/wrong-"
+    "script outliers a frequency-trained vocab can't encode. Plan: "
+    "one token-frequency aggregate (map-side partials, 8-byte-ish "
+    "short-string keys), a TakeOrdered top-K on the BOUNDED "
+    "distinct-token table (vocab size is a constant, never corpus-"
+    "sized), the K-row vocab broadcast back over the token stream, "
+    "one per-doc regroup. No rank window, no corpus-wide sort.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+          FROM documents
+        ),
+        freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        vocab AS (
+          SELECT token FROM freq ORDER BY cnt DESC, token LIMIT {VOCAB_TOP_K}
+        )
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               CAST(count(*) FILTER (v.token IS NULL) AS BIGINT) AS n_oov,
+               round(count(*) FILTER (v.token IS NULL)::DOUBLE
+                     / count(*), 4) AS oov_rate
+        FROM tok t LEFT JOIN vocab v USING (token)
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """,
+)
+def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(VOCAB_TOP_K)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    # the vocab is exactly K rows by construction — unconditional
+    # broadcast is bounded by the limit, not by corpus growth
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+            F.round(
+                F.sum(F.col("in_vocab").isNull().cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1573,3 +1573,85 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("n_tokens") / F.col("n_copies"), 4).alias("weighted_tokens"),
     ).orderBy("doc_id")
+
+
+_LEAK_BUCKET_SQL = (
+    "CAST(CAST(('0x' || substring(md5('leak|' || "
+    "CAST(canonical_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 100"
+)
+
+
+@register(
+    "leakage_safe_split",
+    # driver=False for round 11 only (case 2, registry.py:39): the
+    # round-11 first-50 window is fully committed. Verified locally
+    # at 3 SFs + driver_sim + pytest; flip to driver=True in round 12.
+    driver=False,
+    bench=True,
+    tags=("dedup", "corpus", "sampling", "pipeline"),
+    doc="Leakage-safe train/val/test split: assignment hashes the "
+    "near-dup CANONICAL id, not the doc id, so every member of a "
+    "near-duplicate cluster lands in the SAME split — the guard "
+    "train_val_test_split cannot give (hash a doc_id and a near-dup "
+    "of a training doc can land in test, silently inflating eval). "
+    "Composes the dedup_canonical_corpus plan (band-blocked MinHash "
+    "pairs → min-label closure → canonical per doc) with the "
+    "engine's portable md5 split buckets (operators/corpus.py::"
+    "hash_bucket semantics, salt 'leak|'); membership stays a pure "
+    "function of the row, re-derivable by any engine. Scale shape "
+    "inherits its stages': one band shuffle, O(diameter) label "
+    "rounds on the tiny pair graph, a broadcast label join, then a "
+    "map-only bucket projection.",
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+        edges AS (
+          SELECT left_id AS src, right_id AS dst FROM pairs
+          UNION
+          SELECT right_id AS src, left_id AS dst FROM pairs
+        ),
+        reach(node, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        labels AS (
+          SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+        ),
+        canon AS (
+          SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS canonical_id
+          FROM corpus c LEFT JOIN labels l USING (doc_id)
+        )
+        SELECT doc_id, canonical_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, canonical_id,
+                     {_LEAK_BUCKET_SQL} AS bucket
+              FROM canon)
+        ORDER BY doc_id
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = dedup_canonical_corpus(spark, sf_dir).select("doc_id", "canonical_id")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("leak|"), F.col("canonical_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        canon.withColumn("bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test"),
+        )
+        .orderBy("doc_id")
+    )

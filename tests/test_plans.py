@@ -667,3 +667,25 @@ def test_ccnet_bands_single_partition_window_is_bounded(spark):
     assert "CartesianProduct" not in f.text
     assert f.n_broadcast_joins >= 1, "cutoff row must broadcast"
     assert f.partial_agg
+
+
+def test_leakage_split_is_map_only_after_labels(spark):
+    """The split projection must add nothing to the canonical-corpus
+    plan but a map: no extra shuffle, no cartesian, no window."""
+    f = facts("leakage_safe_split", spark)
+    base = facts("dedup_canonical_corpus", spark)
+    assert "CartesianProduct" not in f.text
+    assert f.n_shuffles <= base.n_shuffles + 1  # the final orderBy only
+
+
+def test_vocab_oov_topk_is_take_ordered_broadcast(spark):
+    """The vocabulary must be a TakeOrdered heap over the bounded
+    distinct-token aggregate — never a corpus-wide sort or rank
+    window — and the K-row vocab must broadcast back over the token
+    stream."""
+    f = facts("vocab_coverage_oov", spark)
+    assert "TakeOrderedAndProject" in f.text
+    assert "Window" not in f.text
+    assert f.n_broadcast_joins >= 1
+    assert f.partial_agg
+    assert "CartesianProduct" not in f.text

@@ -537,3 +537,37 @@ def test_ccnet_bands_are_value_monotone_terciles(spark):
     assert hm >= k2
     boundary = min(mid) if mid else min(head)
     assert hm - (head + mid).count(boundary) < k2, "middle cutoff not tight"
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup cluster's members must share ONE split — in
+    particular each injected near-dup (doc_id+100000) lands in its
+    base doc's split. The guard must also be non-vacuous on this
+    corpus: at least one cluster's members would straddle splits
+    under plain doc_id bucketing (what train_val_test_split does)."""
+    from project_orbit_spark.registry import get_query
+    from tests.conftest import SF_DIR
+
+    rows = get_query("leakage_safe_split").fn(spark, SF_DIR).collect()
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r["canonical_id"], []).append(r)
+    multi = [v for v in by_canon.values() if len(v) > 1]
+    assert multi, "corpus must have non-singleton near-dup clusters"
+    for members in multi:
+        assert len({m["split"] for m in members}) == 1
+
+    # doc_id-hash buckets (train_val_test_split semantics) straddle
+    import hashlib
+
+    def doc_bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    def band(b):
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    straddled = any(
+        len({band(doc_bucket(m["doc_id"])) for m in members}) > 1
+        for members in multi
+    )
+    assert straddled, "guard is vacuous: doc_id hashing never straddles here"
