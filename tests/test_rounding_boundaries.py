@@ -328,3 +328,70 @@ def test_weighted_sample_weights_inside_exact_bigint_bound(sf_dir):
         f"switch the acceptance test to a per-row precomputed "
         f"ceil(2^32·w/max_w) threshold before the next driver record"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_vocab_oov_rate_boundary_agreement(sf_dir):
+    """vocab_coverage_oov outputs round(n_oov/n_tokens, 4) — a ratio
+    of SMALL integers, so exact 4dp-half boundaries are reachable
+    (1/32 = 0.03125, 3/32, …). Detect them exactly in integer
+    arithmetic — round(N/D, 4) is on-boundary iff N·2·10⁴ ≡ D
+    (mod 2D) — and for every hit pin MEASURED cross-engine agreement
+    (the q2 contract): Spark rounds the quotient's shortest decimal
+    repr HALF_UP, DuckDB rounds the binary double; both must land on
+    the same 4dp value on the shipped data. Columns come from the
+    REGISTERED oracle, so a vocab-size or tokenization change
+    re-audits automatically."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from project_orbit_spark import registry
+
+    con = _con(sf_dir)
+    oracle = registry.get_query("vocab_coverage_oov").oracle
+    rows = con.execute(
+        f"SELECT doc_id, n_oov, n_tokens FROM ({oracle}) "
+        f"WHERE (CAST(n_oov AS HUGEINT) * 20000) % (2 * n_tokens) = n_tokens"
+    ).fetchall()
+    for doc_id, n_oov, n_tokens in rows:
+        v = n_oov / n_tokens
+        spark_style = float(
+            Decimal(repr(v)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+        duck_style = con.execute(
+            "SELECT round(CAST(? AS DOUBLE) / CAST(? AS DOUBLE), 4)",
+            [n_oov, n_tokens],
+        ).fetchone()[0]
+        assert spark_style == duck_style, (
+            f"vocab_coverage_oov at {sf_dir}: doc {doc_id} oov rate "
+            f"{n_oov}/{n_tokens} sits on the 4dp boundary and rounds "
+            f"differently (spark-style {spark_style} vs duckdb "
+            f"{duck_style}) — switch oov_rate to the unrounded exact "
+            f"pair (n_oov, n_tokens) before the next driver record"
+        )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_ccnet_scores_inherit_bigram_rounding(sf_dir):
+    """ccnet_perplexity_bands introduces NO new rounding surface: its
+    avg_logprob must be value-identical to bigram_logprob_scores'
+    (whose 4dp rounding is driver-hash-proven on this data), and the
+    band CASE compares those already-rounded values against cutoffs
+    drawn from the same values — no fresh float path. Pin the
+    inheritance by joining the two REGISTERED oracles: any drift in
+    either copy of the scores CTE fails here, not in a driver
+    record."""
+    from project_orbit_spark import registry
+
+    con = _con(sf_dir)
+    bigram = registry.get_query("bigram_logprob_scores").oracle
+    ccnet = registry.get_query("ccnet_perplexity_bands").oracle
+    n_total, n_diff = con.execute(
+        f"SELECT count(*), "
+        f"count(*) FILTER (b.avg_logprob IS DISTINCT FROM c.avg_logprob) "
+        f"FROM ({bigram}) b FULL JOIN ({ccnet}) c USING (doc_id)"
+    ).fetchone()
+    assert n_total > 0
+    assert n_diff == 0, (
+        f"{n_diff}/{n_total} docs: ccnet avg_logprob drifted from the "
+        f"driver-proven bigram scores at {sf_dir}"
+    )
