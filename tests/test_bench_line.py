@@ -45,6 +45,10 @@ def _worst_case_payload(names: list[str]) -> dict:
 
 
 def test_current_bench_set_fits_driver_tail_window():
+    """Worst-case widths (999.999s medians): the line must stay inside
+    the driver's tail window, keep the headline value, and lose AT
+    MOST a handful of per-query entries to the graduated fallback —
+    never the whole dict."""
     bench = _bench_module()
     names = list(registry.bench_queries())
     line = bench.build_payload_line(_worst_case_payload(names))
@@ -52,23 +56,45 @@ def test_current_bench_set_fits_driver_tail_window():
         f"bench final line is {len(line)} chars for {len(names)} bench "
         "queries — the driver's 2000-char tail window will truncate it "
         "(BENCH_r07 regression). Trim query names or let the "
-        "build_payload_line fallback drop the dict."
+        "build_payload_line fallback drop entries."
     )
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_query_set_total"
-    assert set(parsed["queries"]) == set(names)
+    assert set(parsed["queries"]) <= set(names)
+    omitted = parsed.get("queries_omitted", 0)
+    assert len(parsed["queries"]) + omitted == len(names)
+    assert omitted <= 5, (
+        f"graduated fallback dropped {omitted} entries under worst-case "
+        "widths — the bench set has outgrown the tail window; trim it"
+    )
 
 
-def test_oversize_payload_falls_back_to_side_file_pointer():
+def test_realistic_widths_keep_the_full_bench_dict():
+    """With realistic per-query medians (<100 s — the slowest sf0.1
+    bench query has never exceeded 5 s) the FULL per-query dict must
+    survive into the official driver record, no fallback at all."""
     bench = _bench_module()
-    # 200 synthetic long-named queries would blow any budget; the
-    # encoder must drop the dict rather than emit an unparseable line
+    names = list(registry.bench_queries())
+    payload = _worst_case_payload(names)
+    payload["queries"] = {n: 99.999 for n in sorted(names)}
+    line = bench.build_payload_line(payload)
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(names)
+    assert "queries_omitted" not in parsed
+
+
+def test_oversize_payload_degrades_gradually_with_pointer():
+    bench = _bench_module()
+    # 200 synthetic long-named queries blow any budget; the graduated
+    # encoder must keep as many entries as fit, account for the rest
+    # in queries_omitted, point at the side file, and stay parseable
     names = [f"extremely_long_synthetic_query_name_number_{i:04d}" for i in range(200)]
     line = bench.build_payload_line(_worst_case_payload(names))
     assert len(line) < 1900
     parsed = json.loads(line)
-    assert "queries" not in parsed
     assert parsed["queries_in"] == "BENCH_DETAIL.json"
+    assert len(parsed["queries"]) + parsed["queries_omitted"] == 200
+    assert len(parsed["queries"]) > 0, "graduated fallback kept nothing"
     assert parsed["value"] == 99999.999
     assert parsed["value_run2"] == 99999.999
 
