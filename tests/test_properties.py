@@ -571,3 +571,31 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         for members in multi
     )
     assert straddled, "guard is vacuous: doc_id hashing never straddles here"
+
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=30).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_boilerplate_scrub_roundtrips_when_threshold_unreachable(spark, texts):
+    """With bp_df > n_docs no segment can qualify as boilerplate, so
+    the scrub must be the identity on whitespace-normalized text:
+    chop-into-segments then reassemble-in-order is lossless, trailing
+    partial segment included, and n_segments = ceil(tokens/seg_w)."""
+    from project_orbit_spark.operators.corpus import scrub_boilerplate
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = scrub_boilerplate(d, seg_w=3, bp_df=len(texts) + 1).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        orig = " ".join(texts[r["doc_id"]].lower().split())
+        assert r["clean_text"] == orig
+        assert r["n_dropped"] == 0
+        n_toks = len(texts[r["doc_id"]].split())
+        assert r["n_segments"] == -(-n_toks // 3)
