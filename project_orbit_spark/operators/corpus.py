@@ -856,3 +856,101 @@ def scrub_boilerplate(
         .withColumn("clean_n_chars", F.length("clean_text").cast("long"))
         .orderBy("doc_id")
     )
+
+
+PACK_BUDGET = 512  # tokens per pack (shared with pack_sequences_budget)
+
+
+@register(
+    "pack_sequences_next_fit",
+    # driver=False for round 11 only (case 2, registry.py:39): the
+    # round-11 first-50 window is fully committed. Verified locally
+    # at 3 SFs + driver_sim + pytest; flip to driver=True in round 12.
+    driver=False,
+    bench=True,
+    tags=("corpus", "packing", "stateful"),
+    doc="Boundary-respecting sequence packing (greedy NEXT-FIT): docs "
+    "are assigned whole to packs in doc_id order per (lang, shard); "
+    "a pack closes the moment the next doc would overflow the "
+    "512-token budget, and an oversized doc occupies its own pack — "
+    "the packing layout trainers choose when truncating documents at "
+    "pack boundaries is unacceptable (the alternative to "
+    "pack_sequences_budget's concat-and-chop). The per-shard scan is "
+    "a NON-ASSOCIATIVE recurrence (the running fill RESETS on "
+    "overflow), so no window/prefix-sum expresses it — this is the "
+    "engine's honest applyInPandas case per the brief's custom-"
+    "operator ladder: composition first, Arrow-batched pandas only "
+    "when semantics demand it. Parallelism = (lang x shard) groups "
+    "exactly like the chop packer (one shuffle, sequential only "
+    "WITHIN a hash shard, bounded by shard size at any corpus "
+    "scale); the oracle walks the same recurrence as a recursive "
+    "CTE, depth = max shard length.",
+    oracle=f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, lang, doc_id % {PACK_SHARDS} AS shard,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents
+        ),
+        seq AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY lang, shard ORDER BY doc_id) AS rn
+          FROM toks
+        ),
+        walk(lang, shard, rn, doc_id, n_tokens, pack_id, fill) AS (
+          SELECT lang, shard, rn, doc_id, n_tokens,
+                 CAST(0 AS BIGINT), n_tokens
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.lang, s.shard, s.rn, s.doc_id, s.n_tokens,
+                 CASE WHEN w.fill + s.n_tokens > {PACK_BUDGET}
+                      THEN w.pack_id + 1 ELSE w.pack_id END,
+                 CASE WHEN w.fill + s.n_tokens > {PACK_BUDGET}
+                      THEN s.n_tokens ELSE w.fill + s.n_tokens END
+          FROM walk w
+          JOIN seq s ON s.lang = w.lang AND s.shard = w.shard
+                    AND s.rn = w.rn + 1
+        )
+        SELECT doc_id, lang, shard, n_tokens, pack_id,
+               fill AS pack_fill
+        FROM walk ORDER BY doc_id
+    """,
+)
+def pack_sequences_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+    def pack_shard(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack = fill = 0
+        packs, fills = [], []
+        first = True
+        for n in pdf["n_tokens"]:
+            if first:
+                fill = int(n)
+                first = False
+            elif fill + int(n) > PACK_BUDGET:
+                pack += 1
+                fill = int(n)
+            else:
+                fill += int(n)
+            packs.append(pack)
+            fills.append(fill)
+        pdf["pack_id"] = packs
+        pdf["pack_fill"] = fills
+        return pdf
+
+    out_schema = (
+        "doc_id long, lang string, shard long, n_tokens long, "
+        "pack_id long, pack_fill long"
+    )
+    return (
+        toks.groupBy("lang", "shard")
+        .applyInPandas(pack_shard, out_schema)
+        .orderBy("doc_id")
+    )

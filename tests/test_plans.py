@@ -689,3 +689,15 @@ def test_vocab_oov_topk_is_take_ordered_broadcast(spark):
     assert f.n_broadcast_joins >= 1
     assert f.partial_agg
     assert "CartesianProduct" not in f.text
+
+
+def test_next_fit_packer_is_grouped_pandas_one_shuffle(spark):
+    """The non-associative per-shard scan must run as ONE grouped
+    Arrow stage: a single (lang, shard) exchange feeding
+    FlatMapGroupsInPandas — no window, no join, no second shuffle
+    before the output ordering."""
+    f = facts("pack_sequences_next_fit", spark)
+    assert "FlatMapGroupsInPandas" in f.text
+    assert "Window" not in f.text
+    assert f.n_broadcast_joins == 0 and f.n_sortmerge_joins == 0
+    assert "CartesianProduct" not in f.text

@@ -599,3 +599,33 @@ def test_boilerplate_scrub_roundtrips_when_threshold_unreachable(spark, texts):
         assert r["n_dropped"] == 0
         n_toks = len(texts[r["doc_id"]].split())
         assert r["n_segments"] == -(-n_toks // 3)
+
+
+def test_next_fit_packing_invariants(spark):
+    """Next-fit layout laws on the real corpus: within each (lang,
+    shard) walk, pack ids start at 0 and step by at most 1; a pack's
+    token total never exceeds the budget unless it holds exactly ONE
+    (oversized) doc; pack_fill is the exact running total within its
+    pack; and every doc appears exactly once (no splitting)."""
+    from project_orbit_spark.operators.corpus import PACK_BUDGET
+    from project_orbit_spark.registry import get_query
+    from tests.conftest import SF_DIR
+
+    rows = get_query("pack_sequences_next_fit").fn(spark, SF_DIR).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    shards = {}
+    for r in rows:
+        shards.setdefault((r["lang"], r["shard"]), []).append(r)
+    for members in shards.values():
+        members.sort(key=lambda r: r["doc_id"])
+        assert members[0]["pack_id"] == 0
+        prev_pack, fill = 0, 0
+        pack_docs = {}
+        for r in members:
+            assert r["pack_id"] - prev_pack in (0, 1)
+            fill = r["n_tokens"] if r["pack_id"] != prev_pack or r is members[0] else fill + r["n_tokens"]
+            assert r["pack_fill"] == fill
+            prev_pack = r["pack_id"]
+            pack_docs.setdefault(r["pack_id"], []).append(r["n_tokens"])
+        for toks in pack_docs.values():
+            assert sum(toks) <= PACK_BUDGET or len(toks) == 1
