@@ -208,11 +208,12 @@ def build_payload_line(payload: dict) -> str:
     return json.dumps(slim, separators=(",", ":"))
 
 
-# Driver tail window is 2000 chars; 140 chars of headroom. 1800 began
-# dropping entries at realistic (<100 s) widths once the set hit 55
-# queries; 1860 keeps the FULL dict at realistic widths and lets the
-# graduated fallback shave only the worst-case synthetic line.
-MAX_LINE_CHARS = 1860
+# Driver tail window is 2000 chars; 110 chars of headroom. The full
+# 57-query dict fits at measured widths (medians < 10 s; the slowest
+# sf0.1 query has never exceeded 5 s) and at <100 s widths; the
+# graduated fallback shaves at most a couple of longest-named entries
+# under the synthetic worst case (999.999 s medians).
+MAX_LINE_CHARS = 1890
 
 
 if __name__ == "__main__":

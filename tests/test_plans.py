@@ -701,3 +701,19 @@ def test_next_fit_packer_is_grouped_pandas_one_shuffle(spark):
     assert "Window" not in f.text
     assert f.n_broadcast_joins == 0 and f.n_sortmerge_joins == 0
     assert "CartesianProduct" not in f.text
+
+
+def test_incremental_vocab_probes_persisted_index(spark):
+    """The O(new) contract: the batch face must probe the PERSISTED
+    vocab artifact (InMemoryTableScan after warm_vocab), broadcast
+    it, and never re-aggregate the fitted corpus inside the scoring
+    plan."""
+    from project_orbit_spark.functions.textquality import warm_vocab
+    from tests.conftest import SF_DIR
+
+    warm_vocab(spark, SF_DIR)
+    f = facts("incremental_vocab_oov", spark)
+    assert "InMemoryTableScan" in f.text, "vocab must come from the persisted index"
+    assert f.n_broadcast_joins >= 1
+    assert "CartesianProduct" not in f.text
+    assert f.partial_agg
