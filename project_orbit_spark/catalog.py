@@ -169,7 +169,19 @@ def maybe_broadcast(df: DataFrame, bound: int, probe: DataFrame | None = None) -
     reps, a pipeline invoked per batch) pay the probe job once per
     session, not once per call. Sound because the catalog's inputs
     are immutable within a session; a new session (new cache token)
-    re-probes.
+    re-probes. Corollary (ADVICE r11 #2): if a caller OVERWRITES the
+    files behind a probed plan within one session, the memoized
+    verdict is stale — callers that rewrite inputs must use a new
+    session (every test/bench/driver run does) or probe a fresh plan.
+
+    SIDE-EFFECT WARNING (ADVICE r11 #2): the probe is an EAGER Spark
+    job that fires during PLAN CONSTRUCTION — calling a query builder
+    for ``.explain()`` or a plan-audit test runs it too. With a
+    cheap ``probe`` the job is a dim limit-scan (negligible); at a
+    probe-less call site it executes ``df``'s own plan up to the
+    limit, which for an aggregate build means running the aggregate.
+    Probe-less call sites must carry a comment documenting this (see
+    operators/corpus.py::scrub_boilerplate).
     """
     from pyspark.sql import functions as F
 

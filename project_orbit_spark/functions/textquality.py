@@ -376,6 +376,14 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    return bigram_scores(d)
+
+
+def bigram_scores(d: DataFrame) -> DataFrame:
+    """Library face of ``bigram_logprob_scores``: interpolated bigram
+    LM scored over any (doc_id, text) corpus — curation pipelines
+    score SCRUBBED text, not the raw crawl (curation_training_gold).
+    Docs with <2 tokens have no bigrams and drop out."""
     ts = F.split(F.trim(F.lower("text")), r"\s+")
     pair = F.zip_with(
         F.slice(ts, 1, F.size(ts) - 1),
@@ -413,10 +421,9 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ccnet_perplexity_bands",
-    # driver=False for round 11 only (case 2, registry.py:39): the
-    # round-11 first-50 window is fully committed. Verified locally
-    # at 3 SFs + driver_sim + pytest; flip to driver=True in round 12.
-    driver=False,
+    # Was driver=False for round 11 only (case 2, registry.py:39);
+    # flipped per the register()-site note (VERDICT r11 ask #1).
+    driver=True,
     bench=True,
     tags=("text", "quality", "langmodel", "corpus"),
     doc="CCNet-style head/middle/tail perplexity banding — the "
@@ -492,6 +499,13 @@ def ccnet_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = bigram_logprob_scores(spark, sf_dir).select(
         "doc_id", "avg_logprob"
     )
+    return perplexity_bands(scores)
+
+
+def perplexity_bands(scores: DataFrame) -> DataFrame:
+    """Library face of ``ccnet_perplexity_bands``: tercile-band any
+    (doc_id, avg_logprob) score table by VALUE cutoffs derived from
+    the bounded distinct-score domain (see the register() doc)."""
     dist = scores.groupBy("avg_logprob").agg(F.count(F.lit(1)).alias("cnt"))
     # the ONLY single-partition window: over the bounded distinct-
     # score table (4dp domain), never the corpus
@@ -537,10 +551,9 @@ VOCAB_TOP_K = 16  # fixture-calibrated: the synthetic corpus has 31
 
 @register(
     "vocab_coverage_oov",
-    # driver=False for round 11 only (case 2, registry.py:39): the
-    # round-11 first-50 window is fully committed. Verified locally
-    # at 3 SFs + driver_sim + pytest; flip to driver=True in round 12.
-    driver=False,
+    # Was driver=False for round 11 only (case 2, registry.py:39);
+    # flipped per the register()-site note (VERDICT r11 ask #1).
+    driver=True,
     bench=True,
     tags=("text", "tokens", "quality", "corpus"),
     doc="Tokenizer-vocabulary coverage audit: build the top-K "
@@ -640,10 +653,9 @@ def warm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "incremental_vocab_oov",
-    # driver=False for round 11 only (case 2, registry.py:39): the
-    # round-11 first-50 window is fully committed. Verified locally
-    # at 3 SFs + driver_sim + pytest; flip to driver=True in round 12.
-    driver=False,
+    # Was driver=False for round 11 only (case 2, registry.py:39);
+    # flipped per the register()-site note (VERDICT r11 ask #1).
+    driver=True,
     bench=True,
     tags=("text", "tokens", "quality", "incremental"),
     prepare=lambda spark, sf_dir: warm_vocab(spark, sf_dir) and None,

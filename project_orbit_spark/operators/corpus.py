@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from project_orbit_spark.catalog import load, maybe_broadcast
 from project_orbit_spark.operators.dedup import word_shingles
@@ -737,10 +738,9 @@ _BP_DF = 3  # document frequency at which a segment counts as boilerplate
 
 @register(
     "boilerplate_segment_scrub",
-    # driver=False for round 11 only (case 2, registry.py:39): the
-    # round-11 first-50 window is fully committed. Verified locally
-    # at 3 SFs + driver_sim + pytest; flip to driver=True in round 12.
-    driver=False,
+    # Was driver=False for round 11 only (case 2, registry.py:39);
+    # flipped per the register()-site note (VERDICT r11 ask #1).
+    driver=True,
     bench=True,
     tags=("corpus", "curation", "dedup", "text"),
     doc="C4/CCNet-style boilerplate scrub, the APPLY stage downstream "
@@ -768,19 +768,27 @@ _BP_DF = 3  # document frequency at which a segment counts as boilerplate
           FROM documents
         ),
         seg AS (
+          -- df is counted on the SAME 60-bit md5 prefix the engine
+          -- shuffles (ADVICE r11 #1): both engines share the hashed
+          -- representation by construction, as _MINHASH_PAIRS_CTE
+          -- already does, so a prefix collision merges the same two
+          -- segments on both sides instead of only on the Spark side.
           SELECT doc_id, (i - 1) // {_SEG_W} AS seg_idx,
                  array_to_string(
-                   list_slice(toks, i, i + {_SEG_W} - 1), ' ') AS seg
+                   list_slice(toks, i, i + {_SEG_W} - 1), ' ') AS seg,
+                 CAST(CAST(('0x' || substring(md5(array_to_string(
+                   list_slice(toks, i, i + {_SEG_W} - 1), ' ')), 1, 15))
+                   AS UBIGINT) AS BIGINT) AS seg_hash
           FROM tok, UNNEST(range(1, len(toks) + 1, {_SEG_W})) AS t(i)
         ),
         bp AS (
-          SELECT seg FROM seg
-          GROUP BY seg HAVING count(DISTINCT doc_id) >= {_BP_DF}
+          SELECT seg_hash FROM seg
+          GROUP BY seg_hash HAVING count(DISTINCT doc_id) >= {_BP_DF}
         ),
         flagged AS (
           SELECT s.doc_id, s.seg_idx, s.seg,
-                 b.seg IS NOT NULL AS is_bp
-          FROM seg s LEFT JOIN bp b USING (seg)
+                 b.seg_hash IS NOT NULL AS is_bp
+          FROM seg s LEFT JOIN bp b USING (seg_hash)
         ),
         rebuilt AS (
           SELECT doc_id,
@@ -835,7 +843,15 @@ def scrub_boilerplate(
     )
     # boilerplate set = segments REPEATED across >=3 docs; bounded by
     # corpus redundancy, not corpus size, but it still derives from a
-    # table that scales with the star -> size-gated (bound: 1M rows)
+    # table that scales with the star -> size-gated (bound: 1M rows).
+    # PROBE-LESS gate (ADVICE r11 #2): no cheaper upper bound exists
+    # for "distinct repeated segments", so the gate's limit-probe runs
+    # the segment-frequency aggregate itself AT PLAN-BUILD TIME — an
+    # eager Spark job triggered by merely constructing this plan
+    # (explain/plan-audit included), memoized per session. Accepted:
+    # the aggregate is this operator's own first stage, so the probe
+    # pre-pays work the query does anyway, and bench steady-state
+    # reps hit the memo.
     flagged = segs.join(maybe_broadcast(bp, 1_000_000), "seg_hash", "left")
     kept = F.when(~F.coalesce(F.col("is_bp"), F.lit(False)), F.struct("seg_idx", "seg"))
     clean = F.array_join(
@@ -863,10 +879,9 @@ PACK_BUDGET = 512  # tokens per pack (shared with pack_sequences_budget)
 
 @register(
     "pack_sequences_next_fit",
-    # driver=False for round 11 only (case 2, registry.py:39): the
-    # round-11 first-50 window is fully committed. Verified locally
-    # at 3 SFs + driver_sim + pytest; flip to driver=True in round 12.
-    driver=False,
+    # Was driver=False for round 11 only (case 2, registry.py:39);
+    # flipped per the register()-site note (VERDICT r11 ask #1).
+    driver=True,
     bench=True,
     tags=("corpus", "packing", "stateful"),
     doc="Boundary-respecting sequence packing (greedy NEXT-FIT): docs "
@@ -924,6 +939,23 @@ def pack_sequences_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % PACK_SHARDS).alias("shard"),
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
     )
+    return pack_next_fit(toks)
+
+
+def pack_next_fit(
+    toks: DataFrame, group_cols: tuple[str, ...] = ("lang", "shard")
+) -> DataFrame:
+    """Library face of ``pack_sequences_next_fit``: input carries
+    (doc_id, n_tokens) plus the ``group_cols`` shard keys (any extra
+    columns pass through to the output untouched — the composed
+    curation pipeline carries band/canonical_id/split this way).
+    Output schema = input schema + (pack_id long, pack_fill long).
+    DETERMINISM CONTRACT (VERDICT r11 ask #4): output is a pure
+    function of the input SET — the per-group walk re-sorts by
+    doc_id inside the pandas batch, so the physical partitioning /
+    row order the groupBy receives (repartition, coalesce, reversed
+    input) cannot change a single (pack_id, pack_fill); pinned by
+    tests/test_properties.py::test_next_fit_packing_is_repartition_invariant."""
 
     def pack_shard(pdf):
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -945,12 +977,285 @@ def pack_sequences_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["pack_fill"] = fills
         return pdf
 
-    out_schema = (
-        "doc_id long, lang string, shard long, n_tokens long, "
-        "pack_id long, pack_fill long"
+    out_schema = StructType(
+        list(toks.schema.fields)
+        + [
+            StructField("pack_id", LongType()),
+            StructField("pack_fill", LongType()),
+        ]
     )
     return (
-        toks.groupBy("lang", "shard")
+        toks.groupBy(*group_cols)
         .applyInPandas(pack_shard, out_schema)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed curation pipeline (VERDICT r11 ask #3): the four NEW
+# round-11 stages chained as ONE plan, in the order a production
+# training-corpus build runs them (C4/CCNet ordering per PAPERS.md):
+# boilerplate scrub FIRST (so neither the LM scorer nor the near-dup
+# pair stage ever sees nav/footer segments), perplexity band gate
+# SECOND (tail tercile dropped before any pair generation), leakage-
+# safe split THIRD (near-dup canonical hashing over the gated corpus),
+# next-fit packing LAST (only gated, split-assigned docs are packed).
+# ---------------------------------------------------------------------------
+
+from project_orbit_spark.operators.dedup import (  # noqa: E402
+    _LEAK_BUCKET_SQL,
+    _MINHASH_PAIRS_BODY,
+)
+
+_SCRUB_SEG_SQL = (
+    f"array_to_string(list_slice(toks, i, i + {_SEG_W} - 1), ' ')"
+)
+
+
+@register(
+    "curation_training_gold",
+    # driver=False for round 12 only (case 2, registry.py:39): the
+    # round-12 first-50 window is exactly full (8 round-11 deferral
+    # flips + 42 of the 46 r08 rotations). Verified locally at 3 SFs
+    # + driver_sim + pytest; flip to driver=True in round 13 (the r13
+    # window has 4 r08 stragglers + this = 5 forced slots).
+    driver=False,
+    bench=True,
+    tags=("corpus", "curation", "pipeline", "dedup", "quality", "packing"),
+    doc="End-to-end training-corpus build composing the four round-11 "
+    "stages as ONE plan: (1) boilerplate_segment_scrub rewrites every "
+    "doc with corpus-repeated 8-token segments excised; (2) "
+    "ccnet_perplexity_bands scores the SCRUBBED text with the "
+    "interpolated bigram LM and drops the tail tercile (docs too "
+    "short to score — including 100%-boilerplate rewrites — drop "
+    "here too, having no bigrams, identically in both engines); (3) "
+    "leakage_safe_split derives MinHash-LSH near-dup canonicals over "
+    "the gated corpus and buckets on md5('leak|'||canonical_id) so "
+    "no near-dup cluster straddles train/val/test; (4) "
+    "pack_sequences_next_fit packs whole docs per (split, shard) in "
+    "doc_id order. Stage ORDER is the contract (scrub before pair "
+    "generation, gate before packing) — pinned by tests/test_plans.py"
+    "::test_curation_training_gold_stage_order. Scale shape is the "
+    "union of its stages': 8-byte segment-hash shuffle, bounded "
+    "distinct-score window, one band shuffle + O(diameter) label "
+    "rounds, then (split x shard)-parallel packing.",
+    oracle=f"""
+        WITH RECURSIVE stok AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        sseg AS (
+          SELECT doc_id, (i - 1) // {_SEG_W} AS seg_idx,
+                 {_SCRUB_SEG_SQL} AS seg,
+                 CAST(CAST(('0x' || substring(md5({_SCRUB_SEG_SQL}), 1, 15))
+                   AS UBIGINT) AS BIGINT) AS seg_hash
+          FROM stok, UNNEST(range(1, len(toks) + 1, {_SEG_W})) AS t(i)
+        ),
+        sbp AS (
+          SELECT seg_hash FROM sseg
+          GROUP BY seg_hash HAVING count(DISTINCT doc_id) >= {_BP_DF}
+        ),
+        sflag AS (
+          SELECT s.doc_id, s.seg_idx, s.seg,
+                 b.seg_hash IS NOT NULL AS is_bp
+          FROM sseg s LEFT JOIN sbp b USING (seg_hash)
+        ),
+        scrubbed AS (
+          SELECT doc_id,
+                 coalesce(string_agg(
+                   CASE WHEN NOT is_bp THEN seg END, ' '
+                   ORDER BY seg_idx), '') AS text
+          FROM sflag GROUP BY doc_id
+        ),
+        base AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS ts
+          FROM scrubbed
+        ),
+        big AS (
+          SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+          FROM base, UNNEST(range(1, len(ts))) AS t(i)
+        ),
+        tokt AS (
+          SELECT doc_id, ts[i] AS token
+          FROM base, UNNEST(range(1, len(ts) + 1)) AS t(i)
+        ),
+        freq AS (SELECT token, count(*) AS cnt FROM tokt GROUP BY token),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+        c2t AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+        c1t AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        scores AS (
+          SELECT b.doc_id,
+                 round(avg(ln(
+                   0.7 * (c2t.c2::DOUBLE / c1t.c1) +
+                   0.3 * (f.cnt::DOUBLE / tot.total)
+                 )), 4) AS avg_logprob
+          FROM big b
+          JOIN c2t USING (w1, w2)
+          JOIN c1t USING (w1)
+          JOIN freq f ON f.token = b.w2, tot
+          GROUP BY b.doc_id
+        ),
+        dist AS (
+          SELECT avg_logprob, count(*) AS cnt FROM scores GROUP BY avg_logprob
+        ),
+        cum AS (
+          SELECT avg_logprob,
+                 sum(cnt) OVER (ORDER BY avg_logprob DESC) AS cum
+          FROM dist
+        ),
+        nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM dist),
+        cuts AS (
+          SELECT max(CASE WHEN cum >= (n + 2) // 3
+                     THEN avg_logprob END) AS cut1,
+                 max(CASE WHEN cum >= (2 * n + 2) // 3
+                     THEN avg_logprob END) AS cut2
+          FROM cum, nn
+        ),
+        gated AS (
+          SELECT s.doc_id,
+                 CASE WHEN s.avg_logprob >= c.cut1 THEN 'head'
+                      WHEN s.avg_logprob >= c.cut2 THEN 'middle'
+                      ELSE 'tail' END AS band
+          FROM scores s, cuts c
+        ),
+        corpus AS (
+          SELECT g.doc_id, sc.text
+          FROM gated g JOIN scrubbed sc USING (doc_id)
+          WHERE g.band <> 'tail'
+        ),
+        {_MINHASH_PAIRS_BODY},
+        edges AS (
+          SELECT left_id AS src, right_id AS dst FROM pairs
+          UNION
+          SELECT right_id AS src, left_id AS dst FROM pairs
+        ),
+        reach(node, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        labels AS (
+          SELECT node AS doc_id, min(label) AS cluster_id
+          FROM reach GROUP BY node
+        ),
+        canon AS (
+          SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS canonical_id
+          FROM corpus c LEFT JOIN labels l USING (doc_id)
+        ),
+        assign AS (
+          SELECT cn.doc_id, g.band, cn.canonical_id,
+                 CASE WHEN cn.bucket < 80 THEN 'train'
+                      WHEN cn.bucket < 90 THEN 'val'
+                      ELSE 'test' END AS split,
+                 cn.doc_id % {PACK_SHARDS} AS shard,
+                 CAST(len(string_split_regex(trim(c.text), '\\s+'))
+                   AS BIGINT) AS n_tokens
+          FROM (SELECT doc_id, canonical_id,
+                       {_LEAK_BUCKET_SQL} AS bucket
+                FROM canon) cn
+          JOIN corpus c USING (doc_id)
+          JOIN gated g USING (doc_id)
+        ),
+        seq AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY split, shard ORDER BY doc_id) AS rn
+          FROM assign
+        ),
+        walk(doc_id, band, canonical_id, split, shard, n_tokens,
+             rn, pack_id, fill) AS (
+          SELECT doc_id, band, canonical_id, split, shard, n_tokens,
+                 rn, CAST(0 AS BIGINT), n_tokens
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.doc_id, s.band, s.canonical_id, s.split, s.shard,
+                 s.n_tokens, s.rn,
+                 CASE WHEN w.fill + s.n_tokens > {PACK_BUDGET}
+                      THEN w.pack_id + 1 ELSE w.pack_id END,
+                 CASE WHEN w.fill + s.n_tokens > {PACK_BUDGET}
+                      THEN s.n_tokens ELSE w.fill + s.n_tokens END
+          FROM walk w
+          JOIN seq s ON s.split = w.split AND s.shard = w.shard
+                    AND s.rn = w.rn + 1
+        )
+        SELECT doc_id, band, canonical_id, split, shard, n_tokens,
+               pack_id, fill AS pack_fill
+        FROM walk ORDER BY doc_id
+    """,
+)
+def curation_training_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return curation_pipeline(d)
+
+
+def curation_pipeline(d: DataFrame) -> DataFrame:
+    """Library face of ``curation_training_gold`` over any (doc_id,
+    text) corpus. Stage-order semantics pinned by
+    tests/test_properties.py::test_curation_pipeline_stage_order_semantics:
+    docs near-dup only through BOILERPLATE do not merge (scrub runs
+    before pair generation) and tail-band docs never reach packing
+    (gate runs before packing)."""
+    from project_orbit_spark.functions.textquality import (
+        bigram_scores,
+        perplexity_bands,
+    )
+    from project_orbit_spark.operators.dedup import minhash_pairs
+    from project_orbit_spark.operators.graph import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    # stage 1: scrub (MUST precede scoring and pair generation)
+    scrubbed = scrub_boilerplate(d).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    # stage 2: perplexity band gate on the scrubbed text
+    banded = perplexity_bands(
+        bigram_scores(scrubbed).select("doc_id", "avg_logprob")
+    )
+    gated = scrubbed.join(
+        banded.filter(F.col("band") != "tail").select("doc_id", "band"),
+        "doc_id",
+    )
+    # stage 3: leakage-safe split over the gated corpus
+    pairs = minhash_pairs(gated.select("doc_id", "text"))
+    edges = pairs.select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    labels = cluster_representatives(connected_components(edges)).select(
+        "doc_id", "cluster_id"
+    )
+    canon = gated.join(F.broadcast(labels), "doc_id", "left").withColumn(
+        "canonical_id",
+        F.coalesce("cluster_id", F.col("doc_id")).cast("long"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("leak|"), F.col("canonical_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    # stage 4: next-fit packing per (split, shard) of gated docs only
+    toks = canon.select(
+        "doc_id",
+        "band",
+        "canonical_id",
+        split.alias("split"),
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return pack_next_fit(toks, group_cols=("split", "shard"))

@@ -1583,10 +1583,10 @@ _LEAK_BUCKET_SQL = (
 
 @register(
     "leakage_safe_split",
-    # driver=False for round 11 only (case 2, registry.py:39): the
-    # round-11 first-50 window is fully committed. Verified locally
-    # at 3 SFs + driver_sim + pytest; flip to driver=True in round 12.
-    driver=False,
+    # Was driver=False for round 11 only (case 2, registry.py:39);
+    # flipped per the register()-site note (VERDICT r11 ask #1). LRV
+    # fronts the never-verified query automatically in the r12 window.
+    driver=True,
     bench=True,
     tags=("dedup", "corpus", "sampling", "pipeline"),
     doc="Leakage-safe train/val/test split: assignment hashes the "

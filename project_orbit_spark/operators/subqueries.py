@@ -388,12 +388,9 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21_suppliers_kept_waiting",
-    # driver=False for round 11 only (case 2, registry.py:39): round
-    # 11's first-50 window is fully committed (44 r07 rotations + the
-    # five round-10 deferral flips + changed-path q17 = exactly 50).
-    # Verified locally at 3 SFs (tools/check.py) + driver_sim +
-    # pytest; flip to driver=True in round 12.
-    driver=False,
+    # Was driver=False for round 11 only (case 2, registry.py:39);
+    # flipped per the register()-site note (VERDICT r11 ask #1).
+    driver=True,
     bench=True,
     tags=("relational", "subquery", "exists", "anti", "agg"),
     doc="TPC-H Q21 shape on the trimmed schema (no receipt/commit "

@@ -202,22 +202,34 @@ def get_query(name: str) -> Query:
 # stale slots at a round boundary and never needs a same-round
 # hand-trim when rotation demand + head size would exceed 50.
 _DRIVER_PRIORITY = (
-    # Round 11 head. Slot budget: 44 r07 records rotate this round;
-    # 50 − 44 = 6 spare. Occupants: the five round-10 case-2
-    # deferrals flipped to driver=True (all never-verified, so the
+    # Round 12 head. Slot budget: the eight round-11 case-2 deferrals
+    # flipped to driver=True this round (all never-verified, so the
     # LRV sort would pull them in anyway; the head makes the
-    # guarantee explicit) + ONE changed-path entry:
-    # q17_small_quantity_revenue, whose per-part average subquery was
-    # rebuilt this round (semi-join before the aggregate, size-gated
-    # broadcast — VERDICT r10 ask #3) after its r09 record. Exactly
-    # 50; enforced by tests/test_entry.py against the records.
-    "q9_nation_profit",
-    "q10_returned_item_customers",
-    "q12_delay_bucket_priority",
-    "q20_dominant_part_suppliers",
-    "weighted_poisson_sample",
-    "q17_small_quantity_revenue",
+    # guarantee explicit) + 42 of the 46 r08-record rotations fill
+    # the window exactly (8 + 42 = 50); the remaining 4 r08s land in
+    # r13, inside the rotation_period() bar — forward-simulated by
+    # tests/test_entry.py::test_rotation_schedule_is_sustainable_under_lrv.
+    # No changed-path re-pins this round: the flips changed only the
+    # register() metadata, not any plan builder.
+    "q21_suppliers_kept_waiting",
+    "boilerplate_segment_scrub",
+    "leakage_safe_split",
+    "ccnet_perplexity_bands",
+    "vocab_coverage_oov",
+    "pack_sequences_next_fit",
+    "incremental_vocab_oov",
+    "stream_cluster_assign_batch",
 )
+
+# Changed-path re-pins, EXEMPT from the self-expiry filter (ADVICE r11
+# #3): a query listed here keeps its head slot even if its latest
+# record equals the newest round — use it when a query's plan builder
+# changes AGAIN after the round in which the driver last recorded it,
+# so the changed path cannot silently lose its guaranteed first-50
+# slot to the freshness filter. Empty most rounds; entries are removed
+# once the post-change record lands (one round of life, but expired by
+# HAND at the next round's head rewrite, never by the filter).
+_DRIVER_PRIORITY_CHANGED: tuple[str, ...] = ()
 
 
 def _driver_order(names: list[str]) -> list[str]:
@@ -235,11 +247,16 @@ def _driver_order(names: list[str]) -> list[str]:
     round's rotation needs."""
     last = _last_verified()
     newest = max(last.values(), default=0)
-    prio = {
-        n: i
-        for i, n in enumerate(_DRIVER_PRIORITY)
+    head = [
+        n
+        for n in _DRIVER_PRIORITY
         if last.get(n, 0) < newest or newest == 0
-    }
+    ]
+    # Changed-path re-pins bypass the freshness filter (ADVICE r11 #3):
+    # a plan that changed after its newest-round record still needs its
+    # guaranteed slot, which the self-expiry heuristic would deny it.
+    head.extend(n for n in _DRIVER_PRIORITY_CHANGED if n not in head)
+    prio = {n: i for i, n in enumerate(head)}
     reg_idx = {n: i for i, n in enumerate(names)}
     return sorted(
         names,

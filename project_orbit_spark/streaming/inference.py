@@ -77,12 +77,9 @@ def batch_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_cluster_assign_batch",
-    # driver=False for ROUND 11 ONLY (registry.Query.driver case 2,
-    # VERDICT r10 ask #4/#7): the r11 window is exactly full, so the
-    # streaming twin's plan builder gets its driver record in round
-    # 12. Verified this round by tools/check at 3 SFs, driver_sim,
-    # and the strengthened AvailableNow parity test.
-    driver=False,
+    # Was driver=False for ROUND 11 ONLY (registry.Query.driver case
+    # 2); flipped per the register()-site note (VERDICT r11 ask #1).
+    driver=True,
     bench=True,  # bench-visible now (like its twin), so the prepare
     # hook below actually runs and the per-round record tracks the
     # steady-state assignment cost, not the one-off model fit

@@ -103,8 +103,13 @@ def test_driver_priority_entries_are_registered():
     qs = set(registry.all_queries())
     missing = [n for n in registry._DRIVER_PRIORITY if n not in qs]
     assert not missing, f"priority entries not in registry: {missing}"
+    missing = [n for n in registry._DRIVER_PRIORITY_CHANGED if n not in qs]
+    assert not missing, f"changed-path pins not in registry: {missing}"
     # and the priority head must fit the driver's sample window
-    assert len(registry._DRIVER_PRIORITY) <= 50
+    assert (
+        len(registry._DRIVER_PRIORITY) + len(registry._DRIVER_PRIORITY_CHANGED)
+        <= 50
+    )
 
 
 def test_priority_head_fits_the_spare_slot_budget():

