@@ -1040,6 +1040,11 @@ _SCRUB_SEG_SQL = (
     "distinct-score window, one band shuffle + O(diameter) label "
     "rounds, then (split x shard)-parallel packing.",
     oracle=f"""
+        -- The MATERIALIZED hints below are load-bearing for oracle
+        -- RUNTIME (not semantics): DuckDB inlines plain CTEs, so the
+        -- two recursions (reach, walk) would otherwise re-evaluate
+        -- the entire upstream scrub+LM+minhash chain ON EVERY
+        -- ITERATION (measured: 240 s -> 0.5 s at sf0.01).
         WITH RECURSIVE stok AS (
           SELECT doc_id,
                  string_split_regex(trim(lower(text)), '\\s+') AS toks
@@ -1061,7 +1066,7 @@ _SCRUB_SEG_SQL = (
                  b.seg_hash IS NOT NULL AS is_bp
           FROM sseg s LEFT JOIN sbp b USING (seg_hash)
         ),
-        scrubbed AS (
+        scrubbed AS MATERIALIZED (
           SELECT doc_id,
                  coalesce(string_agg(
                    CASE WHEN NOT is_bp THEN seg END, ' '
@@ -1085,7 +1090,7 @@ _SCRUB_SEG_SQL = (
         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
         c2t AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
         c1t AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
-        scores AS (
+        scores AS MATERIALIZED (
           SELECT b.doc_id,
                  round(avg(ln(
                    0.7 * (c2t.c2::DOUBLE / c1t.c1) +
@@ -1120,7 +1125,7 @@ _SCRUB_SEG_SQL = (
                       ELSE 'tail' END AS band
           FROM scores s, cuts c
         ),
-        corpus AS (
+        corpus AS MATERIALIZED (
           SELECT g.doc_id, sc.text
           FROM gated g JOIN scrubbed sc USING (doc_id)
           WHERE g.band <> 'tail'
@@ -1144,7 +1149,7 @@ _SCRUB_SEG_SQL = (
           SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS canonical_id
           FROM corpus c LEFT JOIN labels l USING (doc_id)
         ),
-        assign AS (
+        assign AS MATERIALIZED (
           SELECT cn.doc_id, g.band, cn.canonical_id,
                  CASE WHEN cn.bucket < 80 THEN 'train'
                       WHEN cn.bucket < 90 THEN 'val'
@@ -1158,7 +1163,7 @@ _SCRUB_SEG_SQL = (
           JOIN corpus c USING (doc_id)
           JOIN gated g USING (doc_id)
         ),
-        seq AS (
+        seq AS MATERIALIZED (
           SELECT *, row_number() OVER (
             PARTITION BY split, shard ORDER BY doc_id) AS rn
           FROM assign

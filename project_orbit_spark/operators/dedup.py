@@ -457,6 +457,35 @@ def minhash_pairs(corpus: DataFrame) -> DataFrame:
     ).filter(F.col("est_jaccard") >= 0.5)
 
 
+# (session token, sf_dir) -> persisted near-dup PAIR graph over the
+# dup-injected corpus. VERDICT r11 ask #5: dup_cluster_labels,
+# dedup_canonical_corpus, dedup_quality_canonical, and (through the
+# canonical pipeline) leakage_safe_split all consume this exact pair
+# table — without the shared face each re-runs the band shuffle, the
+# engine's most shuffle-intensive stage. Pairs (not signatures) are
+# the cached artifact: the post-join output is tiny (near-dup pairs
+# only), so the persist is kilobytes at fixture scale and stays
+# bounded by corpus redundancy at 100 TB.
+_DUP_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = register_df_cache({})
+
+
+def warm_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dup-injected corpus's near-dup pair graph (left_id,
+    right_id, est_jaccard), persisted once per (session, sf_dir) —
+    at 100 TB this is the stored pair-graph artifact the offline
+    dedup job maintains, not something every downstream consumer
+    re-mines from the full corpus. Same contract as warm_band_index /
+    lsh.warm_embedding_index; released via session.clear_df_caches().
+    Semantics identical to minhash_lsh_near_dups — correctness
+    sessions just materialize on first use."""
+    key = (cache_token(spark), sf_dir)
+    if key not in _DUP_PAIRS_CACHE:
+        p = minhash_lsh_near_dups(spark, sf_dir).persist()
+        p.count()
+        _DUP_PAIRS_CACHE[key] = p
+    return _DUP_PAIRS_CACHE[key]
+
+
 _BAND_INDEX_CACHE: dict[tuple[str, str], DataFrame] = register_df_cache({})
 
 
@@ -917,7 +946,9 @@ def dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    pairs = minhash_lsh_near_dups(spark, sf_dir)
+    # shared pair-graph artifact (VERDICT r11 ask #5): the band
+    # shuffle runs once per session, every consumer reuses the persist
+    pairs = warm_dup_pairs(spark, sf_dir)
     edges = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
     labels = connected_components(edges)
     return cluster_representatives(labels).orderBy("doc_id")
@@ -980,7 +1011,9 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 100000).alias("doc_id")
         )
     )
-    pairs = minhash_lsh_near_dups(spark, sf_dir)
+    # shared pair-graph artifact (VERDICT r11 ask #5): the band
+    # shuffle runs once per session, every consumer reuses the persist
+    pairs = warm_dup_pairs(spark, sf_dir)
     edges = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
     labels = cluster_representatives(connected_components(edges))
     out = corpus.join(F.broadcast(labels), "doc_id", "left")
@@ -1066,7 +1099,9 @@ def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(quality_score(F.col("text"), F.length("text")) * 10000) / 10000
         ).alias("quality"),
     )
-    pairs = minhash_pairs(corpus)
+    # same injected corpus as minhash_lsh_near_dups -> identical pair
+    # graph; reuse the session-persisted artifact (VERDICT r11 ask #5)
+    pairs = warm_dup_pairs(spark, sf_dir)
     edges = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
     labels = connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

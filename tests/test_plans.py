@@ -730,6 +730,12 @@ def test_curation_training_gold_stage_order(spark):
     f = facts("curation_training_gold", spark)
     assert "CartesianProduct" not in f.text
     assert f.n_broadcast_joins >= 1, "cluster labels must broadcast onto the spine"
-    assert f.text.count("FlatMapGroupsInPandas") == 1, (
-        "exactly one pandas stage: the next-fit packing walk"
-    )
+    # exactly one pandas stage — the next-fit packing walk. The
+    # formatted plan prints each node twice (tree + detail section),
+    # so compare against the standalone packer, whose plan has
+    # exactly one such stage by test_next_fit_packer_is_grouped_pandas.
+    base = facts("pack_sequences_next_fit", spark)
+    assert (
+        f.text.count("FlatMapGroupsInPandas")
+        == base.text.count("FlatMapGroupsInPandas")
+    ), "the composed pipeline must add no pandas stage beyond the packer"

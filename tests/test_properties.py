@@ -762,3 +762,31 @@ def test_curation_pipeline_stage_order_semantics(spark):
     if 2 in out and 3 in out:
         assert out[2]["canonical_id"] == out[3]["canonical_id"] == 2
         assert out[2]["split"] == out[3]["split"]
+
+
+def test_perplexity_band_ties_land_in_the_higher_band(spark):
+    """ADVICE-style sweep of the round-11 operators: CCNet banding
+    cuts on score VALUES, so a tie group that straddles a tercile
+    boundary must land WHOLE in the higher band (never split between
+    bands), and with distinct scores the ceil arithmetic yields exact
+    ceil(n/3) terciles."""
+    from project_orbit_spark.functions.textquality import perplexity_bands
+
+    def bands(scores):
+        df = spark.createDataFrame(
+            [(i, float(s)) for i, s in enumerate(scores)],
+            "doc_id long, avg_logprob double",
+        )
+        return {r["doc_id"]: r["band"] for r in perplexity_bands(df).collect()}
+
+    # 5-way tie straddles the first boundary: ALL ties go head
+    b = bands([5.0] * 5 + [1.0] * 4)
+    assert [b[i] for i in range(5)] == ["head"] * 5
+    assert [b[i] for i in range(5, 9)] == ["middle"] * 4
+    assert "tail" not in b.values()
+
+    # distinct scores: exact ceil-terciles, high scores = head
+    b = bands([9.0, 8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0])
+    assert [b[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )

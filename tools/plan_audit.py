@@ -18,6 +18,11 @@ Exit code 0 iff no cartesians, no errors, and no un-allowlisted BNLJ.
 Round-9 audit result: CARTESIAN=[], ERRORS=[], BNLJ = exactly the
 allowlist below (31 queries, all bounded builds — r9 adds the packed
 1-row k-means centroid builds and the Q15/Q22 stats-row builds).
+Round-12 audit result (206-query registry): CARTESIAN=[], ERRORS=[],
+BNLJ = the allowlist (37 queries — r12 adds ccnet_perplexity_bands
+and stream_cluster_assign_batch, registered r11 after the last full
+audit, plus the composed curation_training_gold; all three carry
+only 1-row broadcast builds, see the inline comment).
 """
 
 from __future__ import annotations
@@ -53,6 +58,14 @@ BNLJ_BOUNDED = {
     "benchmark_contamination", "bigram_logprob_scores", "bloom_pruned_join",
     "corpus_mixture_sample", "events_value_histogram", "heavy_hitters_two_pass",
     "key_skew_profile", "tfidf_top_terms", "unigram_logprob_scores",
+    # round-12 audit additions (hand-audited): ccnet bands crossJoins
+    # two 1-row builds (the total-count row and the 2-cutoff row) on
+    # top of the bigram scorer's 1-row total; the composed curation
+    # pipeline inherits exactly those sites; the streaming assign
+    # twin broadcasts the single packed-centroid row (k=8 structs in
+    # one row, same bound as kmeans_embedding_clusters)
+    "ccnet_perplexity_bands", "curation_training_gold",
+    "stream_cluster_assign_batch",
 }
 
 
