@@ -384,20 +384,54 @@ def bigram_scores(d: DataFrame) -> DataFrame:
     LM scored over any (doc_id, text) corpus — curation pipelines
     score SCRUBBED text, not the raw crawl (curation_training_gold).
     Docs with <2 tokens have no bigrams and drop out."""
+    return score_with_lm(doc_bigrams(d), *lm_count_tables(d))
+
+
+def doc_bigrams(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → the per-doc bigram stream (doc_id, w1, w2),
+    formed ARRAY-SIDE (zip_with of two token-array slices) so pairing
+    needs no per-doc window shuffle."""
     ts = F.split(F.trim(F.lower("text")), r"\s+")
     pair = F.zip_with(
         F.slice(ts, 1, F.size(ts) - 1),
         F.slice(ts, 2, F.size(ts) - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    big = d.select("doc_id", F.explode(pair).alias("p")).select(
+    return d.select("doc_id", F.explode(pair).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
+
+
+def lm_count_tables(d: DataFrame):
+    """The interpolated bigram LM's count tables fitted on corpus
+    ``d``: (c2, c1, freq, total). At 100 TB these are the persisted
+    vocabulary artifacts the offline LM-fit job maintains; the
+    incremental face probes them instead of refitting
+    (warm_lm_artifacts)."""
+    ts = F.split(F.trim(F.lower("text")), r"\s+")
+    big = doc_bigrams(d)
     tok = d.select("doc_id", F.explode(ts).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").cast("double").alias("total"))
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return c2, c1, freq, total
+
+
+def score_with_lm(
+    big: DataFrame,
+    c2: DataFrame,
+    c1: DataFrame,
+    freq: DataFrame,
+    total: DataFrame,
+) -> DataFrame:
+    """Score a (doc_id, w1, w2) bigram stream against LM count
+    tables → (doc_id, n_bigrams, avg_logprob). INNER joins: bigrams
+    the LM has never seen drop out of the average (when the stream
+    comes from the fitted corpus itself, every bigram is known and
+    this is exactly the full-fit scoring; the incremental face's
+    'score what the model knows' contract falls out of the same
+    joins)."""
     lp = F.log(
         0.7 * (F.col("c2").cast("double") / F.col("c1"))
         + 0.3 * (F.col("cnt").cast("double") / F.col("total"))
@@ -506,6 +540,13 @@ def perplexity_bands(scores: DataFrame) -> DataFrame:
     """Library face of ``ccnet_perplexity_bands``: tercile-band any
     (doc_id, avg_logprob) score table by VALUE cutoffs derived from
     the bounded distinct-score domain (see the register() doc)."""
+    return band_with_cutoffs(scores, band_cutoffs(scores))
+
+
+def band_cutoffs(scores: DataFrame) -> DataFrame:
+    """The 1-row (cut1, cut2) tercile cutoffs of a score table — the
+    persisted banding artifact the incremental face probes instead of
+    re-deriving (warm_lm_artifacts)."""
     dist = scores.groupBy("avg_logprob").agg(F.count(F.lit(1)).alias("cnt"))
     # the ONLY single-partition window: over the bounded distinct-
     # score table (4dp domain), never the corpus
@@ -514,7 +555,7 @@ def perplexity_bands(scores: DataFrame) -> DataFrame:
     )
     cum = dist.withColumn("cum", F.sum("cnt").over(w))
     n = dist.agg(F.sum("cnt").cast("long").alias("n"))
-    cuts = (
+    return (
         cum.crossJoin(F.broadcast(n))
         .agg(
             F.max(
@@ -531,6 +572,12 @@ def perplexity_bands(scores: DataFrame) -> DataFrame:
             ).alias("cut2"),
         )
     )
+
+
+def band_with_cutoffs(scores: DataFrame, cuts: DataFrame) -> DataFrame:
+    """Assign head/middle/tail to (doc_id, avg_logprob) rows from a
+    1-row broadcast (cut1, cut2) table — ties land in the higher
+    band (test-pinned)."""
     band = (
         F.when(F.col("avg_logprob") >= F.col("cut1"), "head")
         .when(F.col("avg_logprob") >= F.col("cut2"), "middle")

@@ -739,3 +739,18 @@ def test_curation_training_gold_stage_order(spark):
         f.text.count("FlatMapGroupsInPandas")
         == base.text.count("FlatMapGroupsInPandas")
     ), "the composed pipeline must add no pandas stage beyond the packer"
+
+
+def test_incremental_curation_is_batch_side_only(spark):
+    # the incremental face: no cartesian anywhere, exactly one pandas
+    # stage (the packer), and the persisted artifacts appear as
+    # in-memory scans (the base corpus is never re-derived in the
+    # batch plan — its derivations live inside the cached relations)
+    f = facts("incremental_curation_gold", spark)
+    assert "CartesianProduct" not in f.text
+    base = facts("pack_sequences_next_fit", spark)
+    assert (
+        f.text.count("FlatMapGroupsInPandas")
+        == base.text.count("FlatMapGroupsInPandas")
+    )
+    assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text

@@ -790,3 +790,40 @@ def test_perplexity_band_ties_land_in_the_higher_band(spark):
     assert [b[i] for i in range(9)] == (
         ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
     )
+
+
+def test_incremental_curation_recrawls_inherit_split(spark):
+    """The incremental face's leakage guard: a re-crawl (verbatim
+    copy of a base doc) must match the index, inherit the base
+    cluster's EXISTING canonical id, and therefore land in exactly
+    the split the offline build assigned that cluster — a re-crawled
+    training doc can never drift into val/test. Remix-arm docs below
+    the pair threshold must found their own cluster (canonical =
+    self), so the coalesce path is non-vacuous."""
+    from project_orbit_spark.operators.corpus import (
+        curation_pipeline,
+        warm_curation_artifacts,
+    )
+    from project_orbit_spark.catalog import load
+    from project_orbit_spark.registry import get_query
+    from tests.conftest import SF_DIR
+
+    rows = get_query("incremental_curation_gold").fn(spark, SF_DIR).collect()
+    assert rows
+    base = {
+        r["doc_id"]: r
+        for r in curation_pipeline(
+            load(spark, SF_DIR, "documents").select("doc_id", "text")
+        ).collect()
+    }
+    recrawls = [r for r in rows if 200000 <= r["new_id"] < 300000]
+    remixes = [r for r in rows if r["new_id"] >= 300000]
+    assert recrawls and remixes
+    for r in recrawls:
+        b = base[r["new_id"] - 200000]  # the doc it re-crawls
+        assert r["canonical_id"] == b["canonical_id"], r
+        assert r["split"] == b["split"], r
+        assert r["band"] == b["band"], r  # same text, same artifacts
+    assert any(r["canonical_id"] == r["new_id"] for r in remixes), (
+        "no remix founded its own cluster — the coalesce path is vacuous"
+    )

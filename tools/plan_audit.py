@@ -66,6 +66,9 @@ BNLJ_BOUNDED = {
     # one row, same bound as kmeans_embedding_clusters)
     "ccnet_perplexity_bands", "curation_training_gold",
     "stream_cluster_assign_batch",
+    # the incremental curation face inherits the same 1-row builds
+    # (persisted total/cuts artifacts) on its O(new) batch side
+    "incremental_curation_gold",
 }
 
 
