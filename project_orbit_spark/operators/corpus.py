@@ -1615,6 +1615,18 @@ def _incremental_batch(d: DataFrame) -> DataFrame:
     """,
 )
 def incremental_curation_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    art = warm_curation_artifacts(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return curate_batch(_incremental_batch(d), art)
+
+
+def curate_batch(batch: DataFrame, art: dict) -> DataFrame:
+    """The O(new) curation of one (doc_id, text) batch against the
+    persisted artifacts — the stage chain incremental_curation_gold
+    registers, factored out so the streaming twin
+    (streaming/curation.py::stream_curate_docs) runs the IDENTICAL
+    plan builder per micro-batch (the stream_cluster_assign
+    pattern)."""
     from project_orbit_spark.functions.textquality import (
         band_with_cutoffs,
         doc_bigrams,
@@ -1622,9 +1634,6 @@ def incremental_curation_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from project_orbit_spark.operators.dedup import _banded_signatures
 
-    art = warm_curation_artifacts(spark, sf_dir)
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    batch = _incremental_batch(d)
     # stage 1 (O(new)): scrub against the persisted boilerplate set.
     # localCheckpoint: the scrubbed batch feeds the LM scorer AND the
     # gate join AND (through gated) three further consumers — without

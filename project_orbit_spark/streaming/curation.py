@@ -1,0 +1,75 @@
+"""Streaming twin of the incremental curation face.
+
+The 100 TB pattern this pins: the nightly crawl arrives as an
+UNBOUNDED stream of documents; each micro-batch is curated end-to-end
+(scrub -> LM gate -> near-dup match -> leakage-safe split -> next-fit
+pack) against the SESSION-PERSISTED offline artifacts
+(operators/corpus.py::warm_curation_artifacts), by the IDENTICAL plan
+builder the driver-checked batch face uses (curate_batch). Because
+the stage chain contains per-doc aggregates (segment regroup, score
+average, the packing walk), the twin runs through ``foreachBatch`` —
+the documented Structured Streaming seam for micro-batch logic that
+needs full batch semantics — rather than as a single unbounded plan
+(contrast stream_cluster_assign, whose map-only chain streams
+directly). State is ZERO: every stage is a pure function of (micro-
+batch, persisted artifacts), so restarts replay cleanly from the
+source offsets.
+
+Batch-boundary semantics are BY DESIGN per micro-batch: near-dup
+matching is new-vs-INDEX (two docs arriving in different micro-
+batches are matched against the corpus index, never each other —
+exactly the incremental face's contract), packing closes packs at
+micro-batch end (fresh packs per trigger, the append-only layout a
+nightly job produces), and the remix arm's self-join sees only the
+trigger's rows. Parity with the batch face is pinned by
+tests/test_streaming.py::test_stream_curation_matches_batch
+(AvailableNow over the single-file fixture = one micro-batch = the
+batch face's exact rows, packing included).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` face of the documents table (explicit schema,
+    as streaming file sources require); handles both shipped layouts
+    the way inference.read_embeddings_stream does."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(path):
+        return reader.load(path)
+    return reader.option("pathGlobFilter", "documents.parquet").load(sf_dir)
+
+
+def stream_curate_docs(spark: SparkSession, sf_dir: str, sink: list):
+    """Start the curation stream: per micro-batch, synthesize the
+    batch arms and run curate_batch against the warm artifacts,
+    appending the curated rows to ``sink``. Returns the
+    StreamingQuery (callers pick the trigger by stopping/awaiting).
+
+    The artifacts are warmed ONCE on the driver before the stream
+    starts (persisted DataFrames are session-scoped, so every
+    micro-batch reuses them — model refresh is a restart-and-swap,
+    the lsh.warm_embedding_index contract)."""
+    from project_orbit_spark.operators.corpus import (
+        _incremental_batch,
+        curate_batch,
+        warm_curation_artifacts,
+    )
+
+    art = warm_curation_artifacts(spark, sf_dir)
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+
+    def run_batch(mb: DataFrame, _batch_id: int) -> None:
+        sink.extend(curate_batch(_incremental_batch(mb), art).collect())
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

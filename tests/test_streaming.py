@@ -481,3 +481,27 @@ def test_stream_cluster_assign_matches_batch(spark):
     # a quantization bug collapses everything onto one centroid —
     # require the real cluster spread
     assert len({cid for _vid, cid in got}) > 1
+
+
+def test_stream_curation_matches_batch(spark):
+    """Streaming twin of the incremental curation face: the documents
+    stream curated per micro-batch through foreachBatch must emit
+    exactly the rows of the driver-checked batch face — same plan
+    builder (curate_batch), same persisted artifacts, packing
+    included (AvailableNow over the single-file fixture is one
+    micro-batch, so the next-fit walk sees identical shards). Pins
+    that the whole stage chain — pandas packing stage included —
+    survives the micro-batch execution path with zero state."""
+    from project_orbit_spark.registry import get_query
+    from project_orbit_spark.streaming.curation import stream_curate_docs
+
+    rows: list = []
+    q = stream_curate_docs(spark, SF_DIR, rows)
+    q.awaitTermination(180)
+    got = {tuple(r) for r in rows}
+    want = {
+        tuple(r)
+        for r in get_query("incremental_curation_gold").fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert got, "parity set is empty — the stream produced nothing"
