@@ -1139,8 +1139,9 @@ _CURATION_BASE_CTES = f"""stok AS (
     # driver=False for round 12 only (case 2, registry.py:39): the
     # round-12 first-50 window is exactly full (8 round-11 deferral
     # flips + 42 of the 46 r08 rotations). Verified locally at 3 SFs
-    # + driver_sim + pytest; flip to driver=True in round 13 (the r13
-    # window has 4 r08 stragglers + this = 5 forced slots).
+    # + driver_sim + pytest; flip to driver=True in round 13 alongside
+    # incremental_curation_gold (r13 forced slots: 4 r08 stragglers +
+    # 2 flips = 6; sustainability forward-simulated in test_entry.py).
     driver=False,
     bench=True,
     tags=("corpus", "curation", "pipeline", "dedup", "quality", "packing"),

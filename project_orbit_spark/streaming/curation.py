@@ -46,11 +46,14 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reader.option("pathGlobFilter", "documents.parquet").load(sf_dir)
 
 
-def stream_curate_docs(spark: SparkSession, sf_dir: str, sink: list):
+def stream_curate_docs(spark: SparkSession, sf_dir: str, on_batch):
     """Start the curation stream: per micro-batch, synthesize the
-    batch arms and run curate_batch against the warm artifacts,
-    appending the curated rows to ``sink``. Returns the
-    StreamingQuery (callers pick the trigger by stopping/awaiting).
+    batch arms, run curate_batch against the warm artifacts, and hand
+    the CURATED DataFrame to ``on_batch`` (a production caller writes
+    it to a partitioned sink or MERGEs it; the parity test collects).
+    Returns the StreamingQuery (callers pick the trigger by
+    stopping/awaiting). The curated rows stay distributed end-to-end
+    — this module never collects.
 
     The artifacts are warmed ONCE on the driver before the stream
     starts (persisted DataFrames are session-scoped, so every
@@ -66,7 +69,7 @@ def stream_curate_docs(spark: SparkSession, sf_dir: str, sink: list):
     stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
 
     def run_batch(mb: DataFrame, _batch_id: int) -> None:
-        sink.extend(curate_batch(_incremental_batch(mb), art).collect())
+        on_batch(curate_batch(_incremental_batch(mb), art))
 
     return (
         stream.writeStream.foreachBatch(run_batch)

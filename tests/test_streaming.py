@@ -496,7 +496,7 @@ def test_stream_curation_matches_batch(spark):
     from project_orbit_spark.streaming.curation import stream_curate_docs
 
     rows: list = []
-    q = stream_curate_docs(spark, SF_DIR, rows)
+    q = stream_curate_docs(spark, SF_DIR, lambda df: rows.extend(df.collect()))
     q.awaitTermination(180)
     got = {tuple(r) for r in rows}
     want = {
