@@ -505,3 +505,60 @@ def test_stream_curation_matches_batch(spark):
     }
     assert got == want
     assert got, "parity set is empty — the stream produced nothing"
+
+
+def test_stream_curation_multi_batch_reuses_artifacts(spark, tmp_path):
+    """Per-micro-batch semantics under a MULTI-trigger stream: the
+    documents table split into 3 files and streamed one file per
+    trigger must produce, per micro-batch, exactly the batch face's
+    output for that slice (state is ZERO; the persisted artifacts are
+    reused across triggers, never re-derived per batch) — and the
+    incremental leakage invariant (a re-crawl inherits its base
+    cluster's split) holds in EVERY micro-batch independently."""
+    from project_orbit_spark.catalog import load
+    from project_orbit_spark.operators.corpus import (
+        _incremental_batch,
+        curate_batch,
+        curation_pipeline,
+        warm_curation_artifacts,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(src)
+
+    art = warm_curation_artifacts(spark, SF_DIR)
+    per_batch: list = []
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("doc_id", "text")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda mb, _bid: per_batch.append(
+                curate_batch(_incremental_batch(mb), art).collect()
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(per_batch) >= 2, "fixture did not split into multiple triggers"
+
+    base = {
+        r["doc_id"]: r
+        for r in curation_pipeline(docs.select("doc_id", "text")).collect()
+    }
+    seen = set()
+    for rows in per_batch:
+        ids = {r["new_id"] for r in rows}
+        assert not (ids & seen), "a doc leaked across micro-batches"
+        seen |= ids
+        for r in rows:
+            if 200000 <= r["new_id"] < 300000:  # re-crawl arm
+                b = base[r["new_id"] - 200000]
+                assert r["canonical_id"] == b["canonical_id"]
+                assert r["split"] == b["split"]
