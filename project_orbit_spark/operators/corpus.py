@@ -1250,18 +1250,31 @@ def curation_pipeline(d: DataFrame) -> DataFrame:
         connected_components,
     )
 
-    # stage 1: scrub (MUST precede scoring and pair generation)
-    scrubbed = scrub_boilerplate(d).select(
-        "doc_id", F.col("clean_text").alias("text")
+    # stage 1: scrub (MUST precede scoring and pair generation).
+    # localCheckpoint = the stage barrier a production pipeline has
+    # anyway (C4/CCNet materialize each stage to storage between
+    # steps): the scrubbed corpus feeds the LM scorer AND the gate
+    # join AND (through gated) three further consumers — without the
+    # barrier Spark re-executes the scrub aggregate once per consumer
+    # (measured: 8.3 s -> see SCALE.md round-12 after barriers).
+    scrubbed = (
+        scrub_boilerplate(d)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .localCheckpoint()
     )
-    # stage 2: perplexity band gate on the scrubbed text
-    banded = perplexity_bands(
-        bigram_scores(scrubbed).select("doc_id", "avg_logprob")
+    # stage 2: perplexity band gate on the scrubbed text. scores is
+    # consumed twice inside perplexity_bands (cutoff derivation +
+    # band assignment) — barrier it too (narrow: doc_id + a double).
+    scores = (
+        bigram_scores(scrubbed)
+        .select("doc_id", "avg_logprob")
+        .localCheckpoint()
     )
+    banded = perplexity_bands(scores)
     gated = scrubbed.join(
         banded.filter(F.col("band") != "tail").select("doc_id", "band"),
         "doc_id",
-    )
+    ).localCheckpoint()
     # stage 3: leakage-safe split over the gated corpus
     pairs = minhash_pairs(gated.select("doc_id", "text"))
     edges = pairs.select(
@@ -1354,12 +1367,22 @@ def warm_curation_artifacts(spark: SparkSession, sf_dir: str) -> dict:
     if key not in _CURATION_ARTIFACTS_CACHE:
         d = load(spark, sf_dir, "documents").select("doc_id", "text")
         bp = boilerplate_hashes(d).persist()
-        scrubbed = apply_boilerplate_scrub(doc_segments(d), bp).select(
-            "doc_id", F.col("clean_text").alias("text")
+        # stage barriers, as in curation_pipeline: each derived
+        # artifact below re-reads scrubbed/scores/gated — without the
+        # checkpoints the scrub and LM chains re-execute once per
+        # artifact during the one-time warm
+        scrubbed = (
+            apply_boilerplate_scrub(doc_segments(d), bp)
+            .select("doc_id", F.col("clean_text").alias("text"))
+            .localCheckpoint()
         )
         c2, c1, freq, total = lm_count_tables(scrubbed)
         c2, c1, freq, total = (t.persist() for t in (c2, c1, freq, total))
-        scores = bigram_scores(scrubbed).select("doc_id", "avg_logprob")
+        scores = (
+            bigram_scores(scrubbed)
+            .select("doc_id", "avg_logprob")
+            .localCheckpoint()
+        )
         cuts = band_cutoffs(scores).persist()
         from project_orbit_spark.functions.textquality import band_with_cutoffs
 
@@ -1368,7 +1391,7 @@ def warm_curation_artifacts(spark: SparkSession, sf_dir: str) -> dict:
             .filter(F.col("band") != "tail")
             .select("doc_id"),
             "doc_id",
-        )
+        ).localCheckpoint()
         banded = _banded_signatures(gated.select("doc_id", "text")).persist()
         pairs = minhash_pairs(gated.select("doc_id", "text"))
         edges = pairs.select(
