@@ -754,3 +754,25 @@ def test_incremental_curation_is_batch_side_only(spark):
         == base.text.count("FlatMapGroupsInPandas")
     )
     assert "InMemoryTableScan" in f.text or "InMemoryRelation" in f.text
+
+
+def test_warm_dup_pairs_is_cached_and_identical(spark):
+    """The shared pair-graph face (VERDICT r11 ask #5): the second
+    call must return the SAME persisted DataFrame (no re-derive) and
+    its rows must equal the raw minhash_lsh_near_dups plan's — the
+    consumers swap plans for the artifact with zero semantic drift.
+    (The cache node does not survive into dedup_canonical_corpus's
+    FINAL plan: connected_components consumes the pairs during its
+    eager label-propagation checkpoints, so the output plan reads
+    the checkpointed labels RDD instead.)"""
+    from project_orbit_spark.operators.dedup import (
+        minhash_lsh_near_dups,
+        warm_dup_pairs,
+    )
+
+    a = warm_dup_pairs(spark, SF_DIR)
+    b = warm_dup_pairs(spark, SF_DIR)
+    assert a is b, "second call must hit the session cache"
+    got = {tuple(r) for r in a.collect()}
+    raw = {tuple(r) for r in minhash_lsh_near_dups(spark, SF_DIR).collect()}
+    assert got == raw and got, "cached pair graph drifted from the raw plan"
