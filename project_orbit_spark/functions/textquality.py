@@ -407,7 +407,7 @@ def lm_count_tables(d: DataFrame):
     ``d``: (c2, c1, freq, total). At 100 TB these are the persisted
     vocabulary artifacts the offline LM-fit job maintains; the
     incremental face probes them instead of refitting
-    (warm_lm_artifacts)."""
+    (operators/corpus.py::warm_curation_artifacts)."""
     ts = F.split(F.trim(F.lower("text")), r"\s+")
     big = doc_bigrams(d)
     tok = d.select("doc_id", F.explode(ts).alias("token"))
@@ -546,7 +546,7 @@ def perplexity_bands(scores: DataFrame) -> DataFrame:
 def band_cutoffs(scores: DataFrame) -> DataFrame:
     """The 1-row (cut1, cut2) tercile cutoffs of a score table — the
     persisted banding artifact the incremental face probes instead of
-    re-deriving (warm_lm_artifacts)."""
+    re-deriving (operators/corpus.py::warm_curation_artifacts)."""
     dist = scores.groupBy("avg_logprob").agg(F.count(F.lit(1)).alias("cnt"))
     # the ONLY single-partition window: over the bounded distinct-
     # score table (4dp domain), never the corpus

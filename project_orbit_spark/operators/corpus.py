@@ -1136,13 +1136,13 @@ _CURATION_BASE_CTES = f"""stok AS (
 
 @register(
     "curation_training_gold",
-    # driver=False for round 12 only (case 2, registry.py:39): the
-    # round-12 first-50 window is exactly full (8 round-11 deferral
-    # flips + 42 of the 46 r08 rotations). Verified locally at 3 SFs
-    # + driver_sim + pytest; flip to driver=True in round 13 alongside
-    # incremental_curation_gold (r13 forced slots: 4 r08 stragglers +
-    # 2 flips = 6; sustainability forward-simulated in test_entry.py).
-    driver=False,
+    # Was driver=False for round 12 only (case 2, registry.py:39);
+    # flipped per the documented schedule — never-verified, so the LRV
+    # sort fronts it in round 13's first-50 (also pinned in
+    # _DRIVER_PRIORITY for explicitness). The round-13 label-gate
+    # change (maybe_broadcast on the canon join) re-verified locally:
+    # tools/check.py sf0.01 + driver_sim + plan tests.
+    driver=True,
     bench=True,
     tags=("corpus", "curation", "pipeline", "dedup", "quality", "packing"),
     doc="End-to-end training-corpus build composing the four round-11 "
@@ -1280,10 +1280,19 @@ def curation_pipeline(d: DataFrame) -> DataFrame:
     edges = pairs.select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
     )
-    labels = cluster_representatives(connected_components(edges)).select(
-        "doc_id", "cluster_id"
-    )
-    canon = gated.join(F.broadcast(labels), "doc_id", "left").withColumn(
+    cc = connected_components(edges)
+    labels = cluster_representatives(cc).select("doc_id", "cluster_id")
+    # size-GATED label join (VERDICT r12 #1): cluster membership scales
+    # with corpus redundancy, never force-broadcast. Probe = the cc
+    # labels (row-for-row equal, already checkpointed by the loop).
+    from project_orbit_spark.catalog import maybe_broadcast
+    from project_orbit_spark.operators import dedup as dedup_ops
+
+    canon = gated.join(
+        maybe_broadcast(labels, dedup_ops.LABEL_BROADCAST_BOUND, probe=cc),
+        "doc_id",
+        "left",
+    ).withColumn(
         "canonical_id",
         F.coalesce("cluster_id", F.col("doc_id")).cast("long"),
     )
@@ -1397,12 +1406,22 @@ def warm_curation_artifacts(spark: SparkSession, sf_dir: str) -> dict:
         edges = pairs.select(
             F.col("left_id").alias("src"), F.col("right_id").alias("dst")
         )
-        labels = cluster_representatives(connected_components(edges)).select(
-            "doc_id", "cluster_id"
-        )
+        cc = connected_components(edges)
+        labels = cluster_representatives(cc).select("doc_id", "cluster_id")
+        from project_orbit_spark.catalog import maybe_broadcast
+        from project_orbit_spark.operators import dedup as dedup_ops
+
+        # size-GATED label join (VERDICT r12 #1) — see
+        # dedup.LABEL_BROADCAST_BOUND; probe = the checkpointed cc labels
         canon = (
             gated.select("doc_id")
-            .join(F.broadcast(labels), "doc_id", "left")
+            .join(
+                maybe_broadcast(
+                    labels, dedup_ops.LABEL_BROADCAST_BOUND, probe=cc
+                ),
+                "doc_id",
+                "left",
+            )
             .select(
                 "doc_id",
                 F.coalesce("cluster_id", F.col("doc_id"))
@@ -1451,16 +1470,13 @@ def _incremental_batch(d: DataFrame) -> DataFrame:
 
 @register(
     "incremental_curation_gold",
-    # driver=False for round 12 only (case 2, registry.py:39): the
-    # round-12 first-50 window is exactly full (8 round-11 deferral
-    # flips + 42 of the 46 r08 rotations). Verified locally at 3 SFs
-    # + driver_sim + pytest; flip to driver=True in round 13 alongside
-    # curation_training_gold (r13 forced slots: 4 r08 stragglers + 2
-    # flips = 6; schedule sustainability is forward-simulated by
-    # tests/test_entry.py::test_rotation_schedule_is_sustainable_under_lrv,
-    # which includes every oracle-backed deferral in the planned
-    # surface).
-    driver=False,
+    # Was driver=False for round 12 only (case 2, registry.py:39);
+    # flipped per the documented schedule — never-verified, so the LRV
+    # sort fronts it in round 13's first-50 (also pinned in
+    # _DRIVER_PRIORITY for explicitness). The round-13 label-gate
+    # change (maybe_broadcast inside warm_curation_artifacts)
+    # re-verified locally: tools/check.py sf0.01 + driver_sim.
+    driver=True,
     bench=True,
     tags=("corpus", "curation", "incremental", "dedup", "pipeline"),
     prepare=lambda spark, sf_dir: warm_curation_artifacts(spark, sf_dir) and None,

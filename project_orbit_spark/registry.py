@@ -202,23 +202,20 @@ def get_query(name: str) -> Query:
 # stale slots at a round boundary and never needs a same-round
 # hand-trim when rotation demand + head size would exceed 50.
 _DRIVER_PRIORITY = (
-    # Round 12 head. Slot budget: the eight round-11 case-2 deferrals
-    # flipped to driver=True this round (all never-verified, so the
-    # LRV sort would pull them in anyway; the head makes the
-    # guarantee explicit) + 42 of the 46 r08-record rotations fill
-    # the window exactly (8 + 42 = 50); the remaining 4 r08s land in
-    # r13, inside the rotation_period() bar — forward-simulated by
+    # Round 13 head. Slot budget: the four scheduled r08-record
+    # rotations (the remainder of the 46-query rotation, promised in
+    # round 12's head comment) + the two round-12 case-2 deferrals
+    # flipped to driver=True this round (never-verified, so the LRV
+    # sort fronts them anyway; listed for explicitness) = 6 pinned
+    # slots, leaving 44 LRV slots for the r09 tail — well inside the
+    # rotation_period() bar, forward-simulated by
     # tests/test_entry.py::test_rotation_schedule_is_sustainable_under_lrv.
-    # No changed-path re-pins this round: the flips changed only the
-    # register() metadata, not any plan builder.
-    "q21_suppliers_kept_waiting",
-    "boilerplate_segment_scrub",
-    "leakage_safe_split",
-    "ccnet_perplexity_bands",
-    "vocab_coverage_oov",
-    "pack_sequences_next_fit",
-    "incremental_vocab_oov",
-    "stream_cluster_assign_batch",
+    "rag_index_and_search",
+    "company_gold_profile",
+    "eval_rubric_scores",
+    "dashboard_report_table",
+    "curation_training_gold",
+    "incremental_curation_gold",
 )
 
 # Changed-path re-pins, EXEMPT from the self-expiry filter (ADVICE r11
@@ -229,7 +226,19 @@ _DRIVER_PRIORITY = (
 # slot to the freshness filter. Empty most rounds; entries are removed
 # once the post-change record lands (one round of life, but expired by
 # HAND at the next round's head rewrite, never by the filter).
-_DRIVER_PRIORITY_CHANGED: tuple[str, ...] = ()
+#
+# Round 13: the label-broadcast gate (VERDICT r12 #1) changed the plan
+# builders of the three already-verified canon consumers — r12-green
+# leakage_safe_split would be dropped by the freshness filter without
+# the exemption — plus the batch-gate change to incremental_minhash_
+# dedup. (curation_training_gold / incremental_curation_gold also
+# changed but sit in _DRIVER_PRIORITY as never-verified flips.)
+_DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
+    "dedup_canonical_corpus",
+    "dedup_quality_canonical",
+    "leakage_safe_split",
+    "incremental_minhash_dedup",
+)
 
 
 def _driver_order(names: list[str]) -> list[str]:

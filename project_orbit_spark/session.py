@@ -63,16 +63,27 @@ def cache_token(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+def _unpersist_value(value) -> None:
+    """Unpersist one cache value. Values are DataFrames, plain
+    verdicts (the broadcast-gate probe cache), or dicts of DataFrames
+    (the curation-artifact bundle) — recurse one level into dicts so
+    bundled artifacts release their blocks too (ADVICE r12 #1)."""
+    if isinstance(value, dict):
+        for v in value.values():
+            _unpersist_value(v)
+        return
+    try:
+        # only DataFrames pin blocks; plain verdicts have no unpersist
+        if hasattr(value, "unpersist"):
+            value.unpersist()
+    except Exception:  # session already stopped — blocks are gone
+        pass
+
+
 def clear_df_caches() -> None:
     """Unpersist and drop every session-scoped cached DataFrame —
     the explicit release hook for long-lived drivers and tests."""
     for cache in _DF_CACHES:
         for df in cache.values():
-            try:
-                # registered caches may hold plain verdicts (the
-                # broadcast-gate probe cache) — only DataFrames pin blocks
-                if hasattr(df, "unpersist"):
-                    df.unpersist()
-            except Exception:  # session already stopped — blocks are gone
-                pass
+            _unpersist_value(df)
         cache.clear()

@@ -776,3 +776,49 @@ def test_warm_dup_pairs_is_cached_and_identical(spark):
     got = {tuple(r) for r in a.collect()}
     raw = {tuple(r) for r in minhash_lsh_near_dups(spark, SF_DIR).collect()}
     assert got == raw and got, "cached pair graph drifted from the raw plan"
+
+
+def test_label_broadcast_is_gated_not_forced(spark, monkeypatch):
+    """VERDICT r12 #1: near-dup cluster MEMBERSHIP scales with corpus
+    redundancy, so its join onto the corpus spine must be size-gated,
+    never force-broadcast. Under the bound the analyzed plan carries
+    the hint; with the bound patched to 0 the gate declines (no hint —
+    the strategy is left to AQE's runtime sizes) and the results are
+    IDENTICAL, proving the gate is a hint-only change."""
+    from project_orbit_spark.operators import dedup
+
+    hinted = dedup.dedup_canonical_corpus(spark, SF_DIR)
+    plan = hinted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan, "under the bound the label join must hint"
+    want = [tuple(r) for r in hinted.collect()]
+    assert want, "fixture corpus must be non-empty"
+
+    monkeypatch.setattr(dedup, "LABEL_BROADCAST_BOUND", 0)
+    declined = dedup.dedup_canonical_corpus(spark, SF_DIR)
+    plan = declined._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan, "over the bound no hint — AQE decides"
+    assert [tuple(r) for r in declined.collect()] == want
+
+    # the quality-canonical consumer shares the gate
+    declined_q = dedup.dedup_quality_canonical(spark, SF_DIR)
+    assert "ResolvedHint" not in (
+        declined_q._jdf.queryExecution().analyzed().toString()
+    )
+
+
+def test_curation_gold_label_gate_follows_the_bound(spark, monkeypatch):
+    """The composed curation pipeline's canon join goes through the
+    same gate (corpus.py): bound=0 must strip every broadcast hint
+    from the labels join while leaving the packing output unchanged."""
+    from project_orbit_spark.operators import corpus, dedup
+
+    hinted = corpus.curation_training_gold(spark, SF_DIR)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    want = [tuple(r) for r in hinted.collect()]
+
+    monkeypatch.setattr(dedup, "LABEL_BROADCAST_BOUND", 0)
+    declined = corpus.curation_training_gold(spark, SF_DIR)
+    assert "ResolvedHint" not in (
+        declined._jdf.queryExecution().analyzed().toString()
+    )
+    assert [tuple(r) for r in declined.collect()] == want
