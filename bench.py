@@ -149,8 +149,30 @@ def main() -> None:
         "metric": "headline_query_set_total",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
+        # 2dp in the DRIVER-facing line (10 ms resolution — plenty for
+        # the official record; the 59-query dict at 3dp left only 4
+        # chars of tail-window headroom); full 3dp lives in
+        # BENCH_DETAIL.json
+        "queries": {n: round(v, 2) for n, v in timings.items()},
         "value_run2": round(total2, 3),
+        # best-of-both-passes total: immune to a one-pass ambient
+        # excursion, the number to read when run1 and run2 disagree
+        "value_best": round(
+            sum(
+                min(timings.get(n, float("inf")), timings2.get(n, float("inf")))
+                for n in set(timings) & set(timings2)
+            ),
+            3,
+        ),
+        # 1m loadavg at run1 start / run2 start / end — a contended
+        # driver box self-documents in the official record (VERDICT
+        # r12 #7: r12's uniform ~25% inflation at loadavg 5.4-6.7 took
+        # an adjudication cycle to argue away)
+        "load": [
+            load_before_run1.get("loadavg_1m"),
+            load_before_run2.get("loadavg_1m"),
+            load_after.get("loadavg_1m"),
+        ],
         "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -164,6 +186,7 @@ def main() -> None:
     # stderr. build_payload_line() is the single encoder so the
     # tests/test_bench_line.py budget guard measures the real thing.
     detail = dict(payload)
+    detail["queries"] = timings  # full 3dp medians for run1
     detail["queries_run2"] = timings2
     detail["load"] = {
         "before_run1": load_before_run1,

@@ -606,7 +606,7 @@ def corpus_curation_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_q = scored.filter(F.col("q") >= 0.5).select("doc_id", "text")
     pairs = minhash_pairs(kept_q)
     edges = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
-    labels = connected_components(edges).select(
+    labels = connected_components(edges, strategy="auto").select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
     canonical = F.coalesce("cluster_id", F.col("doc_id"))

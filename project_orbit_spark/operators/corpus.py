@@ -1280,7 +1280,7 @@ def curation_pipeline(d: DataFrame) -> DataFrame:
     edges = pairs.select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
     )
-    cc = connected_components(edges)
+    cc = connected_components(edges, strategy="auto")
     labels = cluster_representatives(cc).select("doc_id", "cluster_id")
     # size-GATED label join (VERDICT r12 #1): cluster membership scales
     # with corpus redundancy, never force-broadcast. Probe = the cc
@@ -1406,7 +1406,7 @@ def warm_curation_artifacts(spark: SparkSession, sf_dir: str) -> dict:
         edges = pairs.select(
             F.col("left_id").alias("src"), F.col("right_id").alias("dst")
         )
-        cc = connected_components(edges)
+        cc = connected_components(edges, strategy="auto")
         labels = cluster_representatives(cc).select("doc_id", "cluster_id")
         from project_orbit_spark.catalog import maybe_broadcast
         from project_orbit_spark.operators import dedup as dedup_ops
@@ -1672,7 +1672,10 @@ def curate_batch(batch: DataFrame, art: dict) -> DataFrame:
         doc_bigrams,
         score_with_lm,
     )
-    from project_orbit_spark.operators.dedup import _banded_signatures
+    from project_orbit_spark.operators.dedup import (
+        _banded_signatures,
+        match_new_vs_index,
+    )
 
     # stage 1 (O(new)): scrub against the persisted boilerplate set.
     # localCheckpoint: the scrubbed batch feeds the LM scorer AND the
@@ -1697,36 +1700,15 @@ def curate_batch(batch: DataFrame, art: dict) -> DataFrame:
         .select("doc_id", "band"),
         "doc_id",
     ).localCheckpoint()
-    # stage 3 (O(new)): band the batch, match new-vs-INDEX only, and
-    # inherit the matched cluster's EXISTING canonical id
-    nb = _banded_signatures(gated.select("doc_id", "text"))
-    a = nb.select(
-        F.col("doc_id").alias("new_id"),
-        F.col("sig").alias("sig_a"),
-        "band_idx",
-        "band_sig",
+    # stage 3 (O(new)): band the batch, match new-vs-INDEX only
+    # (dedup.match_new_vs_index — the SHARED helper, ADVICE r12 #3,
+    # so the signature length/threshold can never drift from the
+    # incremental minhash face), and inherit the matched cluster's
+    # EXISTING canonical id. probe=None: the batch side is already
+    # localCheckpointed, so AQE sees its exact size for free.
+    m = match_new_vs_index(
+        _banded_signatures(gated.select("doc_id", "text")), art["banded"]
     )
-    idx = art["banded"].select(
-        F.col("doc_id").alias("match_id"),
-        F.col("sig").alias("sig_b"),
-        "band_idx",
-        "band_sig",
-    )
-    cand = (
-        a.join(idx, ["band_idx", "band_sig"])
-        .select("new_id", "match_id", "sig_a", "sig_b")
-        .dropDuplicates(["new_id", "match_id"])
-    )
-    matches = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda s, v: s + v,
-    )
-    m = cand.select(
-        "new_id",
-        "match_id",
-        F.round(matches.cast("double") / 12.0, 4).alias("est_jaccard"),
-    ).filter(F.col("est_jaccard") >= 0.5)
     bmatch = (
         m.join(art["canon"], F.col("match_id") == F.col("doc_id"))
         .groupBy("new_id")

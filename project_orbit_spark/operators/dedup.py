@@ -412,6 +412,68 @@ def _banded_signatures(corpus: DataFrame) -> DataFrame:
     )
 
 
+# Signature length of the _banded_signatures family (12 affine MinHash
+# rows, 4 bands × 3). The est_jaccard denominator lives HERE, next to
+# the banding, so the incremental faces can never drift from it
+# (ADVICE r12 #3).
+MINHASH_SIG_K = 12
+
+
+def match_new_vs_index(
+    new_banded: DataFrame,
+    index_banded: DataFrame,
+    threshold: float = 0.5,
+    probe: DataFrame | None = None,
+) -> DataFrame:
+    """New-vs-INDEX MinHash match — the shared core of the O(new)
+    faces (incremental_minhash_dedup, corpus.curate_batch and through
+    it the streaming curation twin): join the batch's band table
+    against the persisted index band table on (band_idx, band_sig),
+    dedup candidate pairs, estimate Jaccard as the fraction of
+    agreeing signature rows (denominator = MINHASH_SIG_K, defined
+    once), keep pairs at/above ``threshold``. Both inputs are
+    _banded_signatures-shaped. Returns (new_id, match_id,
+    est_jaccard).
+
+    ``probe``: when given (a cheap upper bound on the batch's DOC
+    count, e.g. the batch scan itself), the batch side is size-gate
+    broadcast via maybe_broadcast(INCREMENTAL_BATCH_BOUND) — the
+    4-band fan-out factor documented at the bound. When None the
+    join is left to AQE's runtime sizes (curate_batch's checkpointed
+    batch side gives AQE exact sizes for free)."""
+    a = new_banded.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sig").alias("sig_a"),
+        "band_idx",
+        "band_sig",
+    )
+    if probe is not None:
+        a = maybe_broadcast(a, INCREMENTAL_BATCH_BOUND, probe=probe)
+    idx = index_banded.select(
+        F.col("doc_id").alias("match_id"),
+        F.col("sig").alias("sig_b"),
+        "band_idx",
+        "band_sig",
+    )
+    cand = (
+        a.join(idx, ["band_idx", "band_sig"])
+        .select("new_id", "match_id", "sig_a", "sig_b")
+        .dropDuplicates(["new_id", "match_id"])
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda s, v: s + v,
+    )
+    return cand.select(
+        "new_id",
+        "match_id",
+        F.round(matches.cast("double") / float(MINHASH_SIG_K), 4).alias(
+            "est_jaccard"
+        ),
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
 @register(
     "minhash_lsh_near_dups",
     bench=True,
@@ -575,49 +637,23 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # banding is per-row deterministic, so banding the batch alone is
     # identical to banding the union and filtering — but only the
     # O(new) side is computed here; the index side is the persisted
-    # artifact (computed on first use when cold)
-    new_b = _banded_signatures(near).select(
-        F.col("doc_id").alias("new_id"),
-        F.col("sig").alias("sig_a"),
-        "band_idx",
-        "band_sig",
-    )
-    idx_b = warm_band_index(spark, sf_dir).select(
-        F.col("doc_id").alias("match_id"),
-        F.col("sig").alias("sig_b"),
-        "band_idx",
-        "band_sig",
-    )
+    # artifact (computed on first use when cold).
+    #
     # Broadcasting the BATCH side is what makes this face O(new): a
     # shuffle join would re-shuffle the O(corpus) index every night.
     # But the batch is only bounded by the ingest SLA, so the hint is
     # size-GATED (VERDICT r12 #6): probe = the batch scan itself (a
     # pushed-down parquet limit-count, never a re-run of the banding).
-    # new_b carries EXACTLY 4 band rows per batch doc
+    # The band table carries EXACTLY 4 rows per batch doc
     # (_banded_signatures), so a 250k-doc bound caps the build at 1M
     # narrow rows — the documented constant-factor relaxation of
     # maybe_broadcast's probe≥df contract. Past the bound, the
     # fallback shuffle join is the correct plan for a TB-scale batch.
-    cand = (
-        maybe_broadcast(new_b, INCREMENTAL_BATCH_BOUND, probe=near)
-        .join(idx_b, ["band_idx", "band_sig"])
-        .select("new_id", "match_id", "sig_a", "sig_b")
-        .dropDuplicates(["new_id", "match_id"])
-    )
-    matches = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda s, v: s + v,
-    )
-    return (
-        cand.select(
-            "new_id",
-            "match_id",
-            F.round(matches.cast("double") / 12.0, 4).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= 0.5)
-        .orderBy("new_id", "match_id")
-    )
+    return match_new_vs_index(
+        _banded_signatures(near),
+        warm_band_index(spark, sf_dir),
+        probe=near,
+    ).orderBy("new_id", "match_id")
 
 
 @register(
@@ -984,7 +1020,7 @@ def dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle runs once per session, every consumer reuses the persist
     pairs = warm_dup_pairs(spark, sf_dir)
     edges = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
-    labels = connected_components(edges)
+    labels = connected_components(edges, strategy="auto")
     return cluster_representatives(labels).orderBy("doc_id")
 
 
@@ -1049,7 +1085,7 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle runs once per session, every consumer reuses the persist
     pairs = warm_dup_pairs(spark, sf_dir)
     edges = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
-    cc = connected_components(edges)
+    cc = connected_components(edges, strategy="auto")
     labels = cluster_representatives(cc)
     # size-GATED label join (VERDICT r12 #1): cluster membership scales
     # with corpus redundancy, never force-broadcast. Probe = the cc
@@ -1145,7 +1181,7 @@ def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # graph; reuse the session-persisted artifact (VERDICT r11 ask #5)
     pairs = warm_dup_pairs(spark, sf_dir)
     edges = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
-    cc = connected_components(edges)
+    cc = connected_components(edges, strategy="auto")
     labels = cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
     # size-GATED label join (VERDICT r12 #1) — see LABEL_BROADCAST_BOUND

@@ -40,17 +40,37 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    strategy: str = "propagation",
 ) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
     ``edges`` is an undirected pair list (each pair listed once is
     enough — it is symmetrized here). Returns (node, label) with one
     row per distinct endpoint; nodes in the same component share a
-    label (the component's minimum id). Raises if ``max_iter``
-    rounds do not reach the fixpoint, rather than returning a
-    silently-wrong partial labeling.
+    label (the component's minimum id).
+
+    ``strategy`` (VERDICT r12 #5 — one API, both round complexities):
+    - ``"propagation"`` (default): min-label propagation, one shuffle
+      per round, rounds = component diameter. Optimal for near-clique
+      duplicate clusters (2-4 rounds); raises after ``max_iter``
+      rounds rather than returning a silently-wrong partial labeling.
+    - ``"two_phase"``: large-star/small-star contraction (Kiveris et
+      al., SoCC'14), O(log n) rounds on ANY diameter — the scale path
+      for chain-shaped graphs.
+    - ``"auto"``: propagation first; if the round budget is exhausted
+      (a pathological high-diameter graph — exactly the case that
+      would otherwise kill a nightly dedup job at round ``max_iter``)
+      fall back to two_phase instead of raising. Both strategies
+      reach the same unique fixpoint (labels are component minima),
+      so the fallback changes round complexity, never results —
+      pinned by tests/test_graph.py and the union-find property test.
     """
     from pyspark.sql import Observation
+
+    if strategy == "two_phase":
+        return connected_components_two_phase(edges, src, dst, max_iter)
+    if strategy not in ("propagation", "auto"):
+        raise ValueError(f"unknown connected-components strategy {strategy!r}")
 
     half = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
@@ -103,6 +123,12 @@ def connected_components(
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum
+    if strategy == "auto":
+        # diameter outran the budget — restart on the O(log n) path.
+        # The propagation rounds so far are sunk cost, but this branch
+        # only fires on pathological graphs the default path would
+        # have KILLED the job on; same fixpoint, so results match.
+        return connected_components_two_phase(edges, src, dst, max_iter)
     raise RuntimeError(f"connected_components: no fixpoint after {max_iter} rounds")
 
 

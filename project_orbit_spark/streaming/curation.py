@@ -37,9 +37,16 @@ from pyspark.sql import DataFrame, SparkSession
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` face of the documents table (explicit schema,
     as streaming file sources require); handles both shipped layouts
-    the way inference.read_embeddings_stream does."""
+    the way inference.read_embeddings_stream does.
+
+    The schema comes from a batch read of the SAME files — never a
+    second hand-written literal (ADVICE r12 #4): parquet resolves
+    columns by name, so a drifted literal would silently stream nulls
+    for renamed/retyped columns instead of failing loudly."""
+    from project_orbit_spark.catalog import load
+
     path = os.path.join(sf_dir, "documents.parquet")
-    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    schema = load(spark, sf_dir, "documents").schema
     reader = spark.readStream.schema(schema).format("parquet")
     if os.path.isdir(path):
         return reader.load(path)

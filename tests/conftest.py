@@ -1,6 +1,8 @@
 from __future__ import annotations
 
+import signal
 import sys
+import threading
 from pathlib import Path
 
 import duckdb
@@ -13,6 +15,41 @@ from project_orbit_spark.catalog import TABLES  # noqa: E402
 from project_orbit_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "timeout(seconds): fail the test if it outlives the bound. "
+        "pytest-timeout is not installed in this container, so the "
+        "mark is enforced here with SIGALRM (VERDICT r12 #4) — a hung "
+        "streaming await raises TimeoutError instead of hanging the "
+        "suite. Main-thread only (SIGALRM semantics), which is where "
+        "pytest runs tests.",
+    )
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    marker = item.get_closest_marker("timeout")
+    seconds = int(marker.args[0]) if marker and marker.args else 0
+    if (
+        seconds <= 0
+        or not hasattr(signal, "SIGALRM")
+        or threading.current_thread() is not threading.main_thread()
+    ):
+        return (yield)
+
+    def on_alarm(signum, frame):
+        raise TimeoutError(f"test exceeded its {seconds}s timeout mark")
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+    try:
+        return (yield)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 @pytest.fixture(scope="session")

@@ -31,14 +31,18 @@ def _bench_module():
 
 
 def _worst_case_payload(names: list[str]) -> dict:
-    # 999.999 is wider than any plausible per-query median; a real run
-    # only ever produces a SHORTER line than this synthetic one.
+    # 999.99 is wider than any plausible per-query median at the
+    # encoder's 2dp headline quantization (full 3dp goes to
+    # BENCH_DETAIL.json); a real run only ever produces a SHORTER
+    # line than this synthetic one.
     return {
         "metric": "headline_query_set_total",
         "value": 99999.999,
         "unit": "sec",
-        "queries": {n: 999.999 for n in sorted(names)},
+        "queries": {n: 999.99 for n in sorted(names)},
         "value_run2": 99999.999,
+        "value_best": 99999.999,
+        "load": [99.99, 99.99, 99.99],
         "reps": 3,
         "sf": 0.1,
     }
@@ -79,11 +83,11 @@ def test_realistic_widths_keep_the_full_bench_dict():
     bench = _bench_module()
     names = list(registry.bench_queries())
     payload = _worst_case_payload(names)
-    payload["queries"] = {n: 9.999 for n in sorted(names)}
+    payload["queries"] = {n: 9.99 for n in sorted(names)}
     parsed = json.loads(bench.build_payload_line(payload))
     assert set(parsed["queries"]) == set(names)
     assert "queries_omitted" not in parsed
-    payload["queries"] = {n: 99.999 for n in sorted(names)}
+    payload["queries"] = {n: 99.99 for n in sorted(names)}
     parsed = json.loads(bench.build_payload_line(payload))
     assert parsed.get("queries_omitted", 0) <= max(2, -(-len(names) // 20))
 

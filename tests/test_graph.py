@@ -53,3 +53,44 @@ def test_two_phase_long_chain(spark):
     df = spark.createDataFrame(chain, "src long, dst long")
     got = {r["node"]: r["label"] for r in connected_components_two_phase(df).collect()}
     assert set(got.items()) == {(n, 30) for n in range(30, 46)} | {(100, 100), (101, 100)}
+
+
+def test_two_phase_converges_in_log_rounds_where_propagation_cannot(spark):
+    """The SCALE.md argument pinned as behavior (VERDICT r12 #5): on a
+    32-edge chain (diameter 32) min-label propagation moves the min
+    one hop per round, so a 10-round budget must raise — while
+    large-star/small-star contraction converges inside it (measured: 6
+    rounds; O(log n) per Kiveris et al. SoCC'14). Same fixpoint, so
+    the labels agree with the component minimum."""
+    from project_orbit_spark.operators.graph import connected_components_two_phase
+
+    chain = [(i, i + 1) for i in range(200, 232)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_iter=10)
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components_two_phase(df, max_iter=10).collect()
+    }
+    assert set(got.values()) == {200}
+    assert len(got) == 33
+
+
+def test_auto_strategy_falls_back_instead_of_raising(spark):
+    """strategy='auto': the nightly-job safety net — a chain whose
+    diameter outruns the propagation budget must return correct
+    component-minimum labels via the two-phase fallback, where the
+    default strategy raises."""
+    chain = [(i, i + 1) for i in range(300, 324)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_iter=8)
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(df, max_iter=8, strategy="auto").collect()
+    }
+    assert set(got.values()) == {300}
+    assert len(got) == 25
+
+    with pytest.raises(ValueError, match="unknown connected-components"):
+        connected_components(df, strategy="bogus")
