@@ -431,3 +431,62 @@ def compaction_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("dt").cast("string").alias("dt"), "n_rows", "n_users")
         .orderBy("dt")
     )
+
+
+@register(
+    "merge_upsert_documents",
+    tags=("sink", "merge", "incremental"),
+    doc="Partition-scoped MERGE upsert (the reference's daily upsert, "
+    "dags/orbit_daily_update_dag.py:126-216, on the parquet substrate): "
+    "the documents table staged as a lang-partitioned parquet target, "
+    "then a synthetic nightly batch — re-crawls of every 7th de/en doc "
+    "with +1000 chars, plus brand-new en docs at doc_id+500000 — "
+    "merged via connectors.merge_upsert_partitioned: only the de/en "
+    "partitions are rewritten (dynamic partition overwrite); es/fr/zh "
+    "files stay byte-identical (asserted in tests/test_connectors.py). "
+    "The returned table is the merged rows themselves, so the oracle "
+    "(anti-join ∪ batch over the source table) hash-checks the full "
+    "MERGE semantics: updates replace, inserts append, untouched rows "
+    "survive. At 100 TB the per-batch cost is O(touched partitions); "
+    "the delta-gate upgrade path (row-level file skipping within a "
+    "partition) is documented at streaming/incremental.py::merge_upsert.",
+    oracle="""
+        WITH batch AS (
+          SELECT doc_id, lang, n_chars + 1000 AS n_chars
+          FROM documents WHERE doc_id % 7 = 0 AND lang IN ('de', 'en')
+          UNION ALL
+          SELECT doc_id + 500000 AS doc_id, 'en' AS lang,
+                 doc_id % 997 AS n_chars
+          FROM documents WHERE doc_id % 13 = 0
+        )
+        SELECT doc_id, lang, n_chars FROM batch
+        UNION ALL
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d LEFT JOIN batch b USING (doc_id)
+        WHERE b.doc_id IS NULL
+        ORDER BY doc_id
+    """,
+)
+def merge_upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.sources.connectors import merge_upsert_partitioned
+
+    stage = _stage_dir(spark, "merge_target")
+    shutil.rmtree(stage, ignore_errors=True)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # seed the target (first "day": full load)
+    merge_upsert_partitioned(spark, stage, d, key="doc_id", part_col="lang")
+    updates = d.filter(
+        (F.col("doc_id") % 7 == 0) & F.col("lang").isin("de", "en")
+    ).withColumn("n_chars", F.col("n_chars") + 1000)
+    inserts = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.lit("en").alias("lang"),
+        (F.col("doc_id") % 997).cast("long").alias("n_chars"),
+    )
+    merge_upsert_partitioned(
+        spark, stage, updates.unionByName(inserts), key="doc_id", part_col="lang"
+    )
+    back = spark.read.parquet(stage)
+    return back.select(
+        "doc_id", F.col("lang").cast("string").alias("lang"), "n_chars"
+    ).orderBy("doc_id")

@@ -347,7 +347,13 @@ def merge_upsert(
     (sources/connectors.py::upsert_parquet) — same final table
     contents, but a full-table rewrite per batch: correct and
     idempotent, acceptable at fixture scale, NOT the 100 TB plan.
-    docs/SCALE.md records the upgrade path.
+    For a PARTITIONED target the stronger delta-less form is
+    connectors.merge_upsert_partitioned (driver-checked as
+    merge_upsert_documents): dynamic partition overwrite rewrites
+    only the partitions the batch touches — O(touched partitions)
+    per batch, with only row-level file skipping WITHIN a partition
+    left on the delta side of the gate. docs/SCALE.md records the
+    upgrade path.
 
     Returns which path executed: ``"delta_merge"`` or
     ``"parquet_rewrite"`` — callers and tests assert on it so the

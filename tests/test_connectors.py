@@ -457,3 +457,54 @@ def test_write_partitioned_salt_handles_maps_and_salt_cols(spark, tmp_path):
             df, str(tmp_path / "bad"), partition_cols=["company_id"],
             files_per_partition=2, salt_cols=["nope"],
         )
+
+
+def test_merge_upsert_partitioned_touches_only_batch_partitions(spark, tmp_path):
+    """The partition-scoped MERGE contract: batch partitions are
+    rewritten with merge semantics, every OTHER partition's files are
+    byte-identical on disk (same names, sizes, mtimes), the rewrite
+    count equals the touched-partition count, and reapplying the same
+    batch is idempotent."""
+    import os
+    from pathlib import Path
+
+    from project_orbit_spark.sources.connectors import merge_upsert_partitioned
+
+    target = str(tmp_path / "merge_target")
+    base = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], i * 10) for i in range(30)],
+        "k long, part string, v long",
+    )
+    assert merge_upsert_partitioned(spark, target, base, "k", "part") == 3
+
+    def snapshot(part):
+        d = Path(target) / f"part={part}"
+        return {
+            f.name: (f.stat().st_size, f.stat().st_mtime_ns)
+            for f in d.glob("*.parquet")
+        }
+
+    before_c = snapshot("c")
+    batch = spark.createDataFrame(
+        [(0, "a", 999), (1, "b", 888), (100, "a", 777)],
+        "k long, part string, v long",
+    )
+    assert merge_upsert_partitioned(spark, target, batch, "k", "part") == 2
+
+    # untouched partition: byte-identical files, not merely equal rows
+    assert snapshot("c") == before_c
+    got = {
+        (r["k"], r["part"], r["v"])
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {(i, ["a", "b", "c"][i % 3], i * 10) for i in range(30) if i not in (0, 1)}
+    want |= {(0, "a", 999), (1, "b", 888), (100, "a", 777)}
+    assert got == want
+
+    # idempotent reapply
+    merge_upsert_partitioned(spark, target, batch, "k", "part")
+    assert {
+        (r["k"], r["part"], r["v"]) for r in spark.read.parquet(target).collect()
+    } == want
+    # staging dir is cleaned up
+    assert not os.path.isdir(target + "__merge_staged")
