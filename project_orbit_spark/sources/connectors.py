@@ -413,6 +413,15 @@ def merge_upsert_partitioned(
     partition-value domain (a lang set, a handful of dt days —
     business-bounded), never by table or batch row count.
 
+    CALLER CONTRACT: ``part_col`` must be a STABLE function of the
+    key (a doc's lang, an event's dt) — the standard constraint for
+    partition-scoped upserts. A key that moved partitions would leave
+    its old row in a directory this batch never reads or rewrites
+    (finding the old copy requires an O(table) key scan, which is the
+    file-skipping problem lake formats exist to solve). Property-
+    pinned under the contract in tests/test_properties.py::
+    test_merge_upsert_partitioned_matches_dict_merge.
+
     Idempotent: re-applying the same batch rewrites the same
     partitions to the same contents. The merged rows are staged to a
     side directory first (read-your-overwrite is an AnalysisException

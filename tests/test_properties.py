@@ -827,3 +827,51 @@ def test_incremental_curation_recrawls_inherit_split(spark):
     assert any(r["canonical_id"] == r["new_id"] for r in remixes), (
         "no remix founded its own cluster — the coalesce path is vacuous"
     )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=99),
+        min_size=1,
+        max_size=20,
+    ),
+    batches=st.lists(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=99),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_merge_upsert_partitioned_matches_dict_merge(
+    spark, tmp_path_factory, base, batches
+):
+    """Partition-scoped MERGE ≡ sequential dict.update for any base
+    table and batch sequence, under the helper's documented contract
+    that the partition column is a STABLE function of the key (lang of
+    a doc, dt of an event) — the standard production constraint for
+    partition-scoped upserts, since a key that MOVED partitions would
+    leave its old row in a directory the batch never rewrites."""
+    from project_orbit_spark.sources.connectors import merge_upsert_partitioned
+
+    part = lambda k: ["a", "b", "c", "d"][k % 4]  # noqa: E731
+    target = str(tmp_path_factory.mktemp("merge_prop") / "t")
+    mk = lambda d: spark.createDataFrame(  # noqa: E731
+        [(k, part(k), v) for k, v in sorted(d.items())],
+        "k long, part string, v long",
+    )
+    merge_upsert_partitioned(spark, target, mk(base), "k", "part")
+    state = dict(base)
+    for b in batches:
+        n = merge_upsert_partitioned(spark, target, mk(b), "k", "part")
+        assert n == len({part(k) for k in b})
+        state.update(b)
+    got = {
+        r["k"]: (r["part"], r["v"]) for r in spark.read.parquet(target).collect()
+    }
+    assert got == {k: (part(k), v) for k, v in state.items()}
