@@ -606,11 +606,21 @@ def corpus_curation_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_q = scored.filter(F.col("q") >= 0.5).select("doc_id", "text")
     pairs = minhash_pairs(kept_q)
     edges = pairs.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
-    labels = connected_components(edges, strategy="auto").select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    cc = connected_components(edges, strategy="auto")
+    labels = cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     canonical = F.coalesce("cluster_id", F.col("doc_id"))
-    verdict = scored.join(F.broadcast(labels), "doc_id", "left").select(
+    # size-GATED label join — the fifth cluster-membership site, found
+    # by the round-13 broadcast audit after VERDICT r12 #1 flagged the
+    # other four: membership scales with corpus redundancy, never
+    # force-broadcast. Probe = the checkpointed cc labels.
+    from project_orbit_spark.catalog import maybe_broadcast
+    from project_orbit_spark.operators import dedup as dedup_ops
+
+    verdict = scored.join(
+        maybe_broadcast(labels, dedup_ops.LABEL_BROADCAST_BOUND, probe=cc),
+        "doc_id",
+        "left",
+    ).select(
         "doc_id",
         "lang",
         (F.floor(F.col("q") * 10000) / 10000).alias("quality"),

@@ -231,13 +231,21 @@ _DRIVER_PRIORITY = (
 # builders of the three already-verified canon consumers — r12-green
 # leakage_safe_split would be dropped by the freshness filter without
 # the exemption — plus the batch-gate change to incremental_minhash_
-# dedup. (curation_training_gold / incremental_curation_gold also
-# changed but sit in _DRIVER_PRIORITY as never-verified flips.)
+# dedup, and the round-13 broadcast audit's three additional gated
+# sites (corpus_curation_gold's fifth label join, the embedding
+# batch side, the stream-static customer dim).
+# (curation_training_gold / incremental_curation_gold also changed
+# but sit in _DRIVER_PRIORITY as never-verified flips;
+# incremental_embedding_dedup / stream_enrich_events hold r09 records,
+# so the LRV sort fronts them anyway — listed for the guarantee.)
 _DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
     "dedup_canonical_corpus",
     "dedup_quality_canonical",
     "leakage_safe_split",
     "incremental_minhash_dedup",
+    "corpus_curation_gold",
+    "incremental_embedding_dedup",
+    "stream_enrich_events",
 )
 
 

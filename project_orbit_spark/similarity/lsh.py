@@ -34,6 +34,13 @@ from project_orbit_spark.registry import register
 from project_orbit_spark.session import cache_token, register_df_cache
 from project_orbit_spark.similarity.cosine import _emb, as_double, cosine
 
+# Broadcast ceiling for the incremental face's nightly BATCH of
+# embeddings, counted in vectors. Narrower than dedup's band-row bound
+# because each row carries the embedding array (~0.5-1 KB at realistic
+# dims): 100k vectors ≈ ≤100 MB build. Same policy as
+# dedup.INCREMENTAL_BATCH_BOUND (VERDICT r12 #6 / round-13 audit).
+EMBED_BATCH_BROADCAST_BOUND = 100_000
+
 N_PLANES = 3
 
 # --- Self-scaling block width (SCALE.md round-8 operating rule) -----
@@ -430,8 +437,19 @@ def incremental_embedding_dedup(
         F.col("vec_id").alias("match_id"), "label", "bucket", F.col("emb").alias("ie")
     )
     score = F.round(cosine(F.col("ne"), F.col("ie")), 6)
+    # Broadcasting the BATCH keeps this face O(new) — a shuffle join
+    # re-shuffles the O(corpus) index per night. Size-GATED (round-13
+    # broadcast audit, same policy as dedup's band face): probe = the
+    # batch's raw id scan (row-for-row equal to new_b — the bucket/
+    # cast projections are row-preserving — and a pushed-down parquet
+    # count, never a re-run of the hashing). The bound is vector-width
+    # aware: EMBED_BATCH_BROADCAST_BOUND rows of ~0.5-1 KB embeddings
+    # ≈ ≤100 MB; past it the fallback shuffle join is the right plan.
+    from project_orbit_spark.catalog import maybe_broadcast
+
+    batch_ids = _emb(spark, sf_dir).filter(F.col("vec_id") % 25 == 0).select("vec_id")
     return (
-        F.broadcast(new_b)
+        maybe_broadcast(new_b, EMBED_BATCH_BROADCAST_BOUND, probe=batch_ids)
         .join(idx, ["label", "bucket"])
         .select("new_id", "match_id", score.alias("score"))
         .filter(F.col("score") >= 0.999)

@@ -120,7 +120,17 @@ def enrich_with_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
     dim = customer.select(
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("mktsegment")
     )
-    return events.join(F.broadcast(dim), "user_id").select(
+    # customer SCALES with the star (unlike region/nation), so the
+    # static side is size-GATED, not force-broadcast (round-13
+    # broadcast audit — same policy as q10/q18/q22's gated customer
+    # builds). The probe counts the BATCH-side dim once at stream
+    # definition (the static side is a batch DataFrame even under a
+    # streaming `events`); past the bound the stream-static join runs
+    # as a per-micro-batch shuffle, the correct plan for a dim that
+    # big.
+    from project_orbit_spark.catalog import maybe_broadcast
+
+    return events.join(maybe_broadcast(dim, 1_000_000), "user_id").select(
         "event_id",
         F.date_format("ts", TS_FMT).alias("ts_s"),
         "user_id",

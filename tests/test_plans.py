@@ -805,6 +805,15 @@ def test_label_broadcast_is_gated_not_forced(spark, monkeypatch):
         declined_q._jdf.queryExecution().analyzed().toString()
     )
 
+    # ...and so does corpus_curation_gold's label join (the fifth
+    # membership site, found by the round-13 broadcast audit)
+    from project_orbit_spark.gold.pipelines import corpus_curation_gold
+
+    declined_g = corpus_curation_gold(spark, SF_DIR)
+    assert "ResolvedHint" not in (
+        declined_g._jdf.queryExecution().analyzed().toString()
+    )
+
 
 def test_curation_gold_label_gate_follows_the_bound(spark, monkeypatch):
     """The composed curation pipeline's canon join goes through the
