@@ -475,6 +475,29 @@ def stream_upsert_foreachbatch(
     return stream_df.writeStream.foreachBatch(apply)
 
 
+def stream_merge_partitioned_foreachbatch(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    target_path: str,
+    key: str,
+    part_col: str,
+):
+    """Streaming twin of ``merge_upsert_partitioned``: each micro-batch
+    MERGEs into the partitioned target, rewriting only the partitions
+    that batch touches — the O(touched) nightly upsert as a
+    ``foreachBatch`` sink (same seam as the curation stream). The
+    per-batch merge is idempotent under replay for a deterministic
+    batch (anti-join + dynamic overwrite of the same partitions), the
+    usual exactly-once-by-idempotence argument for foreachBatch sinks.
+    AvailableNow parity with the batch face is pinned in
+    tests/test_streaming.py."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:  # noqa: ARG001
+        merge_upsert_partitioned(spark, target_path, batch_df, key, part_col)
+
+    return stream_df.writeStream.foreachBatch(apply)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

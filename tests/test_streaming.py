@@ -562,3 +562,39 @@ def test_stream_curation_multi_batch_reuses_artifacts(spark, tmp_path):
                 b = base[r["new_id"] - 200000]
                 assert r["canonical_id"] == b["canonical_id"]
                 assert r["split"] == b["split"]
+
+
+@pytest.mark.timeout(240)
+def test_stream_merge_partitioned_matches_batch_merge(spark, tmp_path):
+    """Streaming twin of the partition-scoped MERGE: the documents
+    stream upserted per micro-batch through foreachBatch must leave
+    the target in exactly the state the batch-face merge produces —
+    and a second AvailableNow run of the same source (a replay) must
+    be a no-op on contents (idempotence, the exactly-once argument
+    for this sink)."""
+    from project_orbit_spark.sources.connectors import (
+        merge_upsert_partitioned,
+        stream_merge_partitioned_foreachbatch,
+    )
+    from project_orbit_spark.streaming.curation import read_documents_stream
+
+    cols = ("doc_id", "lang", "n_chars")
+    d = load(spark, SF_DIR, "documents").select(*cols)
+
+    batch_target = str(tmp_path / "batch_t")
+    merge_upsert_partitioned(spark, batch_target, d, "doc_id", "lang")
+
+    stream_target = str(tmp_path / "stream_t")
+    for _ in range(2):  # second pass = replay; contents must not change
+        q = stream_merge_partitioned_foreachbatch(
+            spark,
+            read_documents_stream(spark, SF_DIR).select(*cols),
+            stream_target,
+            key="doc_id",
+            part_col="lang",
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+        got = {tuple(r) for r in spark.read.parquet(stream_target).collect()}
+        want = {tuple(r) for r in spark.read.parquet(batch_target).collect()}
+        assert got == want
+        assert got, "parity set is empty — the stream produced nothing"
