@@ -21,7 +21,14 @@ from pathlib import Path
 
 PKG = Path(__file__).resolve().parents[1] / "project_orbit_spark"
 
-COLLECT_ALLOWED = {"sources/roundtrip.py": 2}  # nation fixture templating
+COLLECT_ALLOWED = {
+    # nation fixture templating (25-row dim, twice)
+    "sources/roundtrip.py": 2,
+    # merge_upsert_partitioned's touched-partition list: bounded by
+    # the BATCH's partition-value domain (a lang set, a few dt days),
+    # never by row counts — the contract is documented at the site
+    "sources/connectors.py": 1,
+}
 
 
 def _py_sources():
