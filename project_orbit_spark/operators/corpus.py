@@ -1714,8 +1714,16 @@ def curate_batch(batch: DataFrame, art: dict) -> DataFrame:
         .groupBy("new_id")
         .agg(F.min("canonical_id").alias("base_canon"))
     )
+    # bmatch is BATCH-bounded (≤1 row per gated batch doc), so its
+    # broadcast goes through the same gate as the other batch sides
+    # (round-13 audit); probe = the checkpointed gated batch, a strict
+    # row upper bound that costs one in-memory count.
+    from project_orbit_spark.catalog import maybe_broadcast
+    from project_orbit_spark.operators import dedup as dedup_ops
+
+    gb = maybe_broadcast(bmatch, dedup_ops.INCREMENTAL_BATCH_BOUND, probe=gated)
     canon = gated.join(
-        F.broadcast(bmatch), gated["doc_id"] == bmatch["new_id"], "left"
+        gb, gated["doc_id"] == bmatch["new_id"], "left"
     ).withColumn(
         "canonical_id",
         F.coalesce("base_canon", F.col("doc_id")).cast("long"),
