@@ -55,7 +55,10 @@ def decode_asset(content: bytes, asset_type: str):  # pragma: no cover - stub
     container paths ARE real with zero external deps: WAV audio —
     full encode→decode round trip via stdlib ``wave``
     (make_wav_synth/make_wav_decoder, hash-verified by
-    audio_wav_roundtrip) — and PNG/JPEG HEADER parsing
+    audio_wav_roundtrip) — and uncompressed 24-bit BMP images —
+    pack→parse→2x2-average-pool via struct/numpy
+    (make_bmp_synth/make_bmp_pool_decoder, hash-verified by
+    image_bmp_pool) — plus PNG/JPEG HEADER parsing
     (make_header_prober). Everything else downstream consumes
     deterministic byte-level features so tests never hit this."""
     try:
@@ -510,4 +513,158 @@ def audio_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_wav_decoder(),
         "doc_id long, n_frames long, framerate long, channels long, "
         "sampwidth long, peak long, mean_square long",
+    ).orderBy("doc_id")
+
+
+def make_bmp_synth():
+    """Arrow-batched REAL BMP encoding (struct.pack only — BMP is an
+    uncompressed container, so no codec lib is needed): per doc, a
+    24-bit WxH image with deterministic pixels
+    p(x, y, c) = (doc_id*7 + x*3 + y*5 + c*11) % 256 packed into an
+    actual BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR pixel
+    array with the spec's 4-byte row padding — the classic parsing
+    gotcha a real decoder must handle."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            blobs, ws, hs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 6 + (d % 5) * 2   # 6..14, even and odd pool edges
+                h = 4 + (d % 3) * 2   # 4..8
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]  # c: 0=B, 1=G, 2=R order on disk
+                px = ((d * 7 + x * 3 + y * 5 + c * 11) % 256).astype(np.uint8)
+                row_len = w * 3
+                pad = (-row_len) % 4
+                rows = []
+                for yy in range(h - 1, -1, -1):  # bottom-up per spec
+                    rows.append(px[yy].tobytes() + b"\x00" * pad)
+                pixels = b"".join(rows)
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+                )
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40
+                )
+                blobs.append(header + info + pixels)
+                ws.append(w)
+                hs.append(h)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return synth
+
+
+def make_bmp_pool_decoder():
+    """Arrow-batched REAL BMP decode + 2x2 average-pool downsample:
+    parse the headers (dims, bpp, pixel offset), undo the bottom-up
+    row order and the 4-byte row padding, then mean-pool non-
+    overlapping 2x2 blocks per channel in exact integer math
+    (sum // 4) — an actual pixel resample, not a planning stub.
+    Odd edges are truncated (floor(w/2) x floor(h/2) output), the
+    conventional stride-2 pooling contract."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(b)
+                assert b[:2] == b"BM", "not a BMP container"
+                off = struct.unpack_from("<I", b, 10)[0]
+                w, h = struct.unpack_from("<ii", b, 18)
+                bpp = struct.unpack_from("<H", b, 28)[0]
+                assert bpp == 24, "expected 24-bit pixels"
+                row_len = w * 3
+                stride = row_len + ((-row_len) % 4)
+                img = np.zeros((h, w, 3), dtype=np.int64)
+                for yy in range(h):
+                    line = np.frombuffer(
+                        b, dtype=np.uint8, count=row_len, offset=off + yy * stride
+                    )
+                    img[h - 1 - yy] = line.reshape(w, 3)  # undo bottom-up
+                pw, ph = w // 2, h // 2
+                t = img[: ph * 2, : pw * 2].reshape(ph, 2, pw, 2, 3)
+                pooled = t.sum(axis=(1, 3)) // 4
+                rows.append(
+                    (
+                        int(doc_id), w, h, pw, ph,
+                        int(img.sum()), int(pooled.sum()),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "pooled_w", "pooled_h",
+                    "pixel_sum", "pooled_sum",
+                ],
+            )
+
+    return decode
+
+
+@register(
+    "image_bmp_pool",
+    tags=("multimodal", "binary", "codec", "pandas_udf"),
+    doc="REAL image codec round trip + REAL pixel resample (the "
+    "companion of audio_wav_roundtrip, same zero-external-deps "
+    "discipline): deterministic 24-bit pixels are packed into actual "
+    "BMP containers (bottom-up BGR rows, 4-byte row padding — the "
+    "spec details a parser must get right), then decoded and 2x2 "
+    "average-pooled in exact integer math. The oracle re-derives "
+    "pixel and pooled sums from the generating arithmetic, so the "
+    "hash verifies the full pack→parse→resample chain. This upgrades "
+    "image_resize_plan's arithmetic-only stage with a working pixel "
+    "path; compressed formats stay behind decode_asset's import "
+    "gate.",
+    oracle="""
+        WITH px AS (
+          SELECT d.doc_id,
+                 6 + (d.doc_id % 5) * 2 AS w,
+                 4 + (d.doc_id % 3) * 2 AS h,
+                 x, y, c,
+                 (d.doc_id * 7 + x * 3 + y * 5 + c * 11) % 256 AS p
+          FROM documents d,
+               UNNEST(range(0, 6 + (d.doc_id % 5) * 2)) AS tx(x),
+               UNNEST(range(0, 4 + (d.doc_id % 3) * 2)) AS ty(y),
+               UNNEST(range(0, 3)) AS tc(c)
+        ),
+        pooled AS (
+          SELECT doc_id, x // 2 AS bx, y // 2 AS by, c,
+                 sum(p) // 4 AS pp
+          FROM px
+          WHERE x < (w // 2) * 2 AND y < (h // 2) * 2
+          GROUP BY doc_id, x // 2, y // 2, c
+        )
+        SELECT f.doc_id,
+               CAST(f.w AS BIGINT) AS width,
+               CAST(f.h AS BIGINT) AS height,
+               CAST(f.w // 2 AS BIGINT) AS pooled_w,
+               CAST(f.h // 2 AS BIGINT) AS pooled_h,
+               CAST(f.ps AS BIGINT) AS pixel_sum,
+               CAST(g.pls AS BIGINT) AS pooled_sum
+        FROM (SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+                     sum(p) AS ps FROM px GROUP BY doc_id) f
+        JOIN (SELECT doc_id, sum(pp) AS pls FROM pooled GROUP BY doc_id) g
+          USING (doc_id)
+        ORDER BY f.doc_id
+    """,
+)
+def image_bmp_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    encoded = d.mapInPandas(make_bmp_synth(), "doc_id long, content binary")
+    return encoded.mapInPandas(
+        make_bmp_pool_decoder(),
+        "doc_id long, width long, height long, pooled_w long, pooled_h long, "
+        "pixel_sum long, pooled_sum long",
     ).orderBy("doc_id")
