@@ -3,10 +3,13 @@ Arrow-batched (mapInPandas) feature extraction.
 
 A 100 TB training-data pipeline carries image/audio/video as binary
 columns with typed metadata and runs decode/resize/frame-sample as
-vectorized Python stages. The container has no codec libraries, so
-the DECODE step is stubbed (clearly marked, import-gated) while the
-Spark-side plumbing — schema, batching, partitioning, deterministic
-feature derivation — is real and oracle-checked.
+vectorized Python stages. Every MODALITY has a real, hash-verified
+container codec path with zero external dependencies — WAV audio
+(stdlib wave), uncompressed 24-bit BMP images (struct/numpy, with a
+real 2x2 average-pool resample), and YUV4MPEG2 video (text header +
+raw planes, seek-based frame sampling) — while COMPRESSED formats
+(PNG/JPEG pixel decode, H.26x) stay behind decode_asset's import
+gate, since those libraries genuinely aren't in the container.
 
 The binary fixture derives deterministically from ``documents``
 (utf-8 bytes of the text), cycling asset types by doc_id.
@@ -51,14 +54,16 @@ def assets_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_asset(content: bytes, asset_type: str):  # pragma: no cover - stub
     """STUB for COMPRESSED formats only: PNG/JPEG/video decode needs
     codec libraries not present in this environment (import-gated
-    below, the pattern a production deployment fills in). Two
+    below, the pattern a production deployment fills in). Three
     container paths ARE real with zero external deps: WAV audio —
     full encode→decode round trip via stdlib ``wave``
     (make_wav_synth/make_wav_decoder, hash-verified by
     audio_wav_roundtrip) — and uncompressed 24-bit BMP images —
     pack→parse→2x2-average-pool via struct/numpy
     (make_bmp_synth/make_bmp_pool_decoder, hash-verified by
-    image_bmp_pool) — plus PNG/JPEG HEADER parsing
+    image_bmp_pool) — and YUV4MPEG2 video — pack→seek→parse frame
+    sampling (make_y4m_synth/make_y4m_frame_sampler, hash-verified by
+    video_y4m_frame_sample) — plus PNG/JPEG HEADER parsing
     (make_header_prober). Everything else downstream consumes
     deterministic byte-level features so tests never hit this."""
     try:
@@ -668,3 +673,147 @@ def image_bmp_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, pooled_w long, pooled_h long, "
         "pixel_sum long, pooled_sum long",
     ).orderBy("doc_id")
+
+
+def make_y4m_synth():
+    """Arrow-batched REAL video container encoding: YUV4MPEG2 (.y4m)
+    is the uncompressed interchange format every video toolchain
+    speaks — a plain-text stream header (``YUV4MPEG2 W.. H.. F25:1
+    Ip A1:1 C444``) followed by ``FRAME`` markers and raw 4:4:4
+    Y/Cb/Cr planes. Deterministic planes:
+    plane(f, x, y, c) = (doc_id*13 + f*7 + x*3 + y*5 + c*11) % 256."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 4 + (d % 3) * 2          # 4..8
+                h = 2 + (d % 2) * 2          # 2..4
+                nf = 8 + d % 5               # 8..12 frames
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+                for f in range(nf):
+                    parts.append(b"FRAME\n")
+                    for c in range(3):  # Y, Cb, Cr planes, full-res (C444)
+                        plane = (d * 13 + f * 7 + x * 3 + y * 5 + c * 11) % 256
+                        parts.append(plane.astype(np.uint8).tobytes())
+                blobs.append(b"".join(parts))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    return synth
+
+
+def make_y4m_frame_sampler(step: int = 3):
+    """Arrow-batched REAL video frame sampling: parse the y4m stream
+    header (W/H/C tokens), then seek directly to every ``step``-th
+    frame at its computed offset — the seek-don't-scan access pattern
+    a real frame extractor uses — verify the FRAME marker, and reduce
+    the planes in exact integer math (luma sum, chroma-blue sum)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(b)
+                nl = b.index(b"\n")
+                toks = b[:nl].decode().split(" ")
+                assert toks[0] == "YUV4MPEG2", "not a y4m stream"
+                w = h = None
+                for t in toks[1:]:
+                    if t[0] == "W":
+                        w = int(t[1:])
+                    elif t[0] == "H":
+                        h = int(t[1:])
+                    elif t[0] == "C":
+                        assert t == "C444", "expected 4:4:4 planes"
+                frame_bytes = 6 + 3 * w * h  # b"FRAME\n" + 3 planes
+                body = len(b) - (nl + 1)
+                assert body % frame_bytes == 0, "truncated frame payload"
+                nf = body // frame_bytes
+                for f in range(0, nf, step):
+                    off = nl + 1 + f * frame_bytes
+                    assert b[off : off + 6] == b"FRAME\n", "lost frame sync"
+                    planes = np.frombuffer(
+                        b, dtype=np.uint8, count=3 * w * h, offset=off + 6
+                    ).astype(np.int64)
+                    rows.append(
+                        (
+                            int(doc_id), w, h, nf, f,
+                            int(planes[: w * h].sum()),
+                            int(planes[w * h : 2 * w * h].sum()),
+                        )
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames", "frame_idx",
+                    "luma_sum", "cb_sum",
+                ],
+            )
+
+    return sample
+
+
+@register(
+    "video_y4m_frame_sample",
+    tags=("multimodal", "binary", "codec", "pandas_udf"),
+    doc="REAL video container round trip (completing the modality "
+    "trio with audio_wav_roundtrip and image_bmp_pool — every "
+    "modality now has a working zero-dependency container codec; "
+    "only compressed formats stay behind decode_asset's import "
+    "gate): deterministic 4:4:4 Y/Cb/Cr planes are packed into "
+    "actual YUV4MPEG2 streams (text header + FRAME markers + raw "
+    "planes), then every 3rd frame is extracted by SEEKING to its "
+    "computed offset (the seek-don't-scan pattern of a real frame "
+    "sampler), marker-verified, and plane-reduced in exact integer "
+    "math. The oracle re-derives dims, frame counts, and plane sums "
+    "from the generating arithmetic — the hash verifies the full "
+    "pack→seek→parse chain. Upgrades video_frame_sample's offset "
+    "arithmetic with a working byte path.",
+    oracle="""
+        WITH g AS (
+          SELECT d.doc_id,
+                 4 + (d.doc_id % 3) * 2 AS w,
+                 2 + (d.doc_id % 2) * 2 AS h,
+                 8 + d.doc_id % 5 AS nf
+          FROM documents d
+        ),
+        px AS (
+          SELECT g.doc_id, g.w, g.h, g.nf, f, c,
+                 sum((g.doc_id * 13 + f * 7 + x * 3 + y * 5 + c * 11) % 256)
+                   AS plane_sum
+          FROM g,
+               UNNEST(range(0, g.nf, 3)) AS tf(f),
+               UNNEST(range(0, 2)) AS tc(c),
+               UNNEST(range(0, g.w)) AS tx(x),
+               UNNEST(range(0, g.h)) AS ty(y)
+          GROUP BY g.doc_id, g.w, g.h, g.nf, f, c
+        )
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST(f AS BIGINT) AS frame_idx,
+               CAST(max(CASE WHEN c = 0 THEN plane_sum END) AS BIGINT) AS luma_sum,
+               CAST(max(CASE WHEN c = 1 THEN plane_sum END) AS BIGINT) AS cb_sum
+        FROM px
+        GROUP BY doc_id, w, h, nf, f
+        ORDER BY doc_id, frame_idx
+    """,
+)
+def video_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    encoded = d.mapInPandas(make_y4m_synth(), "doc_id long, content binary")
+    return encoded.mapInPandas(
+        make_y4m_frame_sampler(),
+        "doc_id long, width long, height long, n_frames long, frame_idx long, "
+        "luma_sum long, cb_sum long",
+    ).orderBy("doc_id", "frame_idx")
