@@ -1,0 +1,102 @@
+"""Unit tests for the zero-dependency codec round trips
+(multimodal/binary_ops.py): the Arrow closures are plain
+iterator-of-DataFrames functions, so they are tested here WITHOUT a
+SparkSession — fast, and they pin the fail-loud contract (a corrupted
+container must raise, never emit silently-wrong features). The
+end-to-end Spark plumbing + value correctness is covered by the
+registered queries' DuckDB oracles."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from project_orbit_spark.multimodal.binary_ops import (
+    make_bmp_pool_decoder,
+    make_bmp_synth,
+    make_wav_decoder,
+    make_wav_synth,
+    make_y4m_frame_sampler,
+    make_y4m_synth,
+)
+
+
+def _run(fn, pdf):
+    return pd.concat(list(fn(iter([pdf]))), ignore_index=True)
+
+
+def _encode(synth, doc_ids):
+    return _run(synth(), pd.DataFrame({"doc_id": doc_ids}))
+
+
+def test_wav_roundtrip_values():
+    enc = _encode(make_wav_synth, [0, 7, 123])
+    assert all(b[:4] == b"RIFF" and b[8:12] == b"WAVE" for b in enc["content"])
+    out = _run(make_wav_decoder(), enc)
+    for _, r in out.iterrows():
+        d = int(r["doc_id"])
+        n = 160 + d % 80
+        s = [((d * 31 + i * 17) % 2048 - 1024) * 16 for i in range(n)]
+        assert (r["n_frames"], r["framerate"], r["channels"], r["sampwidth"]) == (
+            n, 16000, 1, 2,
+        )
+        assert r["peak"] == max(abs(v) for v in s)
+        assert r["mean_square"] == sum(v * v for v in s) // n
+
+
+def test_corrupted_wav_raises():
+    enc = _encode(make_wav_synth, [3])
+    bad = enc.copy()
+    bad.at[0, "content"] = b"XXXX" + enc["content"][0][4:]  # break RIFF magic
+    with pytest.raises(Exception):
+        _run(make_wav_decoder(), bad)
+
+
+def test_bmp_pool_handles_row_padding():
+    # w=6 -> row_len 18 -> pad 2: the 4-byte alignment path is real
+    enc = _encode(make_bmp_synth, [0, 4, 11])
+    assert all(b[:2] == b"BM" for b in enc["content"])
+    out = _run(make_bmp_pool_decoder(), enc)
+    for _, r in out.iterrows():
+        d = int(r["doc_id"])
+        w, h = 6 + (d % 5) * 2, 4 + (d % 3) * 2
+        px = lambda x, y, c: (d * 7 + x * 3 + y * 5 + c * 11) % 256  # noqa: E731
+        total = sum(px(x, y, c) for x in range(w) for y in range(h) for c in range(3))
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["pixel_sum"] == total
+        pooled = 0
+        for bx in range(w // 2):
+            for by in range(h // 2):
+                for c in range(3):
+                    pooled += (
+                        px(2 * bx, 2 * by, c) + px(2 * bx + 1, 2 * by, c)
+                        + px(2 * bx, 2 * by + 1, c) + px(2 * bx + 1, 2 * by + 1, c)
+                    ) // 4
+        assert r["pooled_sum"] == pooled
+
+
+def test_corrupted_bmp_raises():
+    enc = _encode(make_bmp_synth, [2])
+    bad = enc.copy()
+    bad.at[0, "content"] = b"ZZ" + enc["content"][0][2:]
+    with pytest.raises(AssertionError, match="not a BMP"):
+        _run(make_bmp_pool_decoder(), bad)
+
+
+def test_y4m_frame_sync_is_verified():
+    enc = _encode(make_y4m_synth, [5])
+    b = enc["content"][0]
+    assert b.startswith(b"YUV4MPEG2 ")
+    out = _run(make_y4m_frame_sampler(), enc)
+    d = 5
+    w, h, nf = 4 + (d % 3) * 2, 2 + (d % 2) * 2, 8 + d % 5
+    assert list(out["frame_idx"]) == list(range(0, nf, 3))
+    assert (out["width"] == w).all() and (out["height"] == h).all()
+    # corrupt one FRAME marker -> the seek must lose sync and raise
+    nl = b.index(b"\n")
+    frame_bytes = 6 + 3 * w * h
+    off = nl + 1 + 3 * frame_bytes  # frame 3 is a sampled offset
+    bad = enc.copy()
+    bad.at[0, "content"] = b[:off] + b"BROKEN" + b[off + 6 :]
+    with pytest.raises(AssertionError, match="lost frame sync"):
+        _run(make_y4m_frame_sampler(), bad)
