@@ -767,3 +767,204 @@ def incremental_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+# Models", Table A1): the public repetition-signal bank a web-scale
+# curation pipeline runs between exact dedup and quality scoring.
+# ---------------------------------------------------------------------------
+
+# Keep-thresholds ADAPTED to the synthetic corpus so the flag is
+# non-vacuous both ways (Gopher's published web-text numbers are
+# top-{2,3,4}-gram <= 0.20/0.18/0.16 and dup-{5..10}-gram <= 0.15..0.10;
+# this word-salad fixture has its repetition mass at n=2..4, measured
+# at sf0.01: p80(top2)=0.108, 27/500 docs with dup3>0).
+_GOPHER_KEEP = {
+    "top2_frac": 0.12,
+    "top3_frac": 0.14,
+    "dup3_frac": 0.03,
+    "dup4_frac": 0.02,
+}
+
+
+@register(
+    "gopher_repetition_signals",
+    tags=("text", "quality", "corpus"),
+    doc="Gopher repetition-filter bank (public: Rae et al. 2021 Table "
+    "A1; the same signals FineWeb/Dolma re-implement): per document, "
+    "the fraction of characters covered by the single most-repeated "
+    "{2,3}-gram (count x chars of the densest n-gram, capped at 1) "
+    "and the fraction covered by DUPLICATE {3,4}-grams (all n-grams "
+    "occurring >1 time; overlapping occurrences each count, as in "
+    "the paper). keep=1 iff every signal is under its threshold. "
+    "Plan: one token split, ONE flatten+explode producing the "
+    "(n, gram) stream for all three n in a single corpus pass, "
+    "count aggregate keyed (doc_id, n, gram) — per-doc key space, "
+    "map-side combinable, no cross-document key skew — then two "
+    "narrow per-doc reductions. All ratios are single IEEE "
+    "divisions of exact BIGINTs, floor-quantized to 6dp (no "
+    "HALF_UP tie path), so both engines emit bit-identical "
+    "doubles. Scales linearly: nothing in the plan touches two "
+    "documents' rows in one task.",
+    oracle=r"""
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id, t,
+                 CAST(len(array_to_string(t, ' ')) AS BIGINT) AS total_chars
+          FROM tok WHERE len(t) >= 1
+        ),
+        grams AS (
+          SELECT b.doc_id, ns.n, u.gram
+          FROM base b,
+               (VALUES (2), (3), (4)) AS ns(n),
+               UNNEST(CASE WHEN len(b.t) >= ns.n
+                      THEN list_transform(range(0, len(b.t) - ns.n + 1),
+                             i -> array_to_string(
+                               list_slice(b.t, i + 1, i + ns.n), ' '))
+                      ELSE [] END) AS u(gram)
+        ),
+        cnt AS (
+          SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c,
+                 CAST(len(gram) AS BIGINT) AS chars
+          FROM grams GROUP BY doc_id, n, gram
+        ),
+        per_n AS (
+          SELECT doc_id, n,
+                 CAST(max(c * chars) AS BIGINT) AS top_chars,
+                 CAST(coalesce(
+                   sum(CASE WHEN c > 1 THEN c * chars END), 0) AS BIGINT)
+                   AS dup_chars
+          FROM cnt GROUP BY doc_id, n
+        ),
+        piv AS (
+          SELECT doc_id,
+                 coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0) AS top2,
+                 coalesce(max(CASE WHEN n = 3 THEN top_chars END), 0) AS top3,
+                 coalesce(max(CASE WHEN n = 3 THEN dup_chars END), 0) AS dup3,
+                 coalesce(max(CASE WHEN n = 4 THEN dup_chars END), 0) AS dup4
+          FROM per_n GROUP BY doc_id
+        ),
+        fracs AS (
+          SELECT b.doc_id,
+                 floor(least(1.0, CAST(coalesce(p.top2, 0) AS DOUBLE)
+                   / b.total_chars) * 1000000) / 1000000 AS top2_frac,
+                 floor(least(1.0, CAST(coalesce(p.top3, 0) AS DOUBLE)
+                   / b.total_chars) * 1000000) / 1000000 AS top3_frac,
+                 floor(least(1.0, CAST(coalesce(p.dup3, 0) AS DOUBLE)
+                   / b.total_chars) * 1000000) / 1000000 AS dup3_frac,
+                 floor(least(1.0, CAST(coalesce(p.dup4, 0) AS DOUBLE)
+                   / b.total_chars) * 1000000) / 1000000 AS dup4_frac
+          FROM base b LEFT JOIN piv p USING (doc_id)
+        )
+        SELECT doc_id, top2_frac, top3_frac, dup3_frac, dup4_frac,
+               CAST(top2_frac <= 0.12 AND top3_frac <= 0.14
+                AND dup3_frac <= 0.03 AND dup4_frac <= 0.02
+                AS BIGINT) AS keep
+        FROM fracs ORDER BY doc_id
+    """,
+)
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return repetition_signals(d.select("doc_id", "text"))
+
+
+def repetition_signals(d: DataFrame) -> DataFrame:
+    """Library face of ``gopher_repetition_signals`` over any
+    (doc_id, text) corpus."""
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    base = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 1)
+        .withColumn(
+            "total_chars", F.length(F.concat_ws(" ", "t")).cast("long")
+        )
+    )
+
+    def grams(n: int):
+        # sequence() guards on size >= n: sequence(0, negative) would
+        # DESCEND in Spark, fabricating windows — the when() branch is
+        # only evaluated on matching rows (codegen CASE short-circuit).
+        windows = F.transform(
+            F.sequence(F.lit(0), F.size("t") - n),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice("t", i + 1, n)).alias("gram"),
+            ),
+        )
+        return F.when(F.size("t") >= n, windows).otherwise(
+            F.array().cast("array<struct<n:int,gram:string>>")
+        )
+
+    stream = base.select(
+        "doc_id",
+        F.explode(F.flatten(F.array(grams(2), grams(3), grams(4)))).alias(
+            "g"
+        ),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    cnt = (
+        stream.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("chars", F.length("gram").cast("long"))
+    )
+    per_n = cnt.groupBy("doc_id", "n").agg(
+        F.max(F.col("c") * F.col("chars")).alias("top_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("chars"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dup_chars"),
+    )
+    piv = per_n.groupBy("doc_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("n") == 2, F.col("top_chars"))), F.lit(0)
+        ).alias("top2"),
+        F.coalesce(
+            F.max(F.when(F.col("n") == 3, F.col("top_chars"))), F.lit(0)
+        ).alias("top3"),
+        F.coalesce(
+            F.max(F.when(F.col("n") == 3, F.col("dup_chars"))), F.lit(0)
+        ).alias("dup3"),
+        F.coalesce(
+            F.max(F.when(F.col("n") == 4, F.col("dup_chars"))), F.lit(0)
+        ).alias("dup4"),
+    )
+
+    def frac(c: Column) -> Column:
+        return (
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.coalesce(c, F.lit(0)).cast("double")
+                    / F.col("total_chars"),
+                )
+                * 1000000
+            )
+            / 1000000
+        )
+
+    return (
+        base.select("doc_id", "total_chars")
+        .join(piv, "doc_id", "left")
+        .select(
+            "doc_id",
+            frac(F.col("top2")).alias("top2_frac"),
+            frac(F.col("top3")).alias("top3_frac"),
+            frac(F.col("dup3")).alias("dup3_frac"),
+            frac(F.col("dup4")).alias("dup4_frac"),
+        )
+        .withColumn(
+            "keep",
+            (
+                (F.col("top2_frac") <= _GOPHER_KEEP["top2_frac"])
+                & (F.col("top3_frac") <= _GOPHER_KEEP["top3_frac"])
+                & (F.col("dup3_frac") <= _GOPHER_KEEP["dup3_frac"])
+                & (F.col("dup4_frac") <= _GOPHER_KEEP["dup4_frac"])
+            ).cast("long"),
+        )
+        .orderBy("doc_id")
+    )

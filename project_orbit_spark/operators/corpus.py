@@ -311,6 +311,105 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "temperature_mixture_sample",
+    tags=("corpus", "sampling"),
+    doc="Temperature-based multilingual sampling (public: XLM, Lample "
+    "& Conneau 2019 §3.1 — per-language share proportional to "
+    "p_l^alpha with alpha=0.5, the square-root flattening mT5/XLM-R "
+    "generalize): head languages are down-sampled and tail languages "
+    "up-weighted toward a 50%-of-corpus doc budget; per-lang keep "
+    "rate = min(1, budget_share / n_docs), membership by the same "
+    "10k-grain salted-md5 bucket corpus_mixture_sample uses (a pure "
+    "function of the row — re-runs and engines agree bit-for-bit, "
+    "never rand()). Numeric contract: the language weight is "
+    "floor(sqrt(n_docs) * 1000) — sqrt is IEEE correctly-rounded, so "
+    "quantizing to an exact BIGINT removes any cross-engine "
+    "float-summation-order from the normalizer; every later op is a "
+    "single deterministic double expression, parenthesized "
+    "identically in both engines. Plan: one scan + a per-lang "
+    "aggregate (bounded by the language inventory, ~hundreds at "
+    "100 TB) broadcast back; no full-data shuffle at any size.",
+    oracle="""
+        WITH per_lang AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY lang
+        ),
+        w AS (
+          SELECT lang, n_docs,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000)
+                   AS BIGINT) AS wt
+          FROM per_lang
+        ),
+        tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+                 CAST(sum(wt) AS BIGINT) AS z
+          FROM w
+        ),
+        rates AS (
+          SELECT lang, n_docs,
+                 least(1.0,
+                   ((0.5 * total_docs) * (CAST(wt AS DOUBLE) / z))
+                     / n_docs) AS rate
+          FROM w CROSS JOIN tot
+        )
+        SELECT d.doc_id, d.lang, r.n_docs AS lang_docs,
+               floor(r.rate * 1000000) / 1000000 AS sample_rate
+        FROM documents d JOIN rates r USING (lang)
+        WHERE CAST(CAST(('0x' || substring(
+                md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              AS BIGINT) % 10000 < CAST(floor(r.rate * 10000) AS BIGINT)
+        ORDER BY doc_id
+    """,
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = per_lang.withColumn(
+        "wt",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000).cast("long"),
+    )
+    tot = w.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("wt").alias("z")
+    )
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (
+                (F.lit(0.5) * F.col("total_docs"))
+                * (F.col("wt").cast("double") / F.col("z"))
+            )
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .filter(bucket < F.floor(F.col("rate") * 10000).cast("long"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_docs").alias("lang_docs"),
+            (F.floor(F.col("rate") * 1000000) / 1000000).alias("sample_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "corpus_shuffle_shards",
     tags=("corpus", "sampling"),
     doc="Deterministic training-shuffle: each doc gets a shard (salted "
@@ -903,6 +1002,107 @@ def scrub_boilerplate(
     # threshold at 100 TB, AQE degrades to a shuffle join — the same
     # safe failure mode the gate's decline path had.
     return apply_boilerplate_scrub(segs, bp)
+
+
+@register(
+    "segment_dedup_first_wins",
+    tags=("corpus", "dedup", "text"),
+    doc="RefinedWeb-style exact line dedup (public: Penedo et al. "
+    "2023 §3.3 — repeated lines are removed corpus-wide, FIRST "
+    "occurrence retained), on the same fixed-width 8-token segment "
+    "grid the boilerplate scrub uses (the corpus has no newlines). "
+    "Semantics are ORDER-DEPENDENT and thereby distinct from "
+    "boilerplate_segment_scrub: the scrub excises EVERY occurrence "
+    "of a DF>=3 segment, while first-wins keeps the earliest "
+    "(doc_id, seg_idx) occurrence of each segment and drops only "
+    "the later repeats — within-doc repeats included. Plan: the "
+    "first-occurrence table is a plain min(struct(doc_id, seg_idx)) "
+    "aggregate on the 60-bit seg_hash — map-side combinable, so a "
+    "segment repeated 1e9 times at 100 TB collapses to one row per "
+    "map task BEFORE the shuffle (a row_number window over seg_hash "
+    "would sort the hot key's every row in one reducer instead); "
+    "the flag join back is hash-keyed and never broadcast (the "
+    "first-occurrence table scales with corpus distinct-segment "
+    "count). Output pins counts and the rewritten text.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        seg AS (
+          SELECT doc_id, (i - 1) // {_SEG_W} AS seg_idx,
+                 array_to_string(
+                   list_slice(toks, i, i + {_SEG_W} - 1), ' ') AS seg,
+                 CAST(CAST(('0x' || substring(md5(array_to_string(
+                   list_slice(toks, i, i + {_SEG_W} - 1), ' ')), 1, 15))
+                   AS UBIGINT) AS BIGINT) AS seg_hash
+          FROM tok, UNNEST(range(1, len(toks) + 1, {_SEG_W})) AS t(i)
+        ),
+        flagged AS (
+          SELECT doc_id, seg_idx, seg,
+                 row_number() OVER (
+                   PARTITION BY seg_hash
+                   ORDER BY doc_id, seg_idx) > 1 AS is_dup
+          FROM seg
+        ),
+        rebuilt AS (
+          SELECT doc_id,
+                 count(*) AS n_segments,
+                 CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+                 coalesce(string_agg(
+                   CASE WHEN NOT is_dup THEN seg END, ' '
+                   ORDER BY seg_idx), '') AS clean_text
+          FROM flagged GROUP BY doc_id
+        )
+        SELECT doc_id, n_segments, n_dropped, clean_text,
+               length(clean_text) AS clean_n_chars
+        FROM rebuilt ORDER BY doc_id
+    """,
+)
+def segment_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_segments_first_wins(d)
+
+
+def dedup_segments_first_wins(d: DataFrame, seg_w: int = _SEG_W) -> DataFrame:
+    """Library face of ``segment_dedup_first_wins``: rewrite each
+    (doc_id, text) row keeping only the corpus-wide FIRST occurrence
+    of every ``seg_w``-token segment."""
+    segs = doc_segments(d, seg_w)
+    # min(struct) aggregate, NOT row_number over seg_hash: partial
+    # aggregation collapses hot segments map-side (see register doc).
+    firsts = segs.groupBy("seg_hash").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("first_occ")
+    )
+    flagged = segs.join(firsts, "seg_hash").withColumn(
+        "is_dup",
+        ~(
+            (F.col("doc_id") == F.col("first_occ.doc_id"))
+            & (F.col("seg_idx") == F.col("first_occ.seg_idx"))
+        ),
+    )
+    kept = F.when(
+        ~F.col("is_dup"),
+        F.struct(F.col("seg_idx").alias("idx"), F.col("seg").alias("seg")),
+    )
+    clean = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept)), lambda x: x.getField("seg")
+        ),
+        " ",
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
+            clean.alias("clean_text"),
+        )
+        .withColumn("clean_n_chars", F.length("clean_text").cast("long"))
+        .orderBy("doc_id")
+    )
 
 
 PACK_BUDGET = 512  # tokens per pack (shared with pack_sequences_budget)

@@ -210,6 +210,11 @@ _DRIVER_PRIORITY = (
     # slots, leaving 44 LRV slots for the r09 tail — well inside the
     # rotation_period() bar, forward-simulated by
     # tests/test_entry.py::test_rotation_schedule_is_sustainable_under_lrv.
+    # Late round-13 additions (gopher_repetition_signals,
+    # segment_dedup_first_wins, temperature_mixture_sample,
+    # matryoshka_funnel_topk) are never-verified, so the LRV sort
+    # fronts them without head slots; the sustainability forward-sim
+    # still passes with them counted.
     "rag_index_and_search",
     "company_gold_profile",
     "eval_rubric_scores",

@@ -875,3 +875,116 @@ def test_merge_upsert_partitioned_matches_dict_merge(
         r["k"]: (r["part"], r["v"]) for r in spark.read.parquet(target).collect()
     }
     assert got == {k: (part(k), v) for k, v in state.items()}
+
+
+def test_repetition_signals_semantics(spark):
+    # a 2-gram-dominated doc is flagged; a fully-distinct doc passes
+    # with zero dup mass; a doc shorter than every n emits zero
+    # fracs (no fabricated descending-sequence windows) and passes
+    from project_orbit_spark.functions.textquality import repetition_signals
+
+    rows = [
+        (0, "spam ham " * 40),
+        (1, " ".join(f"w{i}" for i in range(80))),
+        (2, "one"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(d).collect()}
+    assert out[0]["keep"] == 0 and out[0]["top2_frac"] > 0.5
+    assert out[1]["keep"] == 1 and out[1]["dup3_frac"] == 0.0
+    assert out[2]["keep"] == 1
+    assert (
+        out[2]["top2_frac"]
+        == out[2]["top3_frac"]
+        == out[2]["dup3_frac"]
+        == out[2]["dup4_frac"]
+        == 0.0
+    )
+
+
+def test_repetition_signals_fixture_split_non_vacuous(spark):
+    # the keep flag must cut the fixture corpus both ways — a
+    # threshold that keeps (or drops) everything tests nothing
+    from project_orbit_spark.functions.textquality import (
+        gopher_repetition_signals,
+    )
+
+    out = gopher_repetition_signals(spark, "/root/testdata/sf0.001")
+    agg = out.agg(F.sum("keep").alias("kept"), F.count(F.lit(1)).alias("n")).collect()[0]
+    assert 0 < agg["kept"] < agg["n"]
+
+
+def test_first_wins_dedup_orders_and_differs_from_scrub(spark):
+    # first occurrence (lowest doc_id, then seg_idx) is KEPT, later
+    # repeats drop — including within-doc repeats; and with DF=2 the
+    # boilerplate scrub (DF>=3) keeps everything, pinning that the
+    # two operators are genuinely different semantics, not renames
+    from project_orbit_spark.operators.corpus import (
+        dedup_segments_first_wins,
+        scrub_boilerplate,
+    )
+
+    seg_a = " ".join(f"a{i}" for i in range(8))
+    seg_b = " ".join(f"b{i}" for i in range(8))
+    tail = " ".join(f"t{i}" for i in range(8))
+    rows = [
+        (0, seg_a),
+        (1, f"{seg_a} {tail}"),
+        (2, f"{seg_b} {seg_b}"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fw = {r["doc_id"]: r for r in dedup_segments_first_wins(d).collect()}
+    assert fw[0]["n_dropped"] == 0 and fw[0]["clean_text"] == seg_a
+    assert fw[1]["n_dropped"] == 1 and fw[1]["clean_text"] == tail
+    assert fw[2]["n_dropped"] == 1 and fw[2]["clean_text"] == seg_b
+    sc = {r["doc_id"]: r for r in scrub_boilerplate(d).collect()}
+    assert all(sc[i]["n_dropped"] == 0 for i in range(3))
+
+
+def test_temperature_mixture_upweights_tail_languages(spark):
+    # alpha=0.5 flattening: a language with more docs never gets a
+    # HIGHER keep rate than a smaller one, head languages sit below
+    # the tail, and the realized sample lands near the 50% budget
+    from project_orbit_spark.operators.corpus import (
+        temperature_mixture_sample,
+    )
+
+    out = temperature_mixture_sample(spark, "/root/testdata/sf0.001")
+    rates = {
+        r["lang"]: (r["lang_docs"], r["sample_rate"])
+        for r in out.select("lang", "lang_docs", "sample_rate").distinct().collect()
+    }
+    by_size = sorted(rates.values())
+    for (n1, r1), (n2, r2) in zip(by_size, by_size[1:]):
+        assert r2 <= r1, f"rate must be non-increasing in lang size: {by_size}"
+    total = out.sparkSession.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    kept = out.count()
+    assert 0.3 * total < kept < 0.7 * total
+
+
+def test_matryoshka_funnel_recall_against_exact(spark):
+    # the funnel's full-dim top-5 must substantially agree with the
+    # exact scan (the fixture's leading dims carry real signal), and
+    # per-query output is exactly 5 rows ranked by the FULL score
+    from project_orbit_spark.similarity.cosine import (
+        cosine_topk_exact,
+        matryoshka_funnel_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["qid"], r["cid"]) for r in cosine_topk_exact(spark, sf).collect()
+    }
+    funnel = matryoshka_funnel_topk(spark, sf).collect()
+    assert len(funnel) == 25
+    got = {(r["qid"], r["cid"]) for r in funnel}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.6, f"funnel recall@5 collapsed: {recall}"
+    for qid in {r["qid"] for r in funnel}:
+        rows = sorted(
+            (r for r in funnel if r["qid"] == qid), key=lambda r: r["rank"]
+        )
+        scores = [r["full_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
