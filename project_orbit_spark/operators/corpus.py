@@ -1105,6 +1105,154 @@ def dedup_segments_first_wins(d: DataFrame, seg_w: int = _SEG_W) -> DataFrame:
     )
 
 
+_SEGMENT_INDEX_CACHE = None  # populated lazily via register_df_cache
+
+
+def warm_segment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The existing corpus's seen-segment set (distinct seg_hash),
+    persisted once per (session, sf_dir) — at 100 TB a stored artifact
+    the offline first-wins dedup job maintains (same contract as
+    warm_vocab / warm_span_index / warm_band_index)."""
+    global _SEGMENT_INDEX_CACHE
+    from project_orbit_spark.session import cache_token, register_df_cache
+
+    if _SEGMENT_INDEX_CACHE is None:
+        _SEGMENT_INDEX_CACHE = register_df_cache({})
+    key = (cache_token(spark), sf_dir)
+    if key not in _SEGMENT_INDEX_CACHE:
+        d = load(spark, sf_dir, "documents").select("doc_id", "text")
+        idx = (
+            doc_segments(d)
+            .select("seg_hash")
+            .distinct()
+            .select("seg_hash", F.lit(True).alias("seen"))
+            .persist()
+        )
+        idx.count()
+        _SEGMENT_INDEX_CACHE[key] = idx
+    return _SEGMENT_INDEX_CACHE[key]
+
+
+@register(
+    "incremental_segment_dedup",
+    tags=("corpus", "dedup", "incremental"),
+    prepare=lambda spark, sf_dir: warm_segment_index(spark, sf_dir) and None,
+    doc="Incremental face of segment_dedup_first_wins and the SEVENTH "
+    "instance of the engine's incremental-index contract (minhash "
+    "band index, embedding vector index, span index, k-means model, "
+    "vocabulary, curation artifacts — now the seen-segment set): a "
+    "nightly batch (every-7th doc re-crawled with a novel 8-token "
+    "tail appended, the usual synthesized-batch convention) is "
+    "line-deduped against the PERSISTED distinct-seg_hash index of "
+    "the existing corpus — re-crawled body segments drop as already-"
+    "seen, the novel tail survives, and within-batch repeats resolve "
+    "first-wins among themselves (min(struct) aggregate over BATCH "
+    "segments only). O(new) per run: the fitted corpus is never "
+    "re-segmented; the index side of the seg_hash join is the "
+    "persisted artifact (never broadcast — it scales with corpus "
+    "distinct-segment count; bucket it by seg_hash on disk at 100 TB "
+    "and the nightly join co-locates without reshuffling the index).",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        seen AS (
+          SELECT DISTINCT
+                 CAST(CAST(('0x' || substring(md5(array_to_string(
+                   list_slice(toks, i, i + {_SEG_W} - 1), ' ')), 1, 15))
+                   AS UBIGINT) AS BIGINT) AS seg_hash
+          FROM tok, UNNEST(range(1, len(toks) + 1, {_SEG_W})) AS t(i)
+        ),
+        new_tok AS (
+          SELECT doc_id + 200000 AS new_id,
+                 string_split_regex(trim(lower(
+                   text || ' nv1 nv2 nv3 nv4 nv5 nv6 nv7 nv8')),
+                   '\\s+') AS toks
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        nseg AS (
+          SELECT new_id, (i - 1) // {_SEG_W} AS seg_idx,
+                 array_to_string(
+                   list_slice(toks, i, i + {_SEG_W} - 1), ' ') AS seg,
+                 CAST(CAST(('0x' || substring(md5(array_to_string(
+                   list_slice(toks, i, i + {_SEG_W} - 1), ' ')), 1, 15))
+                   AS UBIGINT) AS BIGINT) AS seg_hash
+          FROM new_tok, UNNEST(range(1, len(toks) + 1, {_SEG_W})) AS t(i)
+        ),
+        flagged AS (
+          SELECT n.new_id, n.seg_idx, n.seg,
+                 (s.seg_hash IS NOT NULL) OR (row_number() OVER (
+                   PARTITION BY n.seg_hash
+                   ORDER BY n.new_id, n.seg_idx) > 1) AS is_dup
+          FROM nseg n LEFT JOIN seen s USING (seg_hash)
+        ),
+        rebuilt AS (
+          SELECT new_id,
+                 count(*) AS n_segments,
+                 CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+                 coalesce(string_agg(
+                   CASE WHEN NOT is_dup THEN seg END, ' '
+                   ORDER BY seg_idx), '') AS clean_text
+          FROM flagged GROUP BY new_id
+        )
+        SELECT new_id, n_segments, n_dropped, clean_text,
+               length(clean_text) AS clean_n_chars
+        FROM rebuilt ORDER BY new_id
+    """,
+)
+def incremental_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" nv1 nv2 nv3 nv4 nv5 nv6 nv7 nv8")).alias(
+            "text"
+        ),
+    )
+    nseg = doc_segments(batch)
+    # within-batch first occurrence — O(new) aggregate, map-side
+    # combinable exactly like the offline face
+    firsts = nseg.groupBy("seg_hash").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("first_occ")
+    )
+    idx = warm_segment_index(spark, sf_dir)
+    flagged = (
+        nseg.join(firsts, "seg_hash")
+        .join(idx, "seg_hash", "left")
+        .withColumn(
+            "is_dup",
+            F.coalesce(F.col("seen"), F.lit(False))
+            | ~(
+                (F.col("doc_id") == F.col("first_occ.doc_id"))
+                & (F.col("seg_idx") == F.col("first_occ.seg_idx"))
+            ),
+        )
+    )
+    kept = F.when(
+        ~F.col("is_dup"),
+        F.struct(F.col("seg_idx").alias("idx"), F.col("seg").alias("seg")),
+    )
+    clean = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept)), lambda x: x.getField("seg")
+        ),
+        " ",
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
+            clean.alias("clean_text"),
+        )
+        .withColumnRenamed("doc_id", "new_id")
+        .withColumn("clean_n_chars", F.length("clean_text").cast("long"))
+        .orderBy("new_id")
+    )
+
+
 PACK_BUDGET = 512  # tokens per pack (shared with pack_sequences_budget)
 
 

@@ -988,3 +988,25 @@ def test_matryoshka_funnel_recall_against_exact(spark):
         )
         scores = [r["full_score"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_incremental_segment_dedup_is_o_new(spark):
+    # re-crawled body segments all drop against the persisted index
+    # (every fully-original segment is seen); only the novel appended
+    # tail can survive — and it does for at least one batch doc, so
+    # neither direction of the flag is vacuous
+    from project_orbit_spark.operators.corpus import (
+        incremental_segment_dedup,
+    )
+
+    out = incremental_segment_dedup(spark, "/root/testdata/sf0.001").collect()
+    assert out, "batch must be non-empty"
+    for r in out:
+        assert r["n_dropped"] >= r["n_segments"] - 2, (
+            "a fully-original segment escaped the index",
+            r["new_id"],
+        )
+    kept_texts = [r["clean_text"] for r in out if r["clean_text"]]
+    assert kept_texts, "novel tails must survive"
+    assert any("nv1" in t for t in kept_texts)
+    assert sum(r["n_dropped"] for r in out) > 0
