@@ -1205,19 +1205,33 @@ def warm_segment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def incremental_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    batch = d.filter(F.col("doc_id") % 7 == 0).select(
+    return segment_dedup_batch(
+        _segment_dedup_arm(d), warm_segment_index(spark, sf_dir)
+    )
+
+
+def _segment_dedup_arm(d: DataFrame) -> DataFrame:
+    """The synthesized nightly batch for the segment-dedup face:
+    every-7th doc re-crawled with a novel 8-token tail appended."""
+    return d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat("text", F.lit(" nv1 nv2 nv3 nv4 nv5 nv6 nv7 nv8")).alias(
             "text"
         ),
     )
+
+
+def segment_dedup_batch(batch: DataFrame, idx: DataFrame) -> DataFrame:
+    """The O(new) first-wins dedup of one (doc_id, text) batch against
+    the persisted seen-segment index — factored out so the streaming
+    twin (streaming/curation.py::stream_segment_dedup) runs the
+    IDENTICAL plan per micro-batch."""
     nseg = doc_segments(batch)
     # within-batch first occurrence — O(new) aggregate, map-side
     # combinable exactly like the offline face
     firsts = nseg.groupBy("seg_hash").agg(
         F.min(F.struct("doc_id", "seg_idx")).alias("first_occ")
     )
-    idx = warm_segment_index(spark, sf_dir)
     flagged = (
         nseg.join(firsts, "seg_hash")
         .join(idx, "seg_hash", "left")

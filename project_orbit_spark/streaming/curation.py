@@ -83,3 +83,36 @@ def stream_curate_docs(spark: SparkSession, sf_dir: str, on_batch):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_segment_dedup(spark: SparkSession, sf_dir: str, on_batch):
+    """Streaming twin of incremental_segment_dedup: each micro-batch
+    of arriving documents is first-wins line-deduped against the
+    SESSION-PERSISTED seen-segment index (operators/corpus.py::
+    warm_segment_index) by the IDENTICAL plan builder the
+    driver-checked batch face uses (segment_dedup_batch). Zero
+    state: every micro-batch is a pure function of (batch, persisted
+    index), so restarts replay cleanly from source offsets.
+    Batch-boundary semantics are BY DESIGN per micro-batch: two docs
+    arriving in different triggers dedup against the INDEX, never
+    each other (the incremental contract); within one trigger they
+    resolve first-wins among themselves. Index refresh is a
+    restart-and-swap, the warm_vocab / lsh.warm_embedding_index
+    contract."""
+    from project_orbit_spark.operators.corpus import (
+        _segment_dedup_arm,
+        segment_dedup_batch,
+        warm_segment_index,
+    )
+
+    idx = warm_segment_index(spark, sf_dir)
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+
+    def run_batch(mb: DataFrame, _batch_id: int) -> None:
+        on_batch(segment_dedup_batch(_segment_dedup_arm(mb), idx))
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -598,3 +598,25 @@ def test_stream_merge_partitioned_matches_batch_merge(spark, tmp_path):
         want = {tuple(r) for r in spark.read.parquet(batch_target).collect()}
         assert got == want
         assert got, "parity set is empty — the stream produced nothing"
+
+
+@pytest.mark.timeout(240)
+def test_stream_segment_dedup_matches_batch(spark):
+    """Streaming twin of the incremental segment dedup: the documents
+    stream deduped per micro-batch through foreachBatch against the
+    persisted seen-segment index must emit exactly the rows of the
+    driver-checked batch face (AvailableNow over the single-file
+    fixture is one micro-batch)."""
+    from project_orbit_spark.registry import get_query
+    from project_orbit_spark.streaming.curation import stream_segment_dedup
+
+    rows: list = []
+    q = stream_segment_dedup(spark, SF_DIR, lambda df: rows.extend(df.collect()))
+    q.awaitTermination(180)
+    got = {tuple(r) for r in rows}
+    want = {
+        tuple(r)
+        for r in get_query("incremental_segment_dedup").fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert got, "parity set is empty — the stream produced nothing"
