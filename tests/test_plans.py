@@ -831,3 +831,47 @@ def test_curation_gold_label_gate_follows_the_bound(spark, monkeypatch):
         declined._jdf.queryExecution().analyzed().toString()
     )
     assert [tuple(r) for r in declined.collect()] == want
+
+
+def test_first_wins_dedup_aggregates_not_windows(spark):
+    # the first-occurrence table MUST be a partial-aggregable
+    # min(struct) (hot segments collapse map-side), never a
+    # row_number window over seg_hash (one reducer sorts every copy
+    # of the hottest segment at 100 TB); the flag join back is
+    # hash-keyed, never a nested loop
+    f = facts("segment_dedup_first_wins", spark)
+    assert f.partial_agg, "first-occurrence derivation must partial-aggregate"
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+
+
+def test_incremental_segment_dedup_never_broadcasts_index(spark):
+    # the seen-segment index scales with corpus distinct-segment
+    # count — it must reach the join as a plain keyed side, and the
+    # within-batch firsts must partial-aggregate like the offline face
+    from project_orbit_spark.operators.corpus import warm_segment_index
+
+    warm_segment_index(spark, SF_DIR)  # warm outside the audited plan
+    f = facts("incremental_segment_dedup", spark)
+    assert f.partial_agg
+    assert "CartesianProduct" not in f.text
+
+
+def test_matryoshka_funnel_broadcasts_queries_once(spark):
+    # query set broadcasts, corpus streams once at prefix width; no
+    # cartesian, and the shortlist rerank must not re-scan the corpus
+    f = facts("matryoshka_funnel_topk", spark)
+    assert f.n_broadcast_joins >= 1, "query set must broadcast; corpus streams"
+    assert "CartesianProduct" not in f.text
+
+
+def test_gopher_signals_single_corpus_pass(spark):
+    # ONE flatten+explode produces the (n, gram) stream for all n —
+    # the plan must contain exactly one Generate (explode) node, and
+    # the count aggregate must have a map-side partial phase
+    import re
+
+    f = facts("gopher_repetition_signals", spark)
+    nodes = set(re.findall(r"Generate \((\d+)\)", f.text))
+    assert len(nodes) == 1, f"n-gram stream must be one explode: {nodes}"
+    assert f.partial_agg
