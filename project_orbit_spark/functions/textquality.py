@@ -968,3 +968,123 @@ def repetition_signals(d: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "quality_ensemble_filter",
+    tags=("text", "quality", "corpus"),
+    doc="Model-based quality filtering, the composed stage "
+    "FineWeb-Edu/DCLM run with a trained classifier — here a "
+    "deterministic linear model over the engine's own signal bank "
+    "(the pluggable-scorer convention of llm_extract_funding_stub: "
+    "swap in real classifier weights, the plan shape is identical): "
+    "score = quality - 2*top2gram_frac - 4*dup3gram_frac over the "
+    "QUANTIZED features, so every term is a bit-identical double in "
+    "both engines and the arithmetic is parenthesized identically; "
+    "keep at score >= 0.45 (splits the fixture ~45/55, non-vacuous "
+    "both ways). Plan: the quality term is map-only; the repetition "
+    "features arrive from the signal bank's per-doc keyed aggregate; "
+    "ONE per-doc join stitches them — nothing couples two documents.",
+    oracle="""
+        WITH q AS (
+          SELECT doc_id,
+                 floor((0.4 * least(n_chars::DOUBLE / 500.0, 1.0)
+                   + 0.3 * least(
+                       len(list_filter(
+                         string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+                       / nullif(len(string_split_regex(
+                           trim(lower(text)), '\\s+')), 0)::DOUBLE * 4,
+                       1.0)
+                   + 0.3 * (length(
+                       regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                       / nullif(length(text), 0)::DOUBLE)) * 10000)
+                   / 10000 AS quality
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id, t,
+                 CAST(len(array_to_string(t, ' ')) AS BIGINT) AS total_chars
+          FROM tok WHERE len(t) >= 1
+        ),
+        grams AS (
+          SELECT b.doc_id, ns.n, u.gram
+          FROM base b,
+               (VALUES (2), (3)) AS ns(n),
+               UNNEST(CASE WHEN len(b.t) >= ns.n
+                      THEN list_transform(range(0, len(b.t) - ns.n + 1),
+                             i -> array_to_string(
+                               list_slice(b.t, i + 1, i + ns.n), ' '))
+                      ELSE [] END) AS u(gram)
+        ),
+        cnt AS (
+          SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c,
+                 CAST(len(gram) AS BIGINT) AS chars
+          FROM grams GROUP BY doc_id, n, gram
+        ),
+        per_n AS (
+          SELECT doc_id, n,
+                 CAST(max(c * chars) AS BIGINT) AS top_chars,
+                 CAST(coalesce(
+                   sum(CASE WHEN c > 1 THEN c * chars END), 0) AS BIGINT)
+                   AS dup_chars
+          FROM cnt GROUP BY doc_id, n
+        ),
+        piv AS (
+          SELECT doc_id,
+                 coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0) AS top2,
+                 coalesce(max(CASE WHEN n = 3 THEN dup_chars END), 0) AS dup3
+          FROM per_n GROUP BY doc_id
+        ),
+        feats AS (
+          SELECT b.doc_id,
+                 floor(least(1.0, CAST(coalesce(p.top2, 0) AS DOUBLE)
+                   / b.total_chars) * 1000000) / 1000000 AS top2_frac,
+                 floor(least(1.0, CAST(coalesce(p.dup3, 0) AS DOUBLE)
+                   / b.total_chars) * 1000000) / 1000000 AS dup3_frac
+          FROM base b LEFT JOIN piv p USING (doc_id)
+        )
+        SELECT q.doc_id,
+               floor((q.quality - 2.0 * f.top2_frac - 4.0 * f.dup3_frac)
+                 * 10000) / 10000 AS ensemble_score,
+               CAST(floor((q.quality - 2.0 * f.top2_frac
+                     - 4.0 * f.dup3_frac) * 10000) / 10000 >= 0.45
+                 AS BIGINT) AS keep
+        FROM q JOIN feats f USING (doc_id)
+        ORDER BY doc_id
+    """,
+)
+def quality_ensemble_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        (
+            F.floor(quality_score(F.col("text"), F.col("n_chars")) * 10000)
+            / 10000
+        ).alias("quality"),
+    )
+    feats = repetition_signals(d.select("doc_id", "text")).select(
+        "doc_id", "top2_frac", "dup3_frac"
+    )
+    score = F.floor(
+        (
+            F.col("quality")
+            - F.lit(2.0) * F.col("top2_frac")
+            - F.lit(4.0) * F.col("dup3_frac")
+        )
+        * 10000
+    ) / 10000
+    return (
+        q.join(feats, "doc_id")
+        .select(
+            "doc_id",
+            score.alias("ensemble_score"),
+            (score >= 0.45).cast("long").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

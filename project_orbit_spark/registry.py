@@ -212,7 +212,8 @@ _DRIVER_PRIORITY = (
     # tests/test_entry.py::test_rotation_schedule_is_sustainable_under_lrv.
     # Late round-13 additions (gopher_repetition_signals,
     # segment_dedup_first_wins, temperature_mixture_sample,
-    # matryoshka_funnel_topk, incremental_segment_dedup) are
+    # matryoshka_funnel_topk, incremental_segment_dedup,
+    # quality_ensemble_filter) are
     # never-verified, so the LRV sort
     # fronts them without head slots; the sustainability forward-sim
     # still passes with them counted.

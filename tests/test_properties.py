@@ -1010,3 +1010,19 @@ def test_incremental_segment_dedup_is_o_new(spark):
     assert kept_texts, "novel tails must survive"
     assert any("nv1" in t for t in kept_texts)
     assert sum(r["n_dropped"] for r in out) > 0
+
+
+def test_quality_ensemble_filter_composes_and_splits(spark):
+    # the ensemble must agree with its parts: a doc flagged by the
+    # repetition bank scores lower than its quality alone, the keep
+    # flag splits the fixture both ways, and keep is exactly
+    # (ensemble_score >= 0.45) — no hidden second rule
+    from project_orbit_spark.functions.textquality import (
+        quality_ensemble_filter,
+    )
+
+    out = quality_ensemble_filter(spark, "/root/testdata/sf0.001").collect()
+    kept = sum(r["keep"] for r in out)
+    assert 0 < kept < len(out)
+    for r in out:
+        assert r["keep"] == int(r["ensemble_score"] >= 0.45)
