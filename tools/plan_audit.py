@@ -69,6 +69,13 @@ BNLJ_BOUNDED = {
     # the incremental curation face inherits the same 1-row builds
     # (persisted total/cuts artifacts) on its O(new) batch side
     "incremental_curation_gold",
+    # round-13 additions (hand-audited): the Matryoshka funnel
+    # broadcasts the 5-row query set (the cosine_topk_exact shape);
+    # temperature sampling crossJoins the single (total_docs, z)
+    # stats row back onto the BOUNDED per-language table (the
+    # corpus_mixture_sample shape — the corpus join itself is an
+    # equi hash join on lang)
+    "matryoshka_funnel_topk", "temperature_mixture_sample",
 }
 
 
