@@ -1088,3 +1088,206 @@ def quality_ensemble_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_report_card",
+    tags=("text", "quality", "corpus", "profiling"),
+    doc="Per-language dataset report card (the 'nutrition label' a "
+    "curation pipeline publishes with every corpus release — datasheet "
+    "/ dataset-card practice): document and exact-token counts, "
+    "exact-duplicate rate (md5 full-text groups), mean composite "
+    "quality, and the keep rates of the repetition bank and the "
+    "ensemble filter, one row per language. Numeric contract: mean "
+    "quality is the sum of the 4dp-QUANTIZED per-doc scores carried "
+    "as exact integers (floor(q*10000) summed as BIGINT — integer "
+    "sums are order-free, so no cross-engine float-summation risk), "
+    "divided once at the end; every rate is a single division of "
+    "exact counts, floor-quantized to 4dp. Plan: the per-doc feature "
+    "columns are map-only or per-doc keyed (quality, repetition "
+    "fracs), the dup flag is one md5 aggregate joined back, then ONE "
+    "per-lang reduction — the whole card is two keyed shuffles over "
+    "features the pipeline computes anyway.",
+    oracle="""
+        WITH q AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(floor((0.4 * least(n_chars::DOUBLE / 500.0, 1.0)
+                   + 0.3 * least(
+                       len(list_filter(
+                         string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+                       / nullif(len(string_split_regex(
+                           trim(lower(text)), '\\s+')), 0)::DOUBLE * 4,
+                       1.0)
+                   + 0.3 * (length(
+                       regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                       / nullif(length(text), 0)::DOUBLE)) * 10000)
+                   AS BIGINT) AS q_int,
+                 md5(text) AS content_hash
+          FROM documents
+        ),
+        dupf AS (
+          SELECT content_hash, count(*) > 1 AS is_dup
+          FROM q GROUP BY content_hash
+        ),
+        tok AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id, t,
+                 CAST(len(array_to_string(t, ' ')) AS BIGINT) AS total_chars
+          FROM tok WHERE len(t) >= 1
+        ),
+        grams AS (
+          SELECT b.doc_id, ns.n, u.gram
+          FROM base b,
+               (VALUES (2), (3), (4)) AS ns(n),
+               UNNEST(CASE WHEN len(b.t) >= ns.n
+                      THEN list_transform(range(0, len(b.t) - ns.n + 1),
+                             i -> array_to_string(
+                               list_slice(b.t, i + 1, i + ns.n), ' '))
+                      ELSE [] END) AS u(gram)
+        ),
+        cnt AS (
+          SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c,
+                 CAST(len(gram) AS BIGINT) AS chars
+          FROM grams GROUP BY doc_id, n, gram
+        ),
+        per_n AS (
+          SELECT doc_id, n,
+                 CAST(max(c * chars) AS BIGINT) AS top_chars,
+                 CAST(coalesce(
+                   sum(CASE WHEN c > 1 THEN c * chars END), 0) AS BIGINT)
+                   AS dup_chars
+          FROM cnt GROUP BY doc_id, n
+        ),
+        piv AS (
+          SELECT doc_id,
+                 coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0) AS top2,
+                 coalesce(max(CASE WHEN n = 3 THEN top_chars END), 0) AS top3,
+                 coalesce(max(CASE WHEN n = 3 THEN dup_chars END), 0) AS dup3,
+                 coalesce(max(CASE WHEN n = 4 THEN dup_chars END), 0) AS dup4
+          FROM per_n GROUP BY doc_id
+        ),
+        fr AS (
+          SELECT b.doc_id,
+                 floor(least(1.0, CAST(coalesce(p.top2, 0) AS DOUBLE)
+                   / b.total_chars) * 1000000) / 1000000 AS top2_frac,
+                 floor(least(1.0, CAST(coalesce(p.top3, 0) AS DOUBLE)
+                   / b.total_chars) * 1000000) / 1000000 AS top3_frac,
+                 floor(least(1.0, CAST(coalesce(p.dup3, 0) AS DOUBLE)
+                   / b.total_chars) * 1000000) / 1000000 AS dup3_frac,
+                 floor(least(1.0, CAST(coalesce(p.dup4, 0) AS DOUBLE)
+                   / b.total_chars) * 1000000) / 1000000 AS dup4_frac
+          FROM base b LEFT JOIN piv p USING (doc_id)
+        ),
+        per_doc AS (
+          SELECT q.lang, q.n_tokens, q.q_int, d.is_dup,
+                 CAST(fr.top2_frac <= 0.12 AND fr.top3_frac <= 0.14
+                  AND fr.dup3_frac <= 0.03 AND fr.dup4_frac <= 0.02
+                  AS BIGINT) AS gopher_keep,
+                 CAST(floor((q.q_int / 10000.0 - 2.0 * fr.top2_frac
+                       - 4.0 * fr.dup3_frac) * 10000) / 10000 >= 0.45
+                   AS BIGINT) AS ensemble_keep
+          FROM q
+          JOIN dupf d USING (content_hash)
+          JOIN fr ON fr.doc_id = q.doc_id
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS exact_dup_docs,
+               floor(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*) * 10000) / 10000 AS dup_rate,
+               floor(CAST(sum(q_int) AS DOUBLE) / count(*)) / 10000
+                 AS avg_quality,
+               floor(sum(gopher_keep)::DOUBLE / count(*) * 10000) / 10000
+                 AS gopher_keep_rate,
+               floor(sum(ensemble_keep)::DOUBLE / count(*) * 10000) / 10000
+                 AS ensemble_keep_rate
+        FROM per_doc
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.floor(quality_score(F.col("text"), F.col("n_chars")) * 10000)
+        .cast("long")
+        .alias("q_int"),
+        F.md5("text").alias("content_hash"),
+    )
+    dupf = q.groupBy("content_hash").agg(
+        (F.count(F.lit(1)) > 1).alias("is_dup")
+    )
+    fr = repetition_signals(d.select("doc_id", "text"))
+    per_doc = (
+        q.join(dupf, "content_hash")
+        .join(fr.select("doc_id", "top2_frac", "top3_frac", "dup3_frac", "dup4_frac"), "doc_id")
+        .select(
+            "lang",
+            "n_tokens",
+            "q_int",
+            "is_dup",
+            (
+                (F.col("top2_frac") <= _GOPHER_KEEP["top2_frac"])
+                & (F.col("top3_frac") <= _GOPHER_KEEP["top3_frac"])
+                & (F.col("dup3_frac") <= _GOPHER_KEEP["dup3_frac"])
+                & (F.col("dup4_frac") <= _GOPHER_KEEP["dup4_frac"])
+            )
+            .cast("long")
+            .alias("gopher_keep"),
+            (
+                F.floor(
+                    (
+                        F.col("q_int") / 10000.0
+                        - F.lit(2.0) * F.col("top2_frac")
+                        - F.lit(4.0) * F.col("dup3_frac")
+                    )
+                    * 10000
+                )
+                / 10000
+                >= 0.45
+            )
+            .cast("long")
+            .alias("ensemble_keep"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("is_dup").cast("long")).alias("exact_dup_docs"),
+            (
+                F.floor(
+                    F.sum(F.col("is_dup").cast("long")).cast("double")
+                    / n
+                    * 10000
+                )
+                / 10000
+            ).alias("dup_rate"),
+            (F.floor(F.sum("q_int").cast("double") / n) / 10000).alias(
+                "avg_quality"
+            ),
+            (
+                F.floor(F.sum("gopher_keep").cast("double") / n * 10000)
+                / 10000
+            ).alias("gopher_keep_rate"),
+            (
+                F.floor(F.sum("ensemble_keep").cast("double") / n * 10000)
+                / 10000
+            ).alias("ensemble_keep_rate"),
+        )
+        .orderBy("lang")
+    )

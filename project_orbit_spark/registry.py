@@ -213,7 +213,8 @@ _DRIVER_PRIORITY = (
     # Late round-13 additions (gopher_repetition_signals,
     # segment_dedup_first_wins, temperature_mixture_sample,
     # matryoshka_funnel_topk, incremental_segment_dedup,
-    # quality_ensemble_filter, image_png_roundtrip) are
+    # quality_ensemble_filter, image_png_roundtrip,
+    # corpus_report_card) are
     # never-verified, so the LRV sort
     # fronts them without head slots; the sustainability forward-sim
     # still passes with them counted.

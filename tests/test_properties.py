@@ -1026,3 +1026,23 @@ def test_quality_ensemble_filter_composes_and_splits(spark):
     assert 0 < kept < len(out)
     for r in out:
         assert r["keep"] == int(r["ensemble_score"] >= 0.45)
+
+
+def test_corpus_report_card_internally_consistent(spark):
+    # the card's rates must be exactly the ratios of its own counts,
+    # languages partition the corpus, and the keep rates sit strictly
+    # inside (0, 1) somewhere so the card reports real signal
+    import math
+
+    from project_orbit_spark.functions.textquality import corpus_report_card
+
+    sf = "/root/testdata/sf0.001"
+    out = corpus_report_card(spark, sf).collect()
+    total = spark.read.parquet(sf + "/documents.parquet").count()
+    assert sum(r["n_docs"] for r in out) == total
+    for r in out:
+        assert r["dup_rate"] == math.floor(
+            r["exact_dup_docs"] / r["n_docs"] * 10000
+        ) / 10000
+        assert 0.0 <= r["avg_quality"] <= 1.0
+    assert any(0 < r["ensemble_keep_rate"] < 1 for r in out)
