@@ -1025,6 +1025,88 @@ def dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_cluster_size_histogram",
+    tags=("dedup", "graph", "lsh", "profiling"),
+    doc="Cluster-size distribution of the near-dup graph — the "
+    "observability row every dedup run reports (how much redundancy, "
+    "in what shape: a heavy tail of big clusters means template spam, "
+    "uniform 2s mean re-crawls): per cluster size, the number of "
+    "clusters and documents, with size-1 = corpus docs in NO pair "
+    "(counted by difference against the corpus spine, one count "
+    "aggregate — never an anti-join materializing singletons). "
+    "Reuses the session-persisted pair graph (warm_dup_pairs), so "
+    "after any dedup consumer has run, the histogram costs one "
+    "count-by-label aggregate over the (tiny) label table; output is "
+    "bounded by the largest cluster size.",
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+        edges AS (
+          SELECT left_id AS src, right_id AS dst FROM pairs
+          UNION
+          SELECT right_id AS src, left_id AS dst FROM pairs
+        ),
+        reach(node, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        labels AS (
+          SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+        ),
+        sizes AS (
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM labels GROUP BY cluster_id
+        ),
+        hist AS (
+          SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+          FROM sizes GROUP BY cluster_size
+        ),
+        singletons AS (
+          SELECT CAST(1 AS BIGINT) AS cluster_size,
+                 CAST((SELECT count(*) FROM documents)
+                   - (SELECT count(*) FROM labels) AS BIGINT) AS n_clusters,
+                 CAST((SELECT count(*) FROM documents)
+                   - (SELECT count(*) FROM labels) AS BIGINT) AS n_docs
+        )
+        SELECT * FROM hist
+        UNION ALL
+        SELECT * FROM singletons
+        ORDER BY cluster_size
+    """,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.catalog import load as _load
+    from project_orbit_spark.operators.graph import connected_components
+
+    pairs = warm_dup_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    labels = connected_components(edges, strategy="auto")
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )
+    n_corpus = _load(spark, sf_dir, "documents").select(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_labeled = labels.select(F.count(F.lit(1)).alias("m"))
+    singles = (
+        n_corpus.crossJoin(F.broadcast(n_labeled))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n") - F.col("m")).alias("n_clusters"),
+            (F.col("n") - F.col("m")).alias("n_docs"),
+        )
+    )
+    return hist.unionByName(singles).orderBy("cluster_size")
+
+
+@register(
     "dedup_canonical_corpus",
     bench=True,
     tags=("dedup", "graph", "lsh", "pipeline"),

@@ -214,7 +214,7 @@ _DRIVER_PRIORITY = (
     # segment_dedup_first_wins, temperature_mixture_sample,
     # matryoshka_funnel_topk, incremental_segment_dedup,
     # quality_ensemble_filter, image_png_roundtrip,
-    # corpus_report_card) are
+    # corpus_report_card, dup_cluster_size_histogram) are
     # never-verified, so the LRV sort
     # fronts them without head slots; the sustainability forward-sim
     # still passes with them counted.

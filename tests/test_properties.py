@@ -1046,3 +1046,20 @@ def test_corpus_report_card_internally_consistent(spark):
         ) / 10000
         assert 0.0 <= r["avg_quality"] <= 1.0
     assert any(0 < r["ensemble_keep_rate"] < 1 for r in out)
+
+
+def test_dup_cluster_histogram_accounts_for_every_doc(spark):
+    # histogram mass (sum of n_docs over sizes) must equal the corpus
+    # exactly — every doc is a singleton or in exactly one cluster —
+    # and the fixture's injected dups guarantee a size>=2 row exists
+    from project_orbit_spark.operators.dedup import (
+        dup_cluster_size_histogram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = dup_cluster_size_histogram(spark, sf).collect()
+    total = spark.read.parquet(sf + "/documents.parquet").count()
+    assert sum(r["n_docs"] for r in out) == total
+    for r in out:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+    assert any(r["cluster_size"] >= 2 for r in out)
