@@ -1076,7 +1076,6 @@ def dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from project_orbit_spark.catalog import load as _load
     from project_orbit_spark.operators.graph import connected_components
 
     pairs = warm_dup_pairs(spark, sf_dir)
@@ -1091,7 +1090,7 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
     )
-    n_corpus = _load(spark, sf_dir, "documents").select(
+    n_corpus = load(spark, sf_dir, "documents").select(
         F.count(F.lit(1)).alias("n")
     )
     n_labeled = labels.select(F.count(F.lit(1)).alias("m"))
