@@ -780,36 +780,15 @@ def incremental_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top-{2,3,4}-gram <= 0.20/0.18/0.16 and dup-{5..10}-gram <= 0.15..0.10;
 # this word-salad fixture has its repetition mass at n=2..4, measured
 # at sf0.01: p80(top2)=0.108, 27/500 docs with dup3>0).
-_GOPHER_KEEP = {
-    "top2_frac": 0.12,
-    "top3_frac": 0.14,
-    "dup3_frac": 0.03,
-    "dup4_frac": 0.02,
-}
-
-
-@register(
-    "gopher_repetition_signals",
-    tags=("text", "quality", "corpus"),
-    doc="Gopher repetition-filter bank (public: Rae et al. 2021 Table "
-    "A1; the same signals FineWeb/Dolma re-implement): per document, "
-    "the fraction of characters covered by the single most-repeated "
-    "{2,3}-gram (count x chars of the densest n-gram, capped at 1) "
-    "and the fraction covered by DUPLICATE {3,4}-grams (all n-grams "
-    "occurring >1 time; overlapping occurrences each count, as in "
-    "the paper). keep=1 iff every signal is under its threshold. "
-    "Plan: one token split, ONE flatten+explode producing the "
-    "(n, gram) stream for all three n in a single corpus pass, "
-    "count aggregate keyed (doc_id, n, gram) — per-doc key space, "
-    "map-side combinable, no cross-document key skew — then two "
-    "narrow per-doc reductions. All ratios are single IEEE "
-    "divisions of exact BIGINTs, floor-quantized to 6dp (no "
-    "HALF_UP tie path), so both engines emit bit-identical "
-    "doubles. Scales linearly: nothing in the plan touches two "
-    "documents' rows in one task.",
-    oracle=r"""
-        WITH tok AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+# Shared oracle CTE bank for the repetition-feature family (gopher
+# signals, ensemble filter, report card): ONE SQL definition of the
+# per-doc n-gram char fractions, so the three oracles cannot drift
+# (the curate_batch lesson, ADVICE r12 #3, applied to SQL literals).
+# Produces base(doc_id, t, total_chars) and
+# fr(doc_id, top2_frac, top3_frac, dup3_frac, dup4_frac).
+_REPETITION_FRACS_CTES = r"""tok AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS t
           FROM documents
         ),
         base AS (
@@ -848,7 +827,7 @@ _GOPHER_KEEP = {
                  coalesce(max(CASE WHEN n = 4 THEN dup_chars END), 0) AS dup4
           FROM per_n GROUP BY doc_id
         ),
-        fracs AS (
+        fr AS (
           SELECT b.doc_id,
                  floor(least(1.0, CAST(coalesce(p.top2, 0) AS DOUBLE)
                    / b.total_chars) * 1000000) / 1000000 AS top2_frac,
@@ -859,12 +838,58 @@ _GOPHER_KEEP = {
                  floor(least(1.0, CAST(coalesce(p.dup4, 0) AS DOUBLE)
                    / b.total_chars) * 1000000) / 1000000 AS dup4_frac
           FROM base b LEFT JOIN piv p USING (doc_id)
-        )
+        )"""
+
+# The 4dp-quantized composite quality as an exact BIGINT (shared by
+# the ensemble filter and the report card oracles).
+_QUALITY_INT_SQL = r"""CAST(floor((0.4 * least(n_chars::DOUBLE / 500.0, 1.0)
+                   + 0.3 * least(
+                       len(list_filter(
+                         string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+                       / nullif(len(string_split_regex(
+                           trim(lower(text)), '\s+')), 0)::DOUBLE * 4,
+                       1.0)
+                   + 0.3 * (length(
+                       regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                       / nullif(length(text), 0)::DOUBLE)) * 10000)
+                   AS BIGINT)"""
+
+
+_GOPHER_KEEP = {
+    "top2_frac": 0.12,
+    "top3_frac": 0.14,
+    "dup3_frac": 0.03,
+    "dup4_frac": 0.02,
+}
+
+
+@register(
+    "gopher_repetition_signals",
+    tags=("text", "quality", "corpus"),
+    doc="Gopher repetition-filter bank (public: Rae et al. 2021 Table "
+    "A1; the same signals FineWeb/Dolma re-implement): per document, "
+    "the fraction of characters covered by the single most-repeated "
+    "{2,3}-gram (count x chars of the densest n-gram, capped at 1) "
+    "and the fraction covered by DUPLICATE {3,4}-grams (all n-grams "
+    "occurring >1 time; overlapping occurrences each count, as in "
+    "the paper). keep=1 iff every signal is under its threshold. "
+    "Plan: one token split, ONE flatten+explode producing the "
+    "(n, gram) stream for all three n in a single corpus pass, "
+    "count aggregate keyed (doc_id, n, gram) — per-doc key space, "
+    "map-side combinable, no cross-document key skew — then two "
+    "narrow per-doc reductions. All ratios are single IEEE "
+    "divisions of exact BIGINTs, floor-quantized to 6dp (no "
+    "HALF_UP tie path), so both engines emit bit-identical "
+    "doubles. Scales linearly: nothing in the plan touches two "
+    "documents' rows in one task.",
+    oracle=f"""
+        WITH {_REPETITION_FRACS_CTES}
         SELECT doc_id, top2_frac, top3_frac, dup3_frac, dup4_frac,
                CAST(top2_frac <= 0.12 AND top3_frac <= 0.14
                 AND dup3_frac <= 0.03 AND dup4_frac <= 0.02
                 AS BIGINT) AS keep
-        FROM fracs ORDER BY doc_id
+        FROM fr ORDER BY doc_id
     """,
 )
 def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -985,77 +1010,20 @@ def repetition_signals(d: DataFrame) -> DataFrame:
     "both ways). Plan: the quality term is map-only; the repetition "
     "features arrive from the signal bank's per-doc keyed aggregate; "
     "ONE per-doc join stitches them — nothing couples two documents.",
-    oracle="""
+    oracle=f"""
         WITH q AS (
-          SELECT doc_id,
-                 floor((0.4 * least(n_chars::DOUBLE / 500.0, 1.0)
-                   + 0.3 * least(
-                       len(list_filter(
-                         string_split_regex(trim(lower(text)), '\\s+'),
-                         t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
-                       / nullif(len(string_split_regex(
-                           trim(lower(text)), '\\s+')), 0)::DOUBLE * 4,
-                       1.0)
-                   + 0.3 * (length(
-                       regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
-                       / nullif(length(text), 0)::DOUBLE)) * 10000)
-                   / 10000 AS quality
+          SELECT doc_id, {_QUALITY_INT_SQL} AS q_int
           FROM documents
         ),
-        tok AS (
-          SELECT doc_id,
-                 string_split_regex(trim(lower(text)), '\\s+') AS t
-          FROM documents
-        ),
-        base AS (
-          SELECT doc_id, t,
-                 CAST(len(array_to_string(t, ' ')) AS BIGINT) AS total_chars
-          FROM tok WHERE len(t) >= 1
-        ),
-        grams AS (
-          SELECT b.doc_id, ns.n, u.gram
-          FROM base b,
-               (VALUES (2), (3)) AS ns(n),
-               UNNEST(CASE WHEN len(b.t) >= ns.n
-                      THEN list_transform(range(0, len(b.t) - ns.n + 1),
-                             i -> array_to_string(
-                               list_slice(b.t, i + 1, i + ns.n), ' '))
-                      ELSE [] END) AS u(gram)
-        ),
-        cnt AS (
-          SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c,
-                 CAST(len(gram) AS BIGINT) AS chars
-          FROM grams GROUP BY doc_id, n, gram
-        ),
-        per_n AS (
-          SELECT doc_id, n,
-                 CAST(max(c * chars) AS BIGINT) AS top_chars,
-                 CAST(coalesce(
-                   sum(CASE WHEN c > 1 THEN c * chars END), 0) AS BIGINT)
-                   AS dup_chars
-          FROM cnt GROUP BY doc_id, n
-        ),
-        piv AS (
-          SELECT doc_id,
-                 coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0) AS top2,
-                 coalesce(max(CASE WHEN n = 3 THEN dup_chars END), 0) AS dup3
-          FROM per_n GROUP BY doc_id
-        ),
-        feats AS (
-          SELECT b.doc_id,
-                 floor(least(1.0, CAST(coalesce(p.top2, 0) AS DOUBLE)
-                   / b.total_chars) * 1000000) / 1000000 AS top2_frac,
-                 floor(least(1.0, CAST(coalesce(p.dup3, 0) AS DOUBLE)
-                   / b.total_chars) * 1000000) / 1000000 AS dup3_frac
-          FROM base b LEFT JOIN piv p USING (doc_id)
-        )
+        {_REPETITION_FRACS_CTES}
         SELECT q.doc_id,
-               floor((q.quality - 2.0 * f.top2_frac - 4.0 * f.dup3_frac)
-                 * 10000) / 10000 AS ensemble_score,
-               CAST(floor((q.quality - 2.0 * f.top2_frac
+               floor((q.q_int / 10000.0 - 2.0 * f.top2_frac
+                     - 4.0 * f.dup3_frac) * 10000) / 10000
+                 AS ensemble_score,
+               CAST(floor((q.q_int / 10000.0 - 2.0 * f.top2_frac
                      - 4.0 * f.dup3_frac) * 10000) / 10000 >= 0.45
                  AS BIGINT) AS keep
-        FROM q JOIN feats f USING (doc_id)
+        FROM q JOIN fr f USING (doc_id)
         ORDER BY doc_id
     """,
 )
@@ -1108,23 +1076,12 @@ def quality_ensemble_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fracs), the dup flag is one md5 aggregate joined back, then ONE "
     "per-lang reduction — the whole card is two keyed shuffles over "
     "features the pipeline computes anyway.",
-    oracle="""
+    oracle=f"""
         WITH q AS (
           SELECT doc_id, lang,
                  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
                    AS n_tokens,
-                 CAST(floor((0.4 * least(n_chars::DOUBLE / 500.0, 1.0)
-                   + 0.3 * least(
-                       len(list_filter(
-                         string_split_regex(trim(lower(text)), '\\s+'),
-                         t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
-                       / nullif(len(string_split_regex(
-                           trim(lower(text)), '\\s+')), 0)::DOUBLE * 4,
-                       1.0)
-                   + 0.3 * (length(
-                       regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
-                       / nullif(length(text), 0)::DOUBLE)) * 10000)
-                   AS BIGINT) AS q_int,
+                 {_QUALITY_INT_SQL} AS q_int,
                  md5(text) AS content_hash
           FROM documents
         ),
@@ -1132,59 +1089,7 @@ def quality_ensemble_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT content_hash, count(*) > 1 AS is_dup
           FROM q GROUP BY content_hash
         ),
-        tok AS (
-          SELECT doc_id,
-                 string_split_regex(trim(lower(text)), '\\s+') AS t
-          FROM documents
-        ),
-        base AS (
-          SELECT doc_id, t,
-                 CAST(len(array_to_string(t, ' ')) AS BIGINT) AS total_chars
-          FROM tok WHERE len(t) >= 1
-        ),
-        grams AS (
-          SELECT b.doc_id, ns.n, u.gram
-          FROM base b,
-               (VALUES (2), (3), (4)) AS ns(n),
-               UNNEST(CASE WHEN len(b.t) >= ns.n
-                      THEN list_transform(range(0, len(b.t) - ns.n + 1),
-                             i -> array_to_string(
-                               list_slice(b.t, i + 1, i + ns.n), ' '))
-                      ELSE [] END) AS u(gram)
-        ),
-        cnt AS (
-          SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c,
-                 CAST(len(gram) AS BIGINT) AS chars
-          FROM grams GROUP BY doc_id, n, gram
-        ),
-        per_n AS (
-          SELECT doc_id, n,
-                 CAST(max(c * chars) AS BIGINT) AS top_chars,
-                 CAST(coalesce(
-                   sum(CASE WHEN c > 1 THEN c * chars END), 0) AS BIGINT)
-                   AS dup_chars
-          FROM cnt GROUP BY doc_id, n
-        ),
-        piv AS (
-          SELECT doc_id,
-                 coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0) AS top2,
-                 coalesce(max(CASE WHEN n = 3 THEN top_chars END), 0) AS top3,
-                 coalesce(max(CASE WHEN n = 3 THEN dup_chars END), 0) AS dup3,
-                 coalesce(max(CASE WHEN n = 4 THEN dup_chars END), 0) AS dup4
-          FROM per_n GROUP BY doc_id
-        ),
-        fr AS (
-          SELECT b.doc_id,
-                 floor(least(1.0, CAST(coalesce(p.top2, 0) AS DOUBLE)
-                   / b.total_chars) * 1000000) / 1000000 AS top2_frac,
-                 floor(least(1.0, CAST(coalesce(p.top3, 0) AS DOUBLE)
-                   / b.total_chars) * 1000000) / 1000000 AS top3_frac,
-                 floor(least(1.0, CAST(coalesce(p.dup3, 0) AS DOUBLE)
-                   / b.total_chars) * 1000000) / 1000000 AS dup3_frac,
-                 floor(least(1.0, CAST(coalesce(p.dup4, 0) AS DOUBLE)
-                   / b.total_chars) * 1000000) / 1000000 AS dup4_frac
-          FROM base b LEFT JOIN piv p USING (doc_id)
-        ),
+        {_REPETITION_FRACS_CTES},
         per_doc AS (
           SELECT q.lang, q.n_tokens, q.q_int, d.is_dup,
                  CAST(fr.top2_frac <= 0.12 AND fr.top3_frac <= 0.14
