@@ -1063,3 +1063,53 @@ def test_dup_cluster_histogram_accounts_for_every_doc(spark):
     for r in out:
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
     assert any(r["cluster_size"] >= 2 for r in out)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "aa", "ab", "ba", "spam"]),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_repetition_signals_match_python_reference(spark, docs):
+    # exact-arithmetic cross-check on adversarially repetitive texts
+    # (tiny vocab => dense n-gram collisions): the Spark plan must
+    # reproduce a direct Python evaluation of the definition, floor
+    # quantization included — same IEEE ops, so equality is exact
+    import math
+    from collections import Counter
+
+    from project_orbit_spark.functions.textquality import (
+        repetition_signals,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(d).collect()}
+
+    def frac(val, total):
+        return math.floor(min(1.0, val / total) * 1000000) / 1000000
+
+    for i, words in enumerate(docs):
+        total = len(" ".join(words))
+        expect = {}
+        for n, kind in ((2, "top2"), (3, "top3"), (3, "dup3"), (4, "dup4")):
+            grams = [
+                " ".join(words[j : j + n])
+                for j in range(len(words) - n + 1)
+            ]
+            c = Counter(grams)
+            if kind.startswith("top"):
+                val = max((cnt * len(g) for g, cnt in c.items()), default=0)
+            else:
+                val = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+            expect[kind + "_frac"] = frac(val, total)
+        r = got[i]
+        for k, v in expect.items():
+            assert r[k] == v, (i, k, r[k], v, words)
