@@ -1113,3 +1113,49 @@ def test_repetition_signals_match_python_reference(spark, docs):
         r = got[i]
         for k, v in expect.items():
             assert r[k] == v, (i, k, r[k], v, words)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z"]),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_first_wins_dedup_matches_python_reference(spark, docs):
+    # direct evaluation of the contract: segments on the fixed
+    # 8-token grid, global first occurrence by (doc_id, seg_idx)
+    # kept, every later repeat dropped — tiny vocab forces heavy
+    # cross- and within-doc segment collisions
+    from project_orbit_spark.operators.corpus import (
+        _SEG_W,
+        dedup_segments_first_wins,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_segments_first_wins(d).collect()}
+
+    seen: set = set()
+    for i, words in enumerate(docs):
+        segs = [
+            " ".join(words[j : j + _SEG_W])
+            for j in range(0, len(words), _SEG_W)
+        ]
+        kept = []
+        dropped = 0
+        for seg in segs:
+            if seg in seen:
+                dropped += 1
+            else:
+                seen.add(seg)
+                kept.append(seg)
+        r = got[i]
+        assert r["n_segments"] == len(segs)
+        assert r["n_dropped"] == dropped
+        assert r["clean_text"] == " ".join(kept)
