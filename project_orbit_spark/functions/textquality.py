@@ -1029,6 +1029,14 @@ def repetition_signals(d: DataFrame) -> DataFrame:
 )
 def quality_ensemble_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    return ensemble_scores(d)
+
+
+def ensemble_scores(d: DataFrame) -> DataFrame:
+    """Library face of ``quality_ensemble_filter`` over any
+    (doc_id, text, n_chars) frame — shared with the streaming twin
+    (streaming/curation.py::stream_quality_filter), which scores each
+    micro-batch with this identical plan."""
     q = d.select(
         "doc_id",
         (

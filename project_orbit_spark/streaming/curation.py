@@ -116,3 +116,28 @@ def stream_segment_dedup(spark: SparkSession, sf_dir: str, on_batch):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quality_filter(spark: SparkSession, sf_dir: str, on_batch):
+    """Streaming twin of quality_ensemble_filter: each micro-batch of
+    arriving documents is scored by the IDENTICAL ensemble plan the
+    driver-checked batch face uses (ensemble_scores) — the
+    filter-at-ingest shape a production pipeline runs so low-quality
+    crawl never lands in bronze. ZERO state and zero persisted
+    artifacts (the ensemble is a pure per-document function), so this
+    is the simplest twin in the module: restarts replay cleanly and
+    micro-batch boundaries cannot change any score."""
+    from project_orbit_spark.functions.textquality import ensemble_scores
+
+    stream = read_documents_stream(spark, sf_dir).select(
+        "doc_id", "text", "n_chars"
+    )
+
+    def run_batch(mb: DataFrame, _batch_id: int) -> None:
+        on_batch(ensemble_scores(mb))
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

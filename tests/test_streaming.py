@@ -620,3 +620,25 @@ def test_stream_segment_dedup_matches_batch(spark):
     }
     assert got == want
     assert got, "parity set is empty — the stream produced nothing"
+
+
+@pytest.mark.timeout(240)
+def test_stream_quality_filter_matches_batch(spark):
+    """Streaming twin of the ensemble quality filter: scoring each
+    micro-batch through foreachBatch must emit exactly the batch
+    face's rows (pure per-document function — no state, no
+    artifacts, so AvailableNow parity is rows-exact by construction
+    and this pin guards the plumbing, not the math)."""
+    from project_orbit_spark.registry import get_query
+    from project_orbit_spark.streaming.curation import stream_quality_filter
+
+    rows: list = []
+    q = stream_quality_filter(spark, SF_DIR, lambda df: rows.extend(df.collect()))
+    q.awaitTermination(180)
+    got = {tuple(r) for r in rows}
+    want = {
+        tuple(r)
+        for r in get_query("quality_ensemble_filter").fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert got, "parity set is empty — the stream produced nothing"
