@@ -1,4 +1,7 @@
-"""Streaming twin of the incremental curation face.
+"""Streaming twins of the corpus-curation faces: the full incremental
+curation pipeline (stream_curate_docs), first-wins segment dedup
+against the persisted index (stream_segment_dedup), and the
+filter-at-ingest ensemble scorer (stream_quality_filter).
 
 The 100 TB pattern this pins: the nightly crawl arrives as an
 UNBOUNDED stream of documents; each micro-batch is curated end-to-end
