@@ -829,14 +829,18 @@ _REPETITION_FRACS_CTES = r"""tok AS (
         ),
         fr AS (
           SELECT b.doc_id,
-                 floor(least(1.0, CAST(coalesce(p.top2, 0) AS DOUBLE)
-                   / b.total_chars) * 1000000) / 1000000 AS top2_frac,
-                 floor(least(1.0, CAST(coalesce(p.top3, 0) AS DOUBLE)
-                   / b.total_chars) * 1000000) / 1000000 AS top3_frac,
-                 floor(least(1.0, CAST(coalesce(p.dup3, 0) AS DOUBLE)
-                   / b.total_chars) * 1000000) / 1000000 AS dup3_frac,
-                 floor(least(1.0, CAST(coalesce(p.dup4, 0) AS DOUBLE)
-                   / b.total_chars) * 1000000) / 1000000 AS dup4_frac
+                 CASE WHEN b.total_chars > 0 THEN
+                   floor(least(1.0, CAST(coalesce(p.top2, 0) AS DOUBLE)
+                     / b.total_chars) * 1000000) / 1000000 END AS top2_frac,
+                 CASE WHEN b.total_chars > 0 THEN
+                   floor(least(1.0, CAST(coalesce(p.top3, 0) AS DOUBLE)
+                     / b.total_chars) * 1000000) / 1000000 END AS top3_frac,
+                 CASE WHEN b.total_chars > 0 THEN
+                   floor(least(1.0, CAST(coalesce(p.dup3, 0) AS DOUBLE)
+                     / b.total_chars) * 1000000) / 1000000 END AS dup3_frac,
+                 CASE WHEN b.total_chars > 0 THEN
+                   floor(least(1.0, CAST(coalesce(p.dup4, 0) AS DOUBLE)
+                     / b.total_chars) * 1000000) / 1000000 END AS dup4_frac
           FROM base b LEFT JOIN piv p USING (doc_id)
         )"""
 
@@ -960,7 +964,14 @@ def repetition_signals(d: DataFrame) -> DataFrame:
     )
 
     def frac(c: Column) -> Column:
-        return (
+        # zero-chars guard (ADVICE r13): an empty/whitespace-only doc
+        # has total_chars=0, where Spark's Divide yields NULL but
+        # DuckDB's double division yields inf/nan — and least()
+        # IGNORES nulls on both engines, so a divisor-level nullif
+        # alone would be masked back to 1.0; the whole fraction must
+        # be NULL for degenerate docs, hence the outer when()
+        return F.when(
+            F.col("total_chars") > 0,
             F.floor(
                 F.least(
                     F.lit(1.0),
@@ -969,7 +980,7 @@ def repetition_signals(d: DataFrame) -> DataFrame:
                 )
                 * 1000000
             )
-            / 1000000
+            / 1000000,
         )
 
     return (

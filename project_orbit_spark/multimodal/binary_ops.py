@@ -6,10 +6,12 @@ columns with typed metadata and runs decode/resize/frame-sample as
 vectorized Python stages. Every MODALITY has a real, hash-verified
 container codec path with zero external dependencies — WAV audio
 (stdlib wave), uncompressed 24-bit BMP images (struct/numpy, with a
-real 2x2 average-pool resample), and YUV4MPEG2 video (text header +
-raw planes, seek-based frame sampling) — while COMPRESSED formats
-(PNG/JPEG pixel decode, H.26x) stay behind decode_asset's import
-gate, since those libraries genuinely aren't in the container.
+real 2x2 average-pool resample), YUV4MPEG2 video (text header +
+raw planes, seek-based frame sampling), and PNG (stdlib-zlib DEFLATE
+encode→decode with CRC-verified chunk walk and real per-row scanline
+unfiltering, image_png_roundtrip) — while formats whose codecs
+genuinely aren't in the container (JPEG, H.26x) stay behind
+decode_asset's import gate.
 
 The binary fixture derives deterministically from ``documents``
 (utf-8 bytes of the text), cycling asset types by doc_id.
@@ -52,10 +54,13 @@ def assets_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_asset(content: bytes, asset_type: str):  # pragma: no cover - stub
-    """STUB for COMPRESSED formats only: PNG/JPEG/video decode needs
+    """STUB for JPEG/H.26x-class formats only: their decode needs
     codec libraries not present in this environment (import-gated
-    below, the pattern a production deployment fills in). Three
-    container paths ARE real with zero external deps: WAV audio —
+    below, the pattern a production deployment fills in). Four
+    codec paths ARE real with zero external deps: PNG — stdlib-zlib
+    DEFLATE round trip with CRC-checked chunks and scanline
+    unfiltering (make_png_synth/make_png_decoder, hash-verified by
+    image_png_roundtrip) — WAV audio —
     full encode→decode round trip via stdlib ``wave``
     (make_wav_synth/make_wav_decoder, hash-verified by
     audio_wav_roundtrip) — and uncompressed 24-bit BMP images —
@@ -683,8 +688,9 @@ def make_png_synth():
     p(x, y, c) = (doc_id*11 + x*5 + y*7 + c*3) % 256 packed into a
     real signature + IHDR + IDAT + IEND chunk stream with correct
     CRC32s, and — the part a trivial encoder skips — a DIFFERENT
-    scanline filter per row (y%3: None/Sub/Up), so the decoder must
-    actually implement PNG unfiltering, not just inflate."""
+    scanline filter per row cycling the FULL PNG filter family
+    (y%5: None/Sub/Up/Average/Paeth), so the decoder must actually
+    implement every PNG unfilter, not just inflate."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -715,14 +721,32 @@ def make_png_synth():
                 scanlines = []
                 for yy in range(h):
                     raw = px[yy]  # (w, 3)
-                    f = yy % 3
+                    f = yy % 5
+                    # per the spec, filters predict from the RAW
+                    # (unfiltered) bytes of this row and the row above
+                    left = np.zeros_like(raw)
+                    left[1:] = raw[:-1]
+                    upleft = np.zeros_like(prior)
+                    upleft[1:] = prior[:-1]
                     if f == 0:  # None
                         out = raw
                     elif f == 1:  # Sub: minus left pixel, first kept
-                        out = raw.copy()
-                        out[1:] = (raw[1:] - raw[:-1]) % 256
-                    else:  # Up: minus the row above (unfiltered)
+                        out = (raw - left) % 256
+                    elif f == 2:  # Up: minus the row above
                         out = (raw - prior) % 256
+                    elif f == 3:  # Average: minus floor((left+up)/2)
+                        out = (raw - (left + prior) // 2) % 256
+                    else:  # Paeth: minus the Paeth predictor
+                        p = left + prior - upleft
+                        pa = np.abs(p - left)
+                        pb = np.abs(p - prior)
+                        pc = np.abs(p - upleft)
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc),
+                            left,
+                            np.where(pb <= pc, prior, upleft),
+                        )
+                        out = (raw - pred) % 256
                     scanlines.append(
                         bytes([f]) + out.astype(np.uint8).tobytes()
                     )
@@ -743,9 +767,11 @@ def make_png_decoder():
     """Arrow-batched REAL PNG decode: verify the signature, walk the
     chunk stream CHECKING every CRC32 (corruption fails loudly),
     parse IHDR, inflate the IDAT stream, then UNFILTER each scanline
-    (None/Sub/Up — Sub is a per-channel cumulative sum along the
-    pixel axis, Up adds the reconstructed row above) to recover the
-    pixel array. Emits integer pixel and luma sums
+    — the FULL PNG filter family: None, Sub (per-channel cumulative
+    sum along the pixel axis), Up (adds the reconstructed row above),
+    Average and Paeth (sequential left-to-right reconstruction, since
+    both predict from the reconstructed left neighbor) — to recover
+    the pixel array. Emits integer pixel and luma sums
     (luma = (299r + 587g + 114b) // 1000, exact integer math) so the
     oracle verifies the full pack→inflate→unfilter chain."""
 
@@ -797,6 +823,30 @@ def make_png_decoder():
                         cur = np.cumsum(data, axis=0) % 256
                     elif f == 2:  # Up
                         cur = (data + prior) % 256
+                    elif f in (3, 4):
+                        # Average/Paeth reconstruct sequentially along
+                        # x (the left neighbor is the RECONSTRUCTED
+                        # pixel); vectorized over the 3 channels
+                        cur = np.zeros((w, 3), dtype=np.int64)
+                        for xx in range(w):
+                            left = cur[xx - 1] if xx else np.zeros(3, dtype=np.int64)
+                            up = prior[xx]
+                            if f == 3:  # Average
+                                pred = (left + up) // 2
+                            else:  # Paeth predictor
+                                upleft = (
+                                    prior[xx - 1] if xx else np.zeros(3, dtype=np.int64)
+                                )
+                                p = left + up - upleft
+                                pa = np.abs(p - left)
+                                pb = np.abs(p - up)
+                                pc = np.abs(p - upleft)
+                                pred = np.where(
+                                    (pa <= pb) & (pa <= pc),
+                                    left,
+                                    np.where(pb <= pc, up, upleft),
+                                )
+                            cur[xx] = (data[xx] + pred) % 256
                     else:
                         raise AssertionError(f"unsupported filter {f}")
                     img[yy] = cur
@@ -822,7 +872,8 @@ def make_png_decoder():
     "zlib (completing the codec set: WAV=audio, BMP=uncompressed "
     "image, Y4M=video, PNG=compressed image): deterministic 8-bit "
     "RGB pixels are DEFLATE-packed into actual PNG chunk streams "
-    "with per-row varying scanline filters (None/Sub/Up), then "
+    "with per-row varying scanline filters cycling the full family "
+    "(None/Sub/Up/Average/Paeth), then "
     "decoded by walking the chunks with CRC32 verification, "
     "inflating IDAT, and UNFILTERING every scanline. The oracle "
     "re-derives pixel and integer-luma sums from the generating "

@@ -202,28 +202,14 @@ def get_query(name: str) -> Query:
 # stale slots at a round boundary and never needs a same-round
 # hand-trim when rotation demand + head size would exceed 50.
 _DRIVER_PRIORITY = (
-    # Round 13 head. Slot budget: the four scheduled r08-record
-    # rotations (the remainder of the 46-query rotation, promised in
-    # round 12's head comment) + the two round-12 case-2 deferrals
-    # flipped to driver=True this round (never-verified, so the LRV
-    # sort fronts them anyway; listed for explicitness) = 6 pinned
-    # slots, leaving 44 LRV slots for the r09 tail — well inside the
-    # rotation_period() bar, forward-simulated by
+    # Round 14 head: EMPTY by design. The r13 head entries all landed
+    # r13 records (self-expired); this round's scheduled work is the
+    # 23-query r09 rotation (VERDICT r13 ask #2), which the LRV sort
+    # fronts automatically — no pins needed. Round-14 additions are
+    # never-verified, so LRV fronts them too. Slot budget: 23 rotation
+    # + ~6 changed-path re-pins (below) + new registrations, well
+    # inside 50; forward-simulated by
     # tests/test_entry.py::test_rotation_schedule_is_sustainable_under_lrv.
-    # Late round-13 additions (gopher_repetition_signals,
-    # segment_dedup_first_wins, temperature_mixture_sample,
-    # matryoshka_funnel_topk, incremental_segment_dedup,
-    # quality_ensemble_filter, image_png_roundtrip,
-    # corpus_report_card, dup_cluster_size_histogram) are
-    # never-verified, so the LRV sort
-    # fronts them without head slots; the sustainability forward-sim
-    # still passes with them counted.
-    "rag_index_and_search",
-    "company_gold_profile",
-    "eval_rubric_scores",
-    "dashboard_report_table",
-    "curation_training_gold",
-    "incremental_curation_gold",
 )
 
 # Changed-path re-pins, EXEMPT from the self-expiry filter (ADVICE r11
@@ -235,25 +221,24 @@ _DRIVER_PRIORITY = (
 # once the post-change record lands (one round of life, but expired by
 # HAND at the next round's head rewrite, never by the filter).
 #
-# Round 13: the label-broadcast gate (VERDICT r12 #1) changed the plan
-# builders of the three already-verified canon consumers — r12-green
-# leakage_safe_split would be dropped by the freshness filter without
-# the exemption — plus the batch-gate change to incremental_minhash_
-# dedup, and the round-13 broadcast audit's three additional gated
-# sites (corpus_curation_gold's fifth label join, the embedding
-# batch side, the stream-static customer dim).
-# (curation_training_gold / incremental_curation_gold also changed
-# but sit in _DRIVER_PRIORITY as never-verified flips;
-# incremental_embedding_dedup / stream_enrich_events hold r09 records,
-# so the LRV sort fronts them anyway — listed for the guarantee.)
+# Round 14 (r13 entries hand-expired — their post-change records all
+# landed in CORRECTNESS_r13): this round's plan-builder changes are
+# (a) the salted two-phase top-k (VERDICT r13 #1) rerouting
+# matryoshka_funnel_topk's coarse shortlist AND cosine_topk_exact's
+# brute-force rank through salted_topk; (b) the full PNG filter
+# family (Average/Paeth) changing image_png_roundtrip's byte stream;
+# (c) the zero-chars guard (ADVICE r13) changing the repetition-frac
+# expressions shared by gopher_repetition_signals,
+# quality_ensemble_filter and corpus_report_card. All six hold r11/r13
+# records, so the freshness filter would drop them without the
+# exemption.
 _DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
-    "dedup_canonical_corpus",
-    "dedup_quality_canonical",
-    "leakage_safe_split",
-    "incremental_minhash_dedup",
-    "corpus_curation_gold",
-    "incremental_embedding_dedup",
-    "stream_enrich_events",
+    "matryoshka_funnel_topk",
+    "cosine_topk_exact",
+    "image_png_roundtrip",
+    "gopher_repetition_signals",
+    "quality_ensemble_filter",
+    "corpus_report_card",
 )
 
 

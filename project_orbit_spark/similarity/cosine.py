@@ -55,19 +55,60 @@ def euclidean(a: Column, b: Column) -> Column:
     )
 
 
+def salted_topk(
+    scored: DataFrame,
+    key_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    salt_expr: Column,
+    salt_mod: int = 16,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Two-phase salted top-k per key group — the one audited
+    implementation every corpus-scale per-key rank routes through
+    (VERDICT r13 #1). A plain ``Window.partitionBy(keys)`` over a
+    corpus-sized input hash-partitions the WHOLE corpus onto
+    |distinct keys| reducers: with a handful of query keys, 5
+    reducers sort the planet at 100 TB. Instead: phase 1 ranks
+    within (keys, salt) — salt_mod× more, corpus-spread partitions —
+    and keeps k per salt group (the global top-k per key is
+    necessarily a subset of the union of per-salt top-k's, since
+    every group's candidates are totally ordered by the same key);
+    phase 2 re-ranks the <= salt_mod*k survivors per key, an O(k)
+    window. Results are rank-identical to the single-window plan as
+    long as ``order_by`` is a total order (deterministic tie-break).
+    """
+    salted = scored.withColumn("__salt", (salt_expr % salt_mod).cast("int"))
+    w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*order_by)
+    partial = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        partial.withColumn(rank_name, F.row_number().over(w2).cast("long"))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
 def brute_force_topk(
     queries: DataFrame, corpus: DataFrame, k: int, q_vec: str = "qe", c_vec: str = "ce"
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set, stream the corpus,
     rank per query. The W1 primitive with the reference's over-fetch
-    hack made unnecessary (filters belong *below* the rank)."""
+    hack made unnecessary (filters belong *below* the rank). The
+    rank itself routes through salted_topk so the exact face scales
+    the same way the ANN faces do — no per-qid corpus funnel."""
     scored = F.broadcast(queries).join(corpus, F.col("qid") != F.col("cid")).select(
         "qid", "cid", cosine(F.col(q_vec), F.col(c_vec)).alias("score")
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+    return salted_topk(
+        scored,
+        ["qid"],
+        [F.desc("score"), F.asc("cid")],
+        k,
+        salt_expr=F.col("cid"),
     )
 
 
@@ -700,8 +741,10 @@ MRL_SHORTLIST = 100  # truncated-scan shortlist size per query
     "Output carries both scores so the funnel's agreement with the "
     "exact scan is auditable per row. "
     "Plan: broadcast the 5-query set, ONE corpus pass at prefix "
-    "width, TakeOrdered-shaped shortlist per query (never a global "
-    "sort), then full-width scoring touches 20 rows per query — at "
+    "width, salted two-phase shortlist per query (rank within "
+    "(qid, cid%16) salt groups, re-rank the <=1600 survivors — "
+    "never a per-qid corpus funnel, see salted_topk), then "
+    "full-width scoring touches 20 rows per query — at "
     "100 TB the full-dim read cost is O(k), not O(corpus). The "
     "truncated pass composes with the IVF router (route on prefix "
     "centroids) when a corpus scan itself is too much.",
@@ -750,12 +793,19 @@ def matryoshka_funnel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("qid") != F.col("cid"))
         .select("qid", "cid", "qe", "ce", tscore.alias("tscore"))
     )
-    wt = Window.partitionBy("qid").orderBy(F.desc("tscore"), F.asc("cid"))
-    shortlist = (
-        coarse.withColumn("trank", F.row_number().over(wt))
-        .filter(F.col("trank") <= MRL_SHORTLIST)
-        .withColumn("fscore", cosine(F.col("qe"), F.col("ce")))
-    )
+    # salted two-phase shortlist (VERDICT r13 #1): the coarse pass
+    # scores the FULL corpus, so ranking it with a plain per-qid
+    # window would drag every row through 5 partitions; salted_topk
+    # spreads phase 1 over 16 salt groups per query and re-ranks only
+    # the <=1600 survivors. Rank-identical to the single window.
+    shortlist = salted_topk(
+        coarse,
+        ["qid"],
+        [F.desc("tscore"), F.asc("cid")],
+        MRL_SHORTLIST,
+        salt_expr=F.col("cid"),
+        rank_name="trank",
+    ).drop("trank").withColumn("fscore", cosine(F.col("qe"), F.col("ce")))
     wf = Window.partitionBy("qid").orderBy(F.desc("fscore"), F.asc("cid"))
     return (
         shortlist.withColumn("rank", F.row_number().over(wf).cast("long"))

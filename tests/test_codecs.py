@@ -125,6 +125,35 @@ def test_png_roundtrip_values():
         assert r["luma_sum"] == ls
 
 
+def test_png_filter_family_is_exercised():
+    # VERDICT r13 #3 stretch: the synth must emit Average (3) and
+    # Paeth (4) filtered rows — not just None/Sub/Up — and the
+    # round trip must still reconstruct exact pixel sums (covered by
+    # test_png_roundtrip_values; here we pin that filters 3/4 are
+    # actually present in the scanline stream, so the unfilter paths
+    # can never silently go dead)
+    import struct
+    import zlib
+
+    from project_orbit_spark.multimodal.binary_ops import make_png_synth
+
+    enc = _encode(make_png_synth, [1, 6])  # h=5,6 -> y%5 reaches 4
+    for b, d in zip(enc["content"], (1, 6)):
+        w, h = 5 + d % 6, 4 + d % 4
+        pos, idat = 8, b""
+        while pos < len(b):
+            (ln,) = struct.unpack_from(">I", b, pos)
+            typ = b[pos + 4 : pos + 8]
+            if typ == b"IDAT":
+                idat += b[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+        raw = zlib.decompress(idat)
+        stride = 1 + 3 * w
+        filters = [raw[y * stride] for y in range(h)]
+        assert filters == [y % 5 for y in range(h)]
+        assert 3 in filters and 4 in filters
+
+
 def test_corrupted_png_crc_raises():
     from project_orbit_spark.multimodal.binary_ops import (
         make_png_decoder,
@@ -143,10 +172,10 @@ def test_corrupted_png_crc_raises():
         _run(make_png_decoder(), bad)
 
 
-def test_png_uses_all_three_filters():
-    # h >= 4 guarantees rows 0..3 cover filters None/Sub/Up — pin the
-    # encoder actually varies them (a None-only stream would pass the
-    # roundtrip while testing no unfilter code at all)
+def test_png_uses_all_five_filters():
+    # h = 7 guarantees rows 0..6 cover the full filter family — pin
+    # the encoder actually varies them (a None-only stream would pass
+    # the roundtrip while testing no unfilter code at all)
     import zlib
 
     from project_orbit_spark.multimodal.binary_ops import make_png_synth
@@ -161,4 +190,4 @@ def test_png_uses_all_three_filters():
     w = 5 + 7 % 6
     stride = 1 + 3 * w
     filters = {raw[y * stride] for y in range(len(raw) // stride)}
-    assert filters == {0, 1, 2}
+    assert filters == {0, 1, 2, 3, 4}

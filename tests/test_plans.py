@@ -865,6 +865,23 @@ def test_matryoshka_funnel_broadcasts_queries_once(spark):
     assert "CartesianProduct" not in f.text
 
 
+def test_matryoshka_coarse_rank_is_salted_not_single_window(spark):
+    # VERDICT r13 #1: the coarse shortlist scores the FULL corpus, so
+    # its rank must go through the two-phase salted pattern — phase 1
+    # partitions on (qid, __salt) so the corpus-wide sort spreads over
+    # 16 salt groups per query instead of funnelling the planet
+    # through 5 partitions at 100 TB
+    f = facts("matryoshka_funnel_topk", spark)
+    assert "__salt" in f.text, "coarse rank must partition on the salt key"
+
+
+def test_brute_force_topk_is_salted_not_single_window(spark):
+    # the exact face routes through the same audited salted_topk
+    # helper as the funnel — one implementation, both plans pinned
+    f = facts("cosine_topk_exact", spark)
+    assert "__salt" in f.text, "exact rank must partition on the salt key"
+
+
 def test_gopher_signals_single_corpus_pass(spark):
     # ONE flatten+explode produces the (n, gram) stream for all n —
     # the plan must contain exactly one Generate (explode) node, and

@@ -902,6 +902,26 @@ def test_repetition_signals_semantics(spark):
     )
 
 
+def test_repetition_signals_zero_chars_is_null_not_inf(spark):
+    # ADVICE r13: an empty/whitespace-only doc tokenizes to [""] with
+    # total_chars=0; the nullif guard must make every frac (and the
+    # keep flag) NULL on BOTH engines — without it Spark's Divide
+    # yields NULL while DuckDB's double division yields inf, a latent
+    # cross-engine hash divergence on degenerate corpora
+    from project_orbit_spark.functions.textquality import repetition_signals
+
+    d = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, " ".join(f"w{i}" for i in range(80)))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(d).collect()}
+    for doc in (0, 1):
+        assert out[doc]["top2_frac"] is None
+        assert out[doc]["dup4_frac"] is None
+        assert out[doc]["keep"] is None
+    assert out[2]["keep"] == 1  # a healthy doc is untouched by the guard
+
+
 def test_repetition_signals_fixture_split_non_vacuous(spark):
     # the keep flag must cut the fixture corpus both ways — a
     # threshold that keeps (or drops) everything tests nothing
@@ -1159,3 +1179,80 @@ def test_first_wins_dedup_matches_python_reference(spark, docs):
         assert r["n_segments"] == len(segs)
         assert r["n_dropped"] == dropped
         assert r["clean_text"] == " ".join(kept)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["aba bab", "low lower lowest", "aa aa ab", "x", "the cat", ""]
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bpe_learn_merges_match_python_reference(spark, texts):
+    # the declarative merge loop (pair histogram -> broadcast argmax
+    # -> F.aggregate greedy fold) must reproduce a direct Python BPE
+    # (Sennrich-style, freq-weighted, greedy left-to-right apply,
+    # (count desc, l, r) tie-break) exactly, merge by merge
+    from collections import Counter
+
+    from project_orbit_spark.functions.textbank import (
+        BPE_MERGES,
+        _bpe_apply_merge,
+        _bpe_pair_counts,
+        bpe_word_histogram,
+    )
+    import re
+
+    # python reference ------------------------------------------------
+    vocab = Counter()
+    for t in texts:
+        for w in re.sub(r"[^a-z]+", " ", t.lower()).split():
+            vocab[w] += 1
+    seg = {w: list(w) for w in vocab}
+    expected = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = Counter()
+        for w, syms in seg.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += vocab[w]
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rank, l, r, l + r, cnt))
+        for w, syms in seg.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            seg[w] = out
+
+    # spark pipeline over the same texts -------------------------------
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sdf = bpe_word_histogram(d).select("freq", F.split("word", "").alias("s"))
+    got = []
+    for rank in range(1, BPE_MERGES + 1):
+        best_rows = (
+            _bpe_pair_counts(sdf)
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best_rows:
+            break
+        b = best_rows[0]
+        got.append((rank, b["l"], b["r"], b["l"] + b["r"], b["cnt"]))
+        best = spark.createDataFrame(
+            [(b["l"], b["r"], b["l"] + b["r"])],
+            "left_sym string, right_sym string, merged string",
+        )
+        sdf = _bpe_apply_merge(sdf, best)
+    assert got == expected
