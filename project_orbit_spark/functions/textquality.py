@@ -600,8 +600,8 @@ VOCAB_TOP_K = 16  # fixture-calibrated: the synthetic corpus has 31
     "vocab_coverage_oov",
     # Was driver=False for round 11 only (case 2, registry.py:39);
     # flipped per the register()-site note (VERDICT r11 ask #1).
+    # bench rotation r14 (VERDICT r13 ask #6): dropped from headline set.
     driver=True,
-    bench=True,
     tags=("text", "tokens", "quality", "corpus"),
     doc="Tokenizer-vocabulary coverage audit: build the top-K "
     "corpus vocabulary by frequency (ties broken by token, so the "
@@ -702,8 +702,8 @@ def warm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental_vocab_oov",
     # Was driver=False for round 11 only (case 2, registry.py:39);
     # flipped per the register()-site note (VERDICT r11 ask #1).
+    # bench rotation r14 (VERDICT r13 ask #6): dropped from headline set.
     driver=True,
-    bench=True,
     tags=("text", "tokens", "quality", "incremental"),
     prepare=lambda spark, sf_dir: warm_vocab(spark, sf_dir) and None,
     doc="Incremental face of vocab_coverage_oov and the FIFTH instance "
@@ -870,6 +870,7 @@ _GOPHER_KEEP = {
 
 @register(
     "gopher_repetition_signals",
+    bench=True,  # bench rotation r14 (VERDICT r13 ask #6): heavy r13 op into headline set
     tags=("text", "quality", "corpus"),
     doc="Gopher repetition-filter bank (public: Rae et al. 2021 Table "
     "A1; the same signals FineWeb/Dolma re-implement): per document, "
@@ -1008,6 +1009,7 @@ def repetition_signals(d: DataFrame) -> DataFrame:
 
 @register(
     "quality_ensemble_filter",
+    bench=True,  # bench rotation r14 (VERDICT r13 ask #6): heavy r13 op into headline set
     tags=("text", "quality", "corpus"),
     doc="Model-based quality filtering, the composed stage "
     "FineWeb-Edu/DCLM run with a trained classifier — here a "

@@ -867,6 +867,7 @@ def make_png_decoder():
 
 @register(
     "image_png_roundtrip",
+    bench=True,  # bench rotation r14 (VERDICT r13 ask #6): heavy r13 op into headline set
     tags=("multimodal", "binary", "codec", "pandas_udf"),
     doc="REAL compressed-image codec round trip with ONLY stdlib "
     "zlib (completing the codec set: WAV=audio, BMP=uncompressed "

@@ -1006,6 +1006,7 @@ def scrub_boilerplate(
 
 @register(
     "segment_dedup_first_wins",
+    bench=True,  # bench rotation r14 (VERDICT r13 ask #6): heavy r13 op into headline set
     tags=("corpus", "dedup", "text"),
     doc="RefinedWeb-style exact line dedup (public: Penedo et al. "
     "2023 §3.3 — repeated lines are removed corpus-wide, FIRST "

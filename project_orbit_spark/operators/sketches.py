@@ -47,7 +47,8 @@ from project_orbit_spark.registry import register
 
 @register(
     "approx_distinct_sketch",
-    bench=True,
+    # bench rotation r14 (VERDICT r13 ask #6): sub-second entry dropped
+    # from the headline set in favor of the heavy r13 operators
     driver=False,  # raw HLL values are engine-specific; approx_distinct_audit is the driver face
     tags=("agg", "sketch", "approx"),
     doc="HLL++ approximate distinct counts per event_type (users, "
@@ -72,7 +73,7 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_percentile_sketch",
-    bench=True,
+    # bench rotation r14 (VERDICT r13 ask #6): dropped from headline set
     driver=False,  # raw KLL/GK values are engine-specific; approx_percentile_audit is the driver face
     tags=("agg", "sketch", "approx"),
     doc="Sketch-based percentiles over order values per status — the "

@@ -455,3 +455,127 @@ def incremental_embedding_dedup(
         .filter(F.col("score") >= 0.999)
         .orderBy("new_id", "match_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall observability (VERDICT r13 ask #5): recall@k numbers lived
+# only in tests; a 100 TB deployment needs them AS A QUERY — the
+# regression guard any future ANN tuning runs first.
+
+# (tier name, registered query, qid universe of that tier's query set)
+_RECALL_TIERS = (
+    ("ivf", "ann_ivf_topk", 5),
+    ("ivf_pq", "ann_ivf_pq_topk", 5),
+    ("lsh", "lsh_hyperplane_topk", 8),
+    ("lsh_multi", "lsh_multitable_topk", 8),
+    ("matryoshka", "matryoshka_funnel_topk", 5),
+)
+
+
+def _registered_oracle(name: str) -> str:
+    """Pull an already-registered query's oracle SQL at import time.
+    Reads the registry dict directly instead of get_query(): this
+    module is itself being imported by registry._load(), so the
+    loader entry point must not re-enter. Import order guarantees
+    every tier is present (cosine loads before lsh; the two LSH
+    tiers register above in this file)."""
+    from project_orbit_spark.registry import _REGISTRY
+
+    oracle = _REGISTRY[name].oracle
+    assert oracle is not None
+    return oracle
+
+
+def _recall_oracle_sql() -> str:
+    """Per-(tier, qid) recall@5: each tier's ORIGINAL oracle is
+    embedded verbatim as a subquery (DuckDB supports CTEs inside
+    subqueries), left-joined against a qid<8 exact brute-force
+    reference — so the audit can never drift from the queries it
+    audits."""
+    tiers = ",\n        ".join(
+        f"t_{tier} AS ({_registered_oracle(qname)}\n        )"
+        for tier, qname, _ in _RECALL_TIERS
+    )
+    unions = "\n          UNION ALL ".join(
+        f"""SELECT '{tier}' AS tier, x.qid, count(t.cid)::BIGINT AS hits,
+                 round(count(t.cid) / 5.0, 4) AS recall_at_5
+          FROM exact x LEFT JOIN t_{tier} t ON t.qid = x.qid AND t.cid = x.cid
+          WHERE x.qid < {qmax}
+          GROUP BY x.qid"""
+        for tier, _, qmax in _RECALL_TIERS
+    )
+    return f"""
+        WITH exact AS (
+          SELECT qid, cid FROM (
+            SELECT q.qid, e.vec_id AS cid,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY list_cosine_similarity(q.qe, e.emb) DESC,
+                              e.vec_id) AS rank
+            FROM (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                  FROM embeddings WHERE vec_id < 8) q
+            JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb
+                  FROM embeddings) e ON e.vec_id != q.qid
+          ) WHERE rank <= 5
+        ),
+        {tiers}
+        SELECT tier, qid, hits, recall_at_5 FROM ({unions})
+        ORDER BY tier, qid
+    """
+
+
+@register(
+    "ann_recall_audit",
+    tags=("similarity", "ann", "observability"),
+    doc="ANN recall@5 as a first-class query (VERDICT r13 ask #5): "
+    "every ANN tier (IVF, IVF-PQ, single- and multi-table LSH, "
+    "Matryoshka funnel) joined against the exact brute-force top-5 "
+    "over its own query set, emitting per-(tier, qid) hit counts and "
+    "recall — the regression guard for any future ANN tuning, and "
+    "the per-tier quality datasheet a 100 TB index rollout reads "
+    "before flipping traffic. Oracle embeds each tier's ORIGINAL "
+    "oracle as a subquery, so audit and audited can never drift. "
+    "Scale: the exact reference is the bounded-query-set brute force "
+    "(8 queries broadcast, salted two-phase rank); each tier is its "
+    "already-audited plan; the joins are on <=40-row frames.",
+    oracle=_recall_oracle_sql(),
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.similarity.cosine import (
+        ann_ivf_pq_topk,
+        ann_ivf_topk,
+        brute_force_topk,
+        matryoshka_funnel_topk,
+    )
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("emb").alias("ce"))
+    exact = brute_force_topk(q, c, k=5).select("qid", "cid")
+    fns = {
+        "ivf": ann_ivf_topk,
+        "ivf_pq": ann_ivf_pq_topk,
+        "lsh": lsh_hyperplane_topk,
+        "lsh_multi": lsh_multitable_topk,
+        "matryoshka": matryoshka_funnel_topk,
+    }
+    out: DataFrame | None = None
+    for tier, qname, qmax in _RECALL_TIERS:
+        t = fns[tier](spark, sf_dir).select(
+            "qid", "cid", F.lit(1).alias("hit")
+        )
+        part = (
+            exact.filter(F.col("qid") < qmax)
+            .join(t, ["qid", "cid"], "left")
+            .groupBy("qid")
+            .agg(F.count("hit").cast("long").alias("hits"))
+            .select(
+                F.lit(tier).alias("tier"),
+                "qid",
+                "hits",
+                F.round(F.col("hits") / 5.0, 4).alias("recall_at_5"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("tier", "qid")

@@ -1256,3 +1256,29 @@ def test_bpe_learn_merges_match_python_reference(spark, texts):
         )
         sdf = _bpe_apply_merge(sdf, best)
     assert got == expected
+
+
+def test_ann_recall_audit_covers_every_tier_and_query(spark):
+    # the observability query must emit one row per (tier, qid) of
+    # each tier's query universe, hits bounded by k, recall = hits/5
+    # exactly, and the fixture's known floors hold (matryoshka >= 0.6
+    # mirrors test_matryoshka_funnel_recall_against_exact; LSH tiers
+    # are allowed to miss — that's the tradeoff the audit exists to
+    # make visible)
+    from project_orbit_spark.similarity.lsh import (
+        _RECALL_TIERS,
+        ann_recall_audit,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = ann_recall_audit(spark, SF_DIR).collect()
+    by_tier: dict[str, list] = {}
+    for r in rows:
+        by_tier.setdefault(r["tier"], []).append(r)
+        assert 0 <= r["hits"] <= 5
+        assert r["recall_at_5"] == round(r["hits"] / 5.0, 4)
+    assert set(by_tier) == {t for t, _, _ in _RECALL_TIERS}
+    for tier, _, qmax in _RECALL_TIERS:
+        assert sorted(r["qid"] for r in by_tier[tier]) == list(range(qmax))
+    mrl = sum(r["hits"] for r in by_tier["matryoshka"]) / (5.0 * 5)
+    assert mrl >= 0.6, f"matryoshka recall floor broke: {mrl}"
