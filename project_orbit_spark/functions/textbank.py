@@ -309,7 +309,8 @@ def _bpe_apply_merge(seg: DataFrame, best: DataFrame) -> DataFrame:
     symbol is the merge's left and the incoming symbol its right,
     replace the tail with the merged symbol, else append. The 1-row
     best-pair table joins in by crossJoin (broadcast, kmeans-style) —
-    no collect, the loop stays fully declarative."""
+    no collect, the loop stays fully declarative. All non-``s``
+    columns of ``seg`` are carried through."""
     fold = F.aggregate(
         "s",
         F.array().cast("array<string>"),
@@ -322,15 +323,18 @@ def _bpe_apply_merge(seg: DataFrame, best: DataFrame) -> DataFrame:
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
-    return seg.crossJoin(F.broadcast(best)).select("freq", fold.alias("s"))
+    carried = [c for c in seg.columns if c != "s"]
+    return seg.crossJoin(F.broadcast(best)).select(*carried, fold.alias("s"))
 
 
-def _bpe_oracle_sql(k: int) -> str:
-    """Unrolled k-stage DuckDB twin (the kmeans-oracle pattern,
+def _bpe_stage_ctes(k: int, final_seg: bool = False) -> list[str]:
+    """Unrolled k-stage DuckDB CTE chain (the kmeans-oracle pattern,
     operators/clustering.py: mirror the pipeline iteration by
     iteration). list_reduce's string fold is exactly the Spark
     F.aggregate greedy merge: symbols are [a-z]+ so a space-joined
-    accumulator is unambiguous and regex-safe."""
+    accumulator is unambiguous and regex-safe. With ``final_seg``,
+    also emits seg_k (the vocabulary AFTER all k merges — the
+    tokenize face's lookup table)."""
     parts = [
         """words AS (
           SELECT w AS word, count(*)::BIGINT AS freq
@@ -340,7 +344,8 @@ def _bpe_oracle_sql(k: int) -> str:
           GROUP BY w
         )""",
         """seg_0 AS (
-          SELECT freq, list_transform(range(1, len(word) + 1), i -> word[i]) AS s
+          SELECT word, freq,
+                 list_transform(range(1, len(word) + 1), i -> word[i]) AS s
           FROM words
         )""",
     ]
@@ -360,10 +365,10 @@ def _bpe_oracle_sql(k: int) -> str:
           FROM pairs_{i} ORDER BY cnt DESC, l, r LIMIT 1
         )"""
         )
-        if i < k:
+        if i < k or final_seg:
             parts.append(
                 f"""seg_{i} AS (
-          SELECT freq, string_split(list_reduce(s, (acc, x) -> CASE
+          SELECT word, freq, string_split(list_reduce(s, (acc, x) -> CASE
               WHEN regexp_extract(acc, '[^ ]+$') = b.left_sym
                    AND x = b.right_sym
               THEN regexp_replace(acc, '[^ ]+$', b.merged)
@@ -371,12 +376,16 @@ def _bpe_oracle_sql(k: int) -> str:
           FROM seg_{i - 1}, best_{i} b
         )"""
             )
+    return parts
+
+
+def _bpe_oracle_sql(k: int) -> str:
     union = "\n          UNION ALL ".join(
         f"SELECT * FROM best_{i}" for i in range(1, k + 1)
     )
     return (
         "WITH "
-        + ",\n        ".join(parts)
+        + ",\n        ".join(_bpe_stage_ctes(k))
         + f"\n        SELECT * FROM ({union})\n        ORDER BY merge_rank"
     )
 
@@ -398,10 +407,25 @@ def _bpe_oracle_sql(k: int) -> str:
     oracle=_bpe_oracle_sql(BPE_MERGES),
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_fit(spark, sf_dir, final_seg=False)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_fit(
+    spark: SparkSession, sf_dir: str, final_seg: bool
+) -> tuple[list[DataFrame], DataFrame]:
+    """The shared BPE_MERGES-round fit (see bpe_learn_merges for the
+    loop contract): returns the per-round 1-row merge tables and the
+    word segmentation — after BPE_MERGES-1 merges by default (the
+    learn face never consumes the last re-segmentation), or after all
+    BPE_MERGES with ``final_seg`` (the tokenize face's vocab map)."""
     d = load(spark, sf_dir, "documents")
     words = bpe_word_histogram(d)
     seg = words.select(
-        "freq", F.split("word", "").alias("s")
+        "word", "freq", F.split("word", "").alias("s")
     ).localCheckpoint(eager=True)
     merges: list[DataFrame] = []
     for i in range(1, BPE_MERGES + 1):
@@ -419,14 +443,90 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         merges.append(best)
-        if i < BPE_MERGES:
+        if i < BPE_MERGES or final_seg:
             seg = _bpe_apply_merge(
                 seg, best.select("left_sym", "right_sym", "merged")
             ).localCheckpoint(eager=True)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("merge_rank")
+    return merges, seg
+
+
+_BPE_VOCAB_BROADCAST_BOUND = 2_000_000  # ~short-string rows; Heaps-bounded
+
+
+@register(
+    "bpe_tokenize_corpus",
+    tags=("text", "tokens", "iterative"),
+    doc="The APPLY face closing the BPE loop (learn -> tokenize): "
+    "segment every document with the bpe_learn_merges table and emit "
+    "per-doc real-BPE subtoken counts next to the word count — the "
+    "corpus-costing number bpe_token_estimate approximates. Plan: the "
+    "fit runs on the vocab-sized table (see bpe_learn_merges), the "
+    "final per-WORD segmentation becomes a word->n_subtokens map "
+    "(vocab-sized, Heaps-bounded), and the SECOND corpus pass joins "
+    "exploded doc words against that map — size-gated broadcast "
+    "(maybe_broadcast): at 100 TB the vocab map is the classic "
+    "dictionary build side, but the gate keeps a pathological vocab "
+    "from being forced driver-side. Oracle reuses the same unrolled "
+    "stage CTEs plus the final seg_k join.",
+    oracle="WITH "
+    + ",\n        ".join(_bpe_stage_ctes(BPE_MERGES, final_seg=True))
+    + f""",
+        vocab AS (
+          SELECT word, len(s)::BIGINT AS n_sub FROM seg_{BPE_MERGES}
+        ),
+        docw AS (
+          SELECT doc_id, w AS word
+          FROM documents, UNNEST(string_split_regex(
+            trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' +')) t(w)
+          WHERE w != ''
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_words,
+               sum(n_sub)::BIGINT AS n_bpe_tokens,
+               round(sum(n_sub)::DOUBLE / count(*), 4) AS subtokens_per_word
+        FROM docw JOIN vocab USING (word)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.catalog import maybe_broadcast
+
+    _, seg = _bpe_fit(spark, sf_dir, final_seg=True)
+    vocab = seg.select("word", F.size("s").cast("long").alias("n_sub"))
+    d = load(spark, sf_dir, "documents")
+    docw = d.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), "[^a-z]+", " ")), " +"
+            )
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    # probe-less gate is cheap here BY CONSTRUCTION (the documented
+    # exception in maybe_broadcast's side-effect warning): vocab is a
+    # projection of the localCheckpoint'ed fit output, so the probe
+    # job is a limit-scan of materialized vocab-sized state — never a
+    # re-run of the corpus histogram
+    return (
+        docw.join(
+            maybe_broadcast(vocab, _BPE_VOCAB_BROADCAST_BOUND),
+            "word",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 4
+            ).alias("subtokens_per_word"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(

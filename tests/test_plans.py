@@ -892,3 +892,14 @@ def test_gopher_signals_single_corpus_pass(spark):
     nodes = set(re.findall(r"Generate \((\d+)\)", f.text))
     assert len(nodes) == 1, f"n-gram stream must be one explode: {nodes}"
     assert f.partial_agg
+
+
+def test_bpe_tokenize_join_is_broadcast_and_partial_agg(spark):
+    # the word->n_subtokens map is vocab-sized (checkpoint-backed) and
+    # must broadcast into the exploded-corpus join under the gate; the
+    # per-doc count/sum aggregate must map-side combine; and the
+    # corpus must never cartesian against anything
+    f = facts("bpe_tokenize_corpus", spark)
+    assert f.n_broadcast_joins >= 1, "vocab map must broadcast at this scale"
+    assert "CartesianProduct" not in f.text
+    assert f.partial_agg
