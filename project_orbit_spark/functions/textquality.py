@@ -1217,3 +1217,155 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling" — public paper): a
+# hashed-n-gram bag-of-features LM for a TARGET domain vs the raw
+# corpus, per-doc importance = mean log p_target/p_source over the
+# doc's features. The quality-family operator that selects "looks
+# like the trusted domain" rather than "passes static gates".
+
+DSIR_BUCKETS = 1024  # hashed-feature LM size (bounded, broadcastable)
+
+
+def _dsir_bucket(token: Column) -> Column:
+    """Portable feature hash: md5 first 8 hex digits -> uint32 ->
+    bucket (the repo's engine-portable hash family, same as the LSH
+    planes and minhash)."""
+    return (
+        F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    tags=("text", "quality", "corpus", "sampling"),
+    doc="DSIR importance weights (Xie et al. 2023): hash every token "
+    "into a 1024-bucket feature space, fit Laplace-smoothed unigram "
+    "LMs for the TARGET domain (lang='en' here — in production the "
+    "trusted corpus, e.g. Wikipedia) and the raw corpus, then score "
+    "each doc by its mean log importance ratio; keep = docs above "
+    "the corpus-mean importance (the deterministic stand-in for the "
+    "paper's proportional resampling). Plan at 100 TB: two "
+    "map-side-combinable aggregates over the token stream (both "
+    "bounded at 1024 output rows), ONE broadcast of the 1024-row "
+    "ratio table back over the stream, one per-doc aggregate — no "
+    "corpus-sized build side anywhere, skew-immune (hot buckets are "
+    "probe-side). Float policy: integer counts everywhere; ln only "
+    "on exact rationals, then BIGINT-quantized per BUCKET (floor to "
+    "1e-6) so the per-doc aggregation is an order-free INTEGER sum "
+    "(round(avg(ln)) flipped a HALF_UP tie at sf0.1 — the exact "
+    "doc_quality_scores failure mode); output floor-quantized to "
+    "4dp (no tie path) and keep compares the quantized value.",
+    oracle=f"""
+        WITH tok0 AS (
+          SELECT doc_id, lang,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substring(md5(token), 1, 8)) AS UBIGINT)
+                   % {DSIR_BUCKETS} AS b
+          FROM tok0
+        ),
+        src AS (SELECT b, count(*)::BIGINT AS c FROM tok GROUP BY b),
+        tgt AS (
+          SELECT b, count(*)::BIGINT AS c FROM tok WHERE lang = 'en' GROUP BY b
+        ),
+        tots AS (
+          SELECT (SELECT sum(c) FROM src)::BIGINT AS ts,
+                 (SELECT coalesce(sum(c), 0) FROM tgt)::BIGINT AS tt
+        ),
+        lm AS (
+          SELECT s.b,
+                 CAST(floor(
+                   ln(((coalesce(t.c, 0) + 1)::DOUBLE / (tots.tt + {DSIR_BUCKETS}))
+                      / ((s.c + 1)::DOUBLE / (tots.ts + {DSIR_BUCKETS})))
+                   * 1000000) AS BIGINT) AS lr_q
+          FROM src s LEFT JOIN tgt t USING (b), tots
+        ),
+        docs AS (
+          SELECT doc_id, lang, count(*)::BIGINT AS n_toks,
+                 CAST(floor(sum(lr_q)::DOUBLE / (count(*) * 100)) AS BIGINT)
+                   AS avg_int
+          FROM tok JOIN lm USING (b)
+          GROUP BY doc_id, lang
+        ),
+        thr AS (SELECT CAST(floor(avg(avg_int)) AS BIGINT) AS t FROM docs)
+        SELECT doc_id, lang, n_toks,
+               avg_int / 10000.0 AS avg_log_ratio,
+               CAST(avg_int > thr.t AS BIGINT) AS keep
+        FROM docs, thr
+        ORDER BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    tok = d.select(
+        "doc_id", "lang", F.explode(toks).alias("token")
+    ).select("doc_id", "lang", _dsir_bucket(F.col("token")).alias("b"))
+    src = tok.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    tots = src.agg(F.sum("c").alias("ts")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("tt"))
+    )
+    # lm is bounded at DSIR_BUCKETS rows BY CONSTRUCTION (bucket ids
+    # are mod-1024), so the unconditional broadcast is sound at any
+    # corpus size — the gate policy covers builds that scale, not
+    # fixed-domain aggregates
+    lm = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce("c_t", F.lit(0)) + 1).cast("double")
+                        / (F.col("tt") + DSIR_BUCKETS)
+                    )
+                    / (
+                        (F.col("c") + 1).cast("double")
+                        / (F.col("ts") + DSIR_BUCKETS)
+                    )
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lr_q"),
+        )
+    )
+    docs = (
+        tok.join(F.broadcast(lm), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.floor(F.sum("lr_q").cast("double") / (F.count(F.lit(1)) * 100))
+            .cast("long")
+            .alias("avg_int"),
+        )
+    )
+    # resampling threshold = corpus mean importance (the deterministic
+    # stand-in for DSIR's proportional sampling): avg over exact
+    # per-doc BIGINTs — order-free, floor has no tie path
+    thr = docs.agg(F.floor(F.avg("avg_int")).cast("long").alias("t"))
+    return (
+        docs.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "lang",
+            "n_toks",
+            (F.col("avg_int") / 10000.0).alias("avg_log_ratio"),
+            (F.col("avg_int") > F.col("t")).cast("long").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1282,3 +1282,27 @@ def test_ann_recall_audit_covers_every_tier_and_query(spark):
         assert sorted(r["qid"] for r in by_tier[tier]) == list(range(qmax))
     mrl = sum(r["hits"] for r in by_tier["matryoshka"]) / (5.0 * 5)
     assert mrl >= 0.6, f"matryoshka recall floor broke: {mrl}"
+
+
+def test_dsir_weights_favor_the_target_domain(spark):
+    # the importance signal must be directional on the fixture: target
+    # (en) docs keep at a strictly higher rate than non-target docs,
+    # the flag is non-vacuous in both directions, and the threshold
+    # split is consistent with the emitted quantized score
+    from collections import Counter
+
+    from project_orbit_spark.functions.textquality import (
+        dsir_importance_weights,
+    )
+
+    rows = dsir_importance_weights(spark, "/root/testdata/sf0.001").collect()
+    c = Counter((r["lang"] == "en", r["keep"]) for r in rows)
+    assert c[(True, 1)] and c[(True, 0)] and c[(False, 1)] and c[(False, 0)]
+    en_rate = c[(True, 1)] / (c[(True, 1)] + c[(True, 0)])
+    other_rate = c[(False, 1)] / (c[(False, 1)] + c[(False, 0)])
+    assert en_rate > other_rate, (en_rate, other_rate)
+    # keep is a pure threshold on the quantized score: every kept doc
+    # scores strictly above every dropped doc's minimum kept score
+    kept_min = min(r["avg_log_ratio"] for r in rows if r["keep"])
+    dropped_max = max(r["avg_log_ratio"] for r in rows if not r["keep"])
+    assert kept_min > dropped_max

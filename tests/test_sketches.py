@@ -101,10 +101,15 @@ def test_raw_sketches_hidden_from_driver_surface():
     assert "approx_percentile_sketch" not in qmap
     assert "approx_distinct_audit" in omap
     assert "approx_percentile_audit" in omap
-    # raw sketches stay registered for bench
+    # raw sketches stay REGISTERED (local parity suite runs them) but
+    # left the bench headline set in the r14 rotation (VERDICT r13
+    # ask #6: sub-second entries swapped for heavy operators)
+    qs = registry.all_queries()
+    assert "approx_distinct_sketch" in qs
+    assert "approx_percentile_sketch" in qs
     bench = registry.bench_queries()
-    assert "approx_distinct_sketch" in bench
-    assert "approx_percentile_sketch" in bench
+    assert "approx_distinct_sketch" not in bench
+    assert "approx_percentile_sketch" not in bench
 
 
 def test_mg_kernel_capacity_and_guarantee():
