@@ -885,3 +885,79 @@ def page_stats_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("longest_token"),
     ).orderBy("doc_id")
+
+
+@register(
+    "bpe_fertility_by_lang",
+    tags=("text", "tokens", "corpus"),
+    doc="Tokenizer fertility datasheet (subtokens per word, the "
+    "standard tokenizer-evaluation metric; XLM/NLLB report it per "
+    "language to expose under-served scripts): the learned BPE "
+    "vocabulary's segmentation rolled up per language — high "
+    "fertility means the merge table (trained on the whole corpus, "
+    "hence dominated by the majority language) splits that "
+    "language's words into more pieces. Same plan as "
+    "bpe_tokenize_corpus with the per-doc regroup replaced by a "
+    "5-row language rollup (order-free integer sums).",
+    oracle="WITH "
+    + ",\n        ".join(_bpe_stage_ctes(BPE_MERGES, final_seg=True))
+    + f""",
+        vocab AS (
+          SELECT word, len(s)::BIGINT AS n_sub FROM seg_{BPE_MERGES}
+        ),
+        docw AS (
+          SELECT d.lang, w AS word
+          FROM documents d, UNNEST(string_split_regex(
+            trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' +')) t(w)
+          WHERE w != ''
+        )
+        SELECT lang, count(*)::BIGINT AS n_words,
+               sum(n_sub)::BIGINT AS n_bpe_tokens,
+               floor(sum(n_sub)::DOUBLE / count(*) * 10000) / 10000
+                 AS fertility
+        FROM docw JOIN vocab USING (word)
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_orbit_spark.catalog import maybe_broadcast
+
+    _, seg = _bpe_fit(spark, sf_dir, final_seg=True)
+    vocab = seg.select("word", F.size("s").cast("long").alias("n_sub"))
+    d = load(spark, sf_dir, "documents")
+    docw = d.select(
+        "lang",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), "[^a-z]+", " ")), " +"
+            )
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    # probe-less gate: vocab projects the checkpointed fit output (see
+    # bpe_tokenize_corpus for why the probe job is a cheap limit-scan)
+    return (
+        docw.join(
+            maybe_broadcast(vocab, _BPE_VOCAB_BROADCAST_BOUND),
+            "word",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            (
+                F.floor(
+                    F.col("n_bpe_tokens").cast("double")
+                    / F.col("n_words")
+                    * 10000
+                )
+                / 10000
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

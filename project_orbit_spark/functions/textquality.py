@@ -1240,28 +1240,12 @@ def _dsir_bucket(token: Column) -> Column:
     )
 
 
-@register(
-    "dsir_importance_weights",
-    tags=("text", "quality", "corpus", "sampling"),
-    doc="DSIR importance weights (Xie et al. 2023): hash every token "
-    "into a 1024-bucket feature space, fit Laplace-smoothed unigram "
-    "LMs for the TARGET domain (lang='en' here — in production the "
-    "trusted corpus, e.g. Wikipedia) and the raw corpus, then score "
-    "each doc by its mean log importance ratio; keep = docs above "
-    "the corpus-mean importance (the deterministic stand-in for the "
-    "paper's proportional resampling). Plan at 100 TB: two "
-    "map-side-combinable aggregates over the token stream (both "
-    "bounded at 1024 output rows), ONE broadcast of the 1024-row "
-    "ratio table back over the stream, one per-doc aggregate — no "
-    "corpus-sized build side anywhere, skew-immune (hot buckets are "
-    "probe-side). Float policy: integer counts everywhere; ln only "
-    "on exact rationals, then BIGINT-quantized per BUCKET (floor to "
-    "1e-6) so the per-doc aggregation is an order-free INTEGER sum "
-    "(round(avg(ln)) flipped a HALF_UP tie at sf0.1 — the exact "
-    "doc_quality_scores failure mode); output floor-quantized to "
-    "4dp (no tie path) and keep compares the quantized value.",
-    oracle=f"""
-        WITH tok0 AS (
+# Shared DuckDB CTE bank for the DSIR family (full-corpus face +
+# O(new) incremental face): ONE SQL definition of the hashed-LM fit
+# (the _REPETITION_FRACS_CTES discipline — two oracles cannot drift).
+# Produces lm(b, lr_q), tots(ts, tt), docs(doc_id, lang, n_toks,
+# avg_int), thr(t).
+_DSIR_FIT_CTES = f"""tok0 AS (
           SELECT doc_id, lang,
                  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
           FROM documents
@@ -1295,15 +1279,17 @@ def _dsir_bucket(token: Column) -> Column:
           FROM tok JOIN lm USING (b)
           GROUP BY doc_id, lang
         ),
-        thr AS (SELECT CAST(floor(avg(avg_int)) AS BIGINT) AS t FROM docs)
-        SELECT doc_id, lang, n_toks,
-               avg_int / 10000.0 AS avg_log_ratio,
-               CAST(avg_int > thr.t AS BIGINT) AS keep
-        FROM docs, thr
-        ORDER BY doc_id
-    """,
-)
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+        thr AS (SELECT CAST(floor(avg(avg_int)) AS BIGINT) AS t FROM docs)"""
+
+
+def _dsir_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The Spark twin of _DSIR_FIT_CTES: returns (lm, stats, docs)
+    where lm is the 1024-row quantized log-ratio table, stats the
+    1-row (ts, tt, t) fit summary, docs the per-doc scores of the
+    fitted corpus. All floats ride exact rationals + BIGINT
+    quantization (see the register doc for why)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower("text")), r"\s+")
     tok = d.select(
@@ -1358,8 +1344,43 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stand-in for DSIR's proportional sampling): avg over exact
     # per-doc BIGINTs — order-free, floor has no tie path
     thr = docs.agg(F.floor(F.avg("avg_int")).cast("long").alias("t"))
+    stats = tots.crossJoin(thr)
+    return lm, stats, docs
+
+
+@register(
+    "dsir_importance_weights",
+    tags=("text", "quality", "corpus", "sampling"),
+    doc="DSIR importance weights (Xie et al. 2023): hash every token "
+    "into a 1024-bucket feature space, fit Laplace-smoothed unigram "
+    "LMs for the TARGET domain (lang='en' here — in production the "
+    "trusted corpus, e.g. Wikipedia) and the raw corpus, then score "
+    "each doc by its mean log importance ratio; keep = docs above "
+    "the corpus-mean importance (the deterministic stand-in for the "
+    "paper's proportional resampling). Plan at 100 TB: two "
+    "map-side-combinable aggregates over the token stream (both "
+    "bounded at 1024 output rows), ONE broadcast of the 1024-row "
+    "ratio table back over the stream, one per-doc aggregate — no "
+    "corpus-sized build side anywhere, skew-immune (hot buckets are "
+    "probe-side). Float policy: integer counts everywhere; ln only "
+    "on exact rationals, then BIGINT-quantized per BUCKET (floor to "
+    "1e-6) so the per-doc aggregation is an order-free INTEGER sum "
+    "(round(avg(ln)) flipped a HALF_UP tie at sf0.1 — the exact "
+    "doc_quality_scores failure mode); output floor-quantized to "
+    "4dp (no tie path) and keep compares the quantized value.",
+    oracle=f"""
+        WITH {_DSIR_FIT_CTES}
+        SELECT doc_id, lang, n_toks,
+               avg_int / 10000.0 AS avg_log_ratio,
+               CAST(avg_int > thr.t AS BIGINT) AS keep
+        FROM docs, thr
+        ORDER BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, stats, docs = _dsir_fit(spark, sf_dir)
     return (
-        docs.crossJoin(F.broadcast(thr))
+        docs.crossJoin(F.broadcast(stats.select("t")))
         .select(
             "doc_id",
             "lang",
@@ -1368,4 +1389,134 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("avg_int") > F.col("t")).cast("long").alias("keep"),
         )
         .orderBy("doc_id")
+    )
+
+
+_DSIR_CACHE = None
+
+
+def warm_dsir_lm(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The fitted DSIR model — the 1024-row quantized ratio table and
+    the 1-row (ts, tt, t) summary — persisted once per (session,
+    sf_dir): at 100 TB the hashed-LM fit is an offline artifact the
+    selection job refreshes (same contract as warm_vocab /
+    warm_span_index / warm_band_index / warm_kmeans_centroids)."""
+    global _DSIR_CACHE
+    from project_orbit_spark.session import cache_token, register_df_cache
+
+    if _DSIR_CACHE is None:
+        _DSIR_CACHE = register_df_cache({})
+    key = (cache_token(spark), sf_dir)
+    if key not in _DSIR_CACHE:
+        lm, stats, _ = _dsir_fit(spark, sf_dir)
+        lm, stats = lm.persist(), stats.persist()
+        lm.count(), stats.count()
+        _DSIR_CACHE[key] = (lm, stats)
+    return _DSIR_CACHE[key]
+
+
+@register(
+    "incremental_dsir_weights",
+    tags=("text", "quality", "sampling", "incremental"),
+    prepare=lambda spark, sf_dir: warm_dsir_lm(spark, sf_dir) and None,
+    doc="Incremental face of dsir_importance_weights and the EIGHTH "
+    "instance of the engine's incremental-index contract (minhash "
+    "bands, embedding index, span index, k-means model, vocabulary, "
+    "segment index, curation artifacts — now the hashed-LM "
+    "importance model): an incoming batch (every-7th doc with "
+    "drifted tokens appended, the usual synthesized-batch "
+    "convention) is scored against the PERSISTED lm + threshold — "
+    "O(new) per run, the fitted corpus is never re-tokenized. "
+    "Feature buckets the fit never saw score at the smoothed "
+    "unseen-bucket ratio ln((ts+B)/(tt+B)) — computed from the "
+    "persisted totals on both engines, so drift cannot silently "
+    "drop features. The 1024-row lm broadcasts; the batch streams "
+    "past it map-only + one per-doc regroup.",
+    oracle=f"""
+        WITH {_DSIR_FIT_CTES},
+        newtok0 AS (
+          SELECT doc_id + 200000 AS new_id, lang,
+                 unnest(string_split_regex(trim(lower(
+                   text || ' zq9x vvqk unseen drift')), '\\s+')) AS token
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        newtok AS (
+          SELECT new_id, lang,
+                 CAST(('0x' || substring(md5(token), 1, 8)) AS UBIGINT)
+                   % {DSIR_BUCKETS} AS b
+          FROM newtok0
+        ),
+        scored AS (
+          SELECT n.new_id, n.lang,
+                 coalesce(lm.lr_q, CAST(floor(
+                   ln((tots.ts + {DSIR_BUCKETS})::DOUBLE
+                      / (tots.tt + {DSIR_BUCKETS})) * 1000000) AS BIGINT))
+                   AS lr_q
+          FROM newtok n LEFT JOIN lm USING (b), tots
+        ),
+        newdocs AS (
+          SELECT new_id, lang, count(*)::BIGINT AS n_toks,
+                 CAST(floor(sum(lr_q)::DOUBLE / (count(*) * 100)) AS BIGINT)
+                   AS avg_int
+          FROM scored
+          GROUP BY new_id, lang
+        )
+        SELECT new_id, lang, n_toks,
+               avg_int / 10000.0 AS avg_log_ratio,
+               CAST(avg_int > thr.t AS BIGINT) AS keep
+        FROM newdocs, thr
+        ORDER BY new_id
+    """,
+)
+def incremental_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lm, stats = warm_dsir_lm(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("new_id"),
+        "lang",
+        F.concat("text", F.lit(" zq9x vvqk unseen drift")).alias("text"),
+    )
+    tok = batch.select(
+        "new_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    ).select("new_id", "lang", _dsir_bucket(F.col("token")).alias("b"))
+    unseen_q = (
+        F.floor(
+            F.log(
+                (F.col("ts") + DSIR_BUCKETS).cast("double")
+                / (F.col("tt") + DSIR_BUCKETS)
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("unseen_q")
+    )
+    scored = (
+        tok.join(F.broadcast(lm), "b", "left")
+        .crossJoin(F.broadcast(stats.select(unseen_q, "t")))
+        .select(
+            "new_id",
+            "lang",
+            F.coalesce("lr_q", "unseen_q").alias("lr_q"),
+            "t",
+        )
+    )
+    return (
+        scored.groupBy("new_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.floor(F.sum("lr_q").cast("double") / (F.count(F.lit(1)) * 100))
+            .cast("long")
+            .alias("avg_int"),
+            F.max("t").alias("t"),
+        )
+        .select(
+            "new_id",
+            "lang",
+            "n_toks",
+            (F.col("avg_int") / 10000.0).alias("avg_log_ratio"),
+            (F.col("avg_int") > F.col("t")).cast("long").alias("keep"),
+        )
+        .orderBy("new_id")
     )

@@ -903,3 +903,20 @@ def test_bpe_tokenize_join_is_broadcast_and_partial_agg(spark):
     assert f.n_broadcast_joins >= 1, "vocab map must broadcast at this scale"
     assert "CartesianProduct" not in f.text
     assert f.partial_agg
+
+
+def test_incremental_dsir_scores_against_persisted_model(spark):
+    """The O(new) contract (the incremental_vocab assertion set): the
+    batch face must read the PERSISTED lm + stats (InMemoryTableScan
+    after warm_dsir_lm — the cached relations textually embed their
+    original fit plans in .explain, so scan-counting would overcount
+    non-executing subtrees), broadcast the 1024-row model, and
+    partial-aggregate the per-doc regroup."""
+    from project_orbit_spark.functions.textquality import warm_dsir_lm
+
+    warm_dsir_lm(spark, SF_DIR)  # warm outside the audited plan
+    f = facts("incremental_dsir_weights", spark)
+    assert "InMemoryTableScan" in f.text, "lm must come from the persisted model"
+    assert f.n_broadcast_joins >= 1
+    assert "CartesianProduct" not in f.text
+    assert f.partial_agg
