@@ -1476,6 +1476,15 @@ def incremental_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.concat("text", F.lit(" zq9x vvqk unseen drift")).alias("text"),
     )
+    return dsir_score_batch(batch, lm, stats)
+
+
+def dsir_score_batch(batch: DataFrame, lm: DataFrame, stats: DataFrame) -> DataFrame:
+    """Score ONE batch of (new_id, lang, text) against a fitted DSIR
+    model — the single plan builder behind the driver-checked
+    incremental face AND the streaming filter-at-ingest twin
+    (streaming/curation.py::stream_dsir_filter), so the two cannot
+    diverge (the curate_batch / segment_dedup_batch discipline)."""
     tok = batch.select(
         "new_id",
         "lang",

@@ -1,7 +1,9 @@
 """Streaming twins of the corpus-curation faces: the full incremental
 curation pipeline (stream_curate_docs), first-wins segment dedup
-against the persisted index (stream_segment_dedup), and the
-filter-at-ingest ensemble scorer (stream_quality_filter).
+against the persisted index (stream_segment_dedup), the
+filter-at-ingest ensemble scorer (stream_quality_filter), and the
+DSIR importance filter against the persisted hashed-LM model
+(stream_dsir_filter).
 
 The 100 TB pattern this pins: the nightly crawl arrives as an
 UNBOUNDED stream of documents; each micro-batch is curated end-to-end
@@ -138,6 +140,38 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str, on_batch):
 
     def run_batch(mb: DataFrame, _batch_id: int) -> None:
         on_batch(ensemble_scores(mb))
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_dsir_filter(spark: SparkSession, sf_dir: str, on_batch):
+    """Streaming twin of incremental_dsir_weights: each micro-batch
+    of arriving documents is importance-scored against the
+    SESSION-PERSISTED hashed-LM model + threshold
+    (functions/textquality.py::warm_dsir_lm) by the IDENTICAL plan
+    builder the driver-checked batch face uses (dsir_score_batch) —
+    the filter-at-ingest shape DSIR deploys as: crawl that doesn't
+    look like the target domain never lands in bronze. Zero state:
+    every micro-batch is a pure function of (batch, persisted
+    model); model refresh is a restart-and-swap (the warm_vocab /
+    lsh.warm_embedding_index contract)."""
+    from project_orbit_spark.functions.textquality import (
+        dsir_score_batch,
+        warm_dsir_lm,
+    )
+    from pyspark.sql import functions as F
+
+    lm, stats = warm_dsir_lm(spark, sf_dir)
+    stream = read_documents_stream(spark, sf_dir).select(
+        F.col("doc_id").alias("new_id"), "lang", "text"
+    )
+
+    def run_batch(mb: DataFrame, _batch_id: int) -> None:
+        on_batch(dsir_score_batch(mb, lm, stats))
 
     return (
         stream.writeStream.foreachBatch(run_batch)

@@ -642,3 +642,35 @@ def test_stream_quality_filter_matches_batch(spark):
     }
     assert got == want
     assert got, "parity set is empty — the stream produced nothing"
+
+
+@pytest.mark.timeout(240)
+def test_stream_dsir_filter_matches_batch(spark):
+    """Streaming twin of the DSIR importance filter: scoring each
+    micro-batch against the persisted model through foreachBatch must
+    emit exactly what dsir_score_batch produces for the same rows —
+    here the whole documents table in one AvailableNow micro-batch,
+    so the want-side is the same plan over the batch read. Pins the
+    plumbing (schema, warm-model reuse, foreachBatch seam); the
+    model math itself is driver-hash-checked via
+    incremental_dsir_weights."""
+    from pyspark.sql import functions as F
+
+    from project_orbit_spark.catalog import load
+    from project_orbit_spark.functions.textquality import (
+        dsir_score_batch,
+        warm_dsir_lm,
+    )
+    from project_orbit_spark.streaming.curation import stream_dsir_filter
+
+    rows: list = []
+    q = stream_dsir_filter(spark, SF_DIR, lambda df: rows.extend(df.collect()))
+    q.awaitTermination(180)
+    got = {tuple(r) for r in rows}
+    lm, stats = warm_dsir_lm(spark, SF_DIR)
+    batch = load(spark, SF_DIR, "documents").select(
+        F.col("doc_id").alias("new_id"), "lang", "text"
+    )
+    want = {tuple(r) for r in dsir_score_batch(batch, lm, stats).collect()}
+    assert got == want
+    assert got, "parity set is empty — the stream produced nothing"
