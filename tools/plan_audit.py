@@ -76,6 +76,16 @@ BNLJ_BOUNDED = {
     # corpus_mixture_sample shape — the corpus join itself is an
     # equi hash join on lang)
     "matryoshka_funnel_topk", "temperature_mixture_sample",
+    # round-14 additions (hand-audited): the DSIR faces crossJoin
+    # 1-row builds — the (ts, tt) totals row into the 1024-row lm,
+    # and the (t) / (unseen_q, t) threshold row onto the per-doc /
+    # batch table (the q15 global-stats shape); the recall audit
+    # inherits cosine_topk_exact's 5-row query broadcast through
+    # every tier it wraps; the cluster histogram crossJoins its two
+    # 1-row count frames (hand-audited r13, allowlisted now that the
+    # audit tool runs it)
+    "dsir_importance_weights", "incremental_dsir_weights",
+    "ann_recall_audit", "dup_cluster_size_histogram",
 }
 
 
