@@ -1306,3 +1306,81 @@ def test_dsir_weights_favor_the_target_domain(spark):
     kept_min = min(r["avg_log_ratio"] for r in rows if r["keep"])
     dropped_max = max(r["avg_log_ratio"] for r in rows if not r["keep"])
     assert kept_min > dropped_max
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=30).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_winnowing_matches_python_reference(spark, texts):
+    # exact cross-check on an adversarial 2-letter vocabulary (dense
+    # hash ties force the rightmost-tie rule to matter): the lead()
+    # window formulation must reproduce a direct Python robust
+    # winnowing (Schleimer et al.: per window of W k-gram hashes,
+    # select the min, rightmost on ties, dedup selected (pos, hash))
+    import hashlib
+
+    from project_orbit_spark.functions.textquality import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+    import pathlib
+    import tempfile
+
+    def kgram_hash(words):
+        s = " ".join(words)
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expected = {}
+    for i, raw in enumerate(texts):
+        toks = raw.strip().lower().split()
+        if raw.strip() == "":
+            toks = [""]
+        g = [
+            kgram_hash(toks[j : j + WINNOW_K])
+            for j in range(len(toks) - WINNOW_K + 1)
+        ] if len(toks) >= WINNOW_K else []
+        sel = set()
+        for j in range(len(g) - WINNOW_W + 1):
+            win = g[j : j + WINNOW_W]
+            m = min(win)
+            # rightmost min
+            off = max(k for k, v in enumerate(win) if v == m)
+            sel.add((j + 1 + off, m))
+        expected[i] = {
+            "n_windows": max(len(g) - WINNOW_W + 1, 0),
+            "n_fingerprints": len(sel),
+            "fp_min": min((fp for _, fp in sel), default=None),
+            "fp_max": max((fp for _, fp in sel), default=None),
+            "fp_checksum": sum(fp % 1000000007 for _, fp in sel),
+        }
+
+    # write a documents-shaped parquet fixture so the registered query
+    # runs unmodified (it reads the 'documents' table by name)
+    import pandas as pd
+
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["t"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ).to_parquet(pathlib.Path(td) / "documents.parquet")
+        got = {
+            r["doc_id"]: r
+            for r in winnowing_fingerprints(spark, td).collect()
+        }
+    for i, want in expected.items():
+        r = got[i]
+        for k, v in want.items():
+            assert r[k] == v, (i, k, r[k], v)
