@@ -1543,29 +1543,10 @@ WINNOW_K = 4  # word k-gram width
 WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
 
 
-@register(
-    "winnowing_fingerprints",
-    tags=("text", "fingerprint", "dedup"),
-    doc="Robust winnowing fingerprints (Schleimer et al. 2003): hash "
-    "every word-4-gram (md5-derived 60-bit, the engine-portable hash "
-    "family), slide a W=4 window over the hash sequence, select each "
-    "window's MINIMUM — rightmost position on ties, the paper's "
-    "'robust' rule, made explicit as a rightmost-first CASE over "
-    "lead(1..3) columns so both engines resolve ties identically — "
-    "and dedup the selected (pos, hash) pairs (overlapping windows "
-    "mostly re-select the same fingerprint; that dedup IS the "
-    "compression). Emits per-doc fingerprint count, window count, "
-    "min/max fingerprint and an order-free integer checksum over the "
-    "selected set, so the hash verifies the exact selection. Plan: "
-    "one posexplode, per-doc-keyed lead window (no hot keys — "
-    "partition key is doc_id), distinct + aggregate on the selected "
-    "set. A first draft built windows with nested array lambdas; its "
-    "DuckDB twin was O(n·W^2) list-slicing per doc (460 s at "
-    "sf0.001) — the lead() formulation is the plan BOTH engines run "
-    "fast. Docs shorter than K+W-1 words emit zero windows "
-    "(documented edge, identical in both engines).",
-    oracle=f"""
-        WITH toks AS (
+# Shared CTE chain producing sel(doc_id, pos, fp) — the winnowed
+# fingerprint set both the per-doc datasheet and the match-pairs
+# query read (one SQL definition, two oracles that cannot drift).
+_WINNOW_SEL_CTES = f"""toks AS (
           SELECT doc_id,
                  string_split_regex(trim(lower(text)), '\\s+') AS t
           FROM documents
@@ -1595,7 +1576,32 @@ WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
                           ELSE 0 END AS pos
           FROM led WHERE p <= n_grams - {WINNOW_W} + 1
         ),
-        sel AS (SELECT DISTINCT doc_id, pos, fp FROM win),
+        sel AS (SELECT DISTINCT doc_id, pos, fp FROM win)"""
+
+
+@register(
+    "winnowing_fingerprints",
+    tags=("text", "fingerprint", "dedup"),
+    doc="Robust winnowing fingerprints (Schleimer et al. 2003): hash "
+    "every word-4-gram (md5-derived 60-bit, the engine-portable hash "
+    "family), slide a W=4 window over the hash sequence, select each "
+    "window's MINIMUM — rightmost position on ties, the paper's "
+    "'robust' rule, made explicit as a rightmost-first CASE over "
+    "lead(1..3) columns so both engines resolve ties identically — "
+    "and dedup the selected (pos, hash) pairs (overlapping windows "
+    "mostly re-select the same fingerprint; that dedup IS the "
+    "compression). Emits per-doc fingerprint count, window count, "
+    "min/max fingerprint and an order-free integer checksum over the "
+    "selected set, so the hash verifies the exact selection. Plan: "
+    "one posexplode, per-doc-keyed lead window (no hot keys — "
+    "partition key is doc_id), distinct + aggregate on the selected "
+    "set. A first draft built windows with nested array lambdas; its "
+    "DuckDB twin was O(n·W^2) list-slicing per doc (460 s at "
+    "sf0.001) — the lead() formulation is the plan BOTH engines run "
+    "fast. Docs shorter than K+W-1 words emit zero windows "
+    "(documented edge, identical in both engines).",
+    oracle=f"""
+        WITH {_WINNOW_SEL_CTES},
         agg AS (
           SELECT doc_id, count(*)::BIGINT AS n_fingerprints,
                  min(fp) AS fp_min, max(fp) AS fp_max,
@@ -1613,7 +1619,36 @@ WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
     """,
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    base, sel = _winnow_selected(load(spark, sf_dir, "documents"))
+    agg = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+        F.sum(F.col("fp") % 1000000007).cast("long").alias("fp_checksum"),
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.greatest(F.size("g") - WINNOW_W + 1, F.lit(0))
+            .cast("long")
+            .alias("n_windows"),
+        )
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+            "fp_min",
+            "fp_max",
+            F.coalesce("fp_checksum", F.lit(0)).alias("fp_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _winnow_selected(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The Spark twin of _WINNOW_SEL_CTES: (base(doc_id, g), sel(
+    doc_id, pos, fp)) — the winnowed fingerprint set both faces read."""
     t = F.split(F.trim(F.lower("text")), r"\s+")
     grams = F.when(
         F.size(t) >= WINNOW_K,
@@ -1656,29 +1691,66 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = led.select(
         "doc_id", pos.cast("long").alias("pos"), fp.alias("fp")
     ).distinct()
-    agg = sel.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
-        F.min("fp").alias("fp_min"),
-        F.max("fp").alias("fp_max"),
-        F.sum(F.col("fp") % 1000000007).cast("long").alias("fp_checksum"),
+    return base, sel
+
+
+WINNOW_MAX_DOC_FREQ = 10  # MOSS-style common-fingerprint drop
+WINNOW_MIN_SHARED = 2  # pair noise floor (one shared fp can be chance)
+
+
+@register(
+    "winnowing_match_pairs",
+    tags=("text", "fingerprint", "dedup"),
+    doc="Winnowing-based document matching (the MOSS use case of "
+    "Schleimer et al. 2003): documents sharing selected fingerprints "
+    "are near-duplicate / containment candidates. Fingerprints "
+    "appearing in more than 10 documents are dropped FIRST — the "
+    "paper's standard boilerplate guard, and the scale lever: the "
+    "pair join is quadratic in fingerprint bucket size, so capping "
+    "doc-frequency bounds every bucket at 10 docs = <=45 pairs per "
+    "fingerprint regardless of corpus size (the banded-LSH shape: "
+    "join within bounded buckets, never all-pairs). Pairs sharing "
+    "fewer than 2 distinct fingerprints are dropped as chance "
+    "collisions. Plan: one shuffle on fp for the doc-frequency "
+    "guard + bucket self-join, one keyed pair aggregate.",
+    oracle=f"""
+        WITH {_WINNOW_SEL_CTES},
+        fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+        rare AS (
+          SELECT fp FROM fps GROUP BY fp
+          HAVING count(*) BETWEEN 2 AND {WINNOW_MAX_DOC_FREQ}
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*)::BIGINT AS n_shared_fps
+          FROM fps a
+          JOIN rare r ON a.fp = r.fp
+          JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_shared_fps
+        FROM pairs WHERE n_shared_fps >= {WINNOW_MIN_SHARED}
+        ORDER BY doc_a, doc_b
+    """,
+)
+def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, sel = _winnow_selected(load(spark, sf_dir, "documents"))
+    fps = sel.select("doc_id", "fp").distinct()
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(
+            (F.col("df") >= 2) & (F.col("df") <= WINNOW_MAX_DOC_FREQ)
+        )
+        .select("fp")
     )
+    a = fps.join(rare, "fp").select("fp", F.col("doc_id").alias("doc_a"))
+    b = fps.select("fp", F.col("doc_id").alias("doc_b"))
     return (
-        base.select(
-            "doc_id",
-            F.greatest(
-                F.size("g") - WINNOW_W + 1, F.lit(0)
-            )
-            .cast("long")
-            .alias("n_windows"),
-        )
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_windows",
-            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
-            "fp_min",
-            "fp_max",
-            F.coalesce("fp_checksum", F.lit(0)).alias("fp_checksum"),
-        )
-        .orderBy("doc_id")
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
     )

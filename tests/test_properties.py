@@ -1384,3 +1384,44 @@ def test_winnowing_matches_python_reference(spark, texts):
         r = got[i]
         for k, v in want.items():
             assert r[k] == v, (i, k, r[k], v)
+
+
+def test_winnowing_match_pairs_finds_shared_passages(spark):
+    # the MOSS guarantee: two docs sharing a passage of >= K+W-1 words
+    # share at least one selected fingerprint; a long shared passage
+    # yields many. Unrelated docs with disjoint vocabularies share
+    # none. The common-fp guard must not drop a passage shared by
+    # only two docs.
+    import pathlib
+    import tempfile
+
+    import pandas as pd
+
+    from project_orbit_spark.functions.textquality import (
+        winnowing_match_pairs,
+    )
+
+    passage = " ".join(f"tok{i}" for i in range(40))
+    texts = [
+        "alpha beta " + passage + " gamma delta",
+        "unrelated prefix words here " + passage,
+        " ".join(f"other{i}" for i in range(50)),
+        " ".join(f"more{i}" for i in range(50)),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["t"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ).to_parquet(pathlib.Path(td) / "documents.parquet")
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["n_shared_fps"]
+            for r in winnowing_match_pairs(spark, td).collect()
+        }
+    assert (0, 1) in pairs, pairs
+    assert pairs[(0, 1)] >= 5  # a 40-word shared passage -> many fps
+    assert all(p == (0, 1) for p in pairs), pairs  # no chance pairs
