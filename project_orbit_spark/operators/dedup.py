@@ -272,9 +272,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = d.select("doc_id", "lang", F.explode("sh").alias("tok"))
     dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # SHUFFLE-HINT every corpus-derived join side in this query
+    # (round-14 100x probe finding): the static planner's size
+    # estimate for these aggregates/explodes lands UNDER the 64 MB
+    # broadcast threshold while their real size is corpus-scale —
+    # at 100x the dfreq broadcast alone builds a ~1 GB hashed
+    # relation and OOMs. The hint pins the safe shuffle plan; the
+    # fixture-scale cost is negligible (sub-second either way) and
+    # at 100 TB a shuffle is the only correct strategy for
+    # vocabulary- and corpus-scale sides.
     # per-doc shingles re-ordered rarest-first (global df, then lexicographic)
     ordered = (
-        ex.join(dfreq, "tok")
+        ex.join(dfreq.hint("shuffle_hash"), "tok")
         .groupBy("doc_id", "lang")
         .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("st"))
         .select(
@@ -291,7 +300,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = pref.select(F.col("doc_id").alias("left_id"), "lang", F.col("sz").alias("sz_a"), "tok")
     b = pref.select(F.col("doc_id").alias("right_id"), "lang", F.col("sz").alias("sz_b"), "tok")
     cand = (
-        a.join(b, ["lang", "tok"])
+        a.join(b.hint("shuffle_hash"), ["lang", "tok"])
         .filter(
             (F.col("left_id") < F.col("right_id"))
             & (F.least("sz_a", "sz_b") >= F.lit(t) * F.greatest("sz_a", "sz_b"))
@@ -305,8 +314,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.round(inter.cast("double") / union.cast("double"), 4)
     return (
-        cand.join(sa, "left_id")
-        .join(sb, "right_id")
+        cand.join(sa.hint("shuffle_hash"), "left_id")
+        .join(sb.hint("shuffle_hash"), "right_id")
         .select("left_id", "right_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= t)
         .orderBy("left_id", "right_id")
@@ -1863,4 +1872,107 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("test"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-tier observability (the ann_recall_audit pattern applied to
+# the dedup family): precision/recall of the banded MinHash-LSH
+# candidate tier against the exact n-gram Jaccard ground truth, AS A
+# QUERY — the number a 100 TB rollout reads before trusting the
+# approximate tier, and the regression guard for any band/row/width
+# retune.
+
+
+def _own_oracle(name: str) -> str:
+    """Read an already-registered sibling's oracle at import time
+    (registry dict directly — this module is being imported by
+    registry._load(), so the loader entry point must not re-enter;
+    both sources register ABOVE in this file)."""
+    from project_orbit_spark.registry import _REGISTRY
+
+    oracle = _REGISTRY[name].oracle
+    assert oracle is not None
+    return oracle
+
+
+@register(
+    "dedup_pair_audit",
+    tags=("dedup", "lsh", "observability"),
+    doc="MinHash-LSH candidate quality audit: the banded estimated-"
+    "Jaccard>=0.5 pair set (minhash_lsh_near_dups) scored against "
+    "the exact shingle-Jaccard>=0.5 ground truth "
+    "(ngram_jaccard_pairs) — one row of n_exact / n_lsh / n_hits / "
+    "precision / recall. On this fixture the 12-hash signature's "
+    "estimate is NOISY (bands admit many sub-threshold pairs), so "
+    "precision is the honest headline number; recall is what the "
+    "banding guarantees. Oracle embeds both sources' ORIGINAL "
+    "oracles as subqueries (the ann_recall_audit discipline: audit "
+    "and audited cannot drift). Scale: both inputs are the already-"
+    "audited banded/prefix-filtered plans; the audit itself joins "
+    "two pair sets and reduces to one row.",
+    oracle=f"""
+        WITH lsh AS ({_own_oracle("minhash_lsh_near_dups")}
+        ),
+        ex AS ({_own_oracle("ngram_jaccard_pairs")}
+        ),
+        hit AS (
+          SELECT count(*)::BIGINT AS n_hits
+          FROM lsh JOIN ex USING (left_id, right_id)
+        )
+        SELECT (SELECT count(*) FROM ex)::BIGINT AS n_exact,
+               (SELECT count(*) FROM lsh)::BIGINT AS n_lsh,
+               hit.n_hits,
+               floor(hit.n_hits::DOUBLE
+                 / nullif((SELECT count(*) FROM lsh), 0) * 10000) / 10000
+                 AS precision_at_t,
+               floor(hit.n_hits::DOUBLE
+                 / nullif((SELECT count(*) FROM ex), 0) * 10000) / 10000
+                 AS recall_at_t
+        FROM hit
+    """,
+)
+def dedup_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE pass over each source: full-outer join with membership
+    # markers, then a single global aggregate — each pair set
+    # executes exactly once (the crossJoin-of-counts formulation ran
+    # lsh/ex twice each AND let AQE broadcast a pair set, which OOMed
+    # the 100x probe: pair sets GROW with the corpus, so the join is
+    # hinted shuffle_hash, never broadcast).
+    lsh = (
+        minhash_lsh_near_dups(spark, sf_dir)
+        .select("left_id", "right_id")
+        .withColumn("in_lsh", F.lit(1))
+    )
+    ex = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select("left_id", "right_id")
+        .withColumn("in_ex", F.lit(1))
+    )
+    j = lsh.hint("shuffle_hash").join(
+        ex, ["left_id", "right_id"], "full_outer"
+    )
+    stats = j.agg(
+        F.sum(F.coalesce("in_ex", F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(F.coalesce("in_lsh", F.lit(0))).cast("long").alias("n_lsh"),
+        F.sum(
+            (F.col("in_ex").isNotNull() & F.col("in_lsh").isNotNull()).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("n_hits"),
+    )
+    ratio = lambda num, den: (  # noqa: E731 — local expression builder
+        F.floor(
+            F.col(num).cast("double") / F.nullif(F.col(den), F.lit(0)) * 10000
+        )
+        / 10000
+    )
+    return stats.select(
+        "n_exact",
+        "n_lsh",
+        "n_hits",
+        ratio("n_hits", "n_lsh").alias("precision_at_t"),
+        ratio("n_hits", "n_exact").alias("recall_at_t"),
     )

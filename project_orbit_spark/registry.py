@@ -239,6 +239,12 @@ _DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
     "gopher_repetition_signals",
     "quality_ensemble_filter",
     "corpus_report_card",
+    # (d) the round-14 100x probe found ngram_jaccard_pairs' static
+    # plan broadcasting corpus-scale sides (dfreq / prefix / shingle
+    # frames) past the 64 MB threshold on underestimated aggregate
+    # stats — OOM at 100x; shuffle_hash hints pin the safe plan
+    # (r11 record, so the freshness filter would drop it).
+    "ngram_jaccard_pairs",
 )
 
 

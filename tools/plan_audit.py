@@ -86,6 +86,9 @@ BNLJ_BOUNDED = {
     # audit tool runs it)
     "dsir_importance_weights", "incremental_dsir_weights",
     "ann_recall_audit", "dup_cluster_size_histogram",
+    # dedup_pair_audit crossJoins its three 1-row count frames (the
+    # same shape as the cluster histogram)
+    "dedup_pair_audit",
 }
 
 
