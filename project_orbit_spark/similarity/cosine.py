@@ -169,8 +169,14 @@ def cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup"),
     doc="E4 embedding-cosine near-dup detection over a dup-injected "
     "corpus (every 25th vector cloned at vec_id+10000): pairs with "
-    "cosine ≥ 0.999, blocked by cluster label so the pair space stays "
-    "linear (the pattern that survives 100 TB — never global N²).",
+    "cosine ≥ 0.999, blocked by cluster label — the EXACT face, "
+    "lossless but quadratic WITHIN each label (the round-14 100x "
+    "probe measured exactly that: with coarse fixed labels the "
+    "within-label join grinds at a 100x corpus). Sound when label "
+    "cardinality scales with the corpus (fine-grained clustering); "
+    "for coarse labels at 100 TB use embedding_near_dup_bucketed "
+    "(similarity/lsh.py), which adds the auto-width LSH sub-bucket "
+    "to the blocking key and keeps expected bucket size constant.",
     oracle=f"""
         WITH {_DUCK_EMB},
         corpus AS (

@@ -579,3 +579,80 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out.orderBy("tier", "qid")
+
+
+@register(
+    "embedding_near_dup_bucketed",
+    tags=("similarity", "dedup", "lsh"),
+    doc="The 100 TB face of E4 embedding near-dup detection "
+    "(round-14 100x probe finding: the label-blocked exact face "
+    "embedding_near_dup_pairs is quadratic WITHIN each label — fine "
+    "as the fixture-exact face, unbounded when labels stay "
+    "coarse-grained as the corpus grows): pairs block on (label, "
+    "auto-width LSH sub-bucket), the same adaptive bucketing the "
+    "persisted vector index uses (index_planes/auto_planes — one "
+    "more plane per corpus doubling, so expected bucket size stays "
+    "CONSTANT and the pair join stays linear at any scale). At "
+    "cosine >= 0.999 the per-plane agreement probability is "
+    "~0.986, so the standard LSH miss rate applies to borderline "
+    "pairs (~1.4% per plane); the injected EXACT clones agree on "
+    "every plane by construction — zero loss on the fixture ground "
+    "truth, verified by the parity test against the exact face.",
+    oracle=f"""
+        WITH emb AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        corpus AS (
+          SELECT vec_id, label, emb FROM emb
+          UNION ALL
+          SELECT vec_id + 10000 AS vec_id, label, emb
+          FROM emb WHERE vec_id % 25 = 0
+        ),
+        bucketed AS (
+          SELECT vec_id, label, emb,
+                 {_duck_auto_bucket("emb", "(SELECT count(*) FROM emb)")}
+                   AS bucket
+          FROM corpus
+        )
+        SELECT left_id, right_id, score FROM (
+          SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+                 round(list_cosine_similarity(a.emb, b.emb), 6) AS score
+          FROM bucketed a
+          JOIN bucketed b
+            ON a.label = b.label AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+        ) t
+        WHERE score >= 0.999
+        ORDER BY left_id, right_id
+    """,
+)
+def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    dups = e.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    corpus = e.unionByName(dups)
+    w = index_planes(spark, sf_dir)
+    # barrier: the bucket expression is n_planes x O(dim) md5 dots and
+    # must not be re-inlined per join branch (the lsh_hyperplane_topk
+    # discipline)
+    bucketed = corpus.select(
+        "vec_id", "label", "emb", lsh_bucket(F.col("emb"), w).alias("bucket")
+    ).repartition(32, "label", "bucket")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    score = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("left_id"),
+            F.col("b.vec_id").alias("right_id"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= 0.999)
+        .orderBy("left_id", "right_id")
+    )

@@ -1470,3 +1470,31 @@ def test_salted_topk_is_rank_identical_to_plain_window(spark, rows):
         .collect()
     }
     assert got == want
+
+
+def test_bucketed_near_dup_keeps_exact_clone_ground_truth(spark):
+    # the LSH-bucketed E4 face may drop BORDERLINE cross-bucket pairs
+    # (the documented ~1.4%/plane miss rate) but must keep every
+    # injected EXACT clone pair — identical vectors agree on every
+    # plane by construction — and must emit no pair the exact face
+    # doesn't (blocking only ever removes candidates)
+    from project_orbit_spark.similarity.cosine import (
+        embedding_near_dup_pairs,
+    )
+    from project_orbit_spark.similarity.lsh import (
+        embedding_near_dup_bucketed,
+    )
+    from tests.conftest import SF_DIR
+
+    exact = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_near_dup_pairs(spark, SF_DIR).collect()
+    }
+    bucketed = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_near_dup_bucketed(spark, SF_DIR).collect()
+    }
+    assert bucketed <= exact
+    clones = {(l, r) for (l, r) in exact if r == l + 10000}
+    assert clones, "fixture must contain injected clone pairs"
+    assert clones <= bucketed
