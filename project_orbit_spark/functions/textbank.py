@@ -366,6 +366,13 @@ def _bpe_stage_ctes(k: int, final_seg: bool = False) -> list[str]:
         )"""
         )
         if i < k or final_seg:
+            # LEFT JOIN ON TRUE, not an implicit cross join (ADVICE
+            # r14 #1): when best_i is empty (pairs exhausted before
+            # round k) the row survives with NULL merge symbols, the
+            # CASE's NULL equality is never true, and the fold leaves
+            # the segmentation as-is — mirroring the Spark loop's
+            # break-keeping-seg. A cross join would empty seg_i and
+            # every downstream stage with it.
             parts.append(
                 f"""seg_{i} AS (
           SELECT word, freq, string_split(list_reduce(s, (acc, x) -> CASE
@@ -373,7 +380,7 @@ def _bpe_stage_ctes(k: int, final_seg: bool = False) -> list[str]:
                    AND x = b.right_sym
               THEN regexp_replace(acc, '[^ ]+$', b.merged)
               ELSE acc || ' ' || x END), ' ') AS s
-          FROM seg_{i - 1}, best_{i} b
+          FROM seg_{i - 1} LEFT JOIN best_{i} b ON TRUE
         )"""
             )
     return parts
@@ -408,6 +415,12 @@ def _bpe_oracle_sql(k: int) -> str:
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _ = _bpe_fit(spark, sf_dir, final_seg=False)
+    if not merges:  # no adjacent pairs anywhere (ADVICE r14 #1)
+        return spark.createDataFrame(
+            [],
+            "merge_rank long, left_sym string, right_sym string, "
+            "merged string, pair_count long",
+        )
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -421,9 +434,30 @@ def _bpe_fit(
     loop contract): returns the per-round 1-row merge tables and the
     word segmentation — after BPE_MERGES-1 merges by default (the
     learn face never consumes the last re-segmentation), or after all
-    BPE_MERGES with ``final_seg`` (the tokenize face's vocab map)."""
+    BPE_MERGES with ``final_seg`` (the tokenize face's vocab map).
+
+    Degenerate-corpus guard (ADVICE r14 #1): if the corpus exhausts
+    mergeable pairs before BPE_MERGES rounds (every word fully merged
+    or single-symbol), the loop BREAKS keeping the merges learned so
+    far and the current segmentation — mirroring the ``if not
+    best_rows: break`` in the property test's pure-Python reference —
+    instead of crossJoining the segmentation against an empty 1-row
+    table, which would silently empty every downstream face. The
+    probe is driver-side ``take(1)`` on the already-checkpointed
+    1-row argmax — no extra job. The DuckDB oracle's unrolled stages
+    degenerate identically (``FROM seg LEFT JOIN best b`` with empty
+    best keeps seg as-is), so both engines emit the same partial
+    table."""
     d = load(spark, sf_dir, "documents")
-    words = bpe_word_histogram(d)
+    return _bpe_fit_words(bpe_word_histogram(d), final_seg)
+
+
+def _bpe_fit_words(
+    words: DataFrame, final_seg: bool
+) -> tuple[list[DataFrame], DataFrame]:
+    """_bpe_fit's merge loop over an explicit (word, freq) histogram —
+    split out so the degenerate-corpus break (ADVICE r14 #1) is
+    unit-testable on a hand-built vocab (tests/test_properties.py)."""
     seg = words.select(
         "word", "freq", F.split("word", "").alias("s")
     ).localCheckpoint(eager=True)
@@ -442,6 +476,8 @@ def _bpe_fit(
             )
             .localCheckpoint(eager=True)
         )
+        if not best.take(1):  # pairs exhausted — keep partial fit
+            break
         merges.append(best)
         if i < BPE_MERGES or final_seg:
             seg = _bpe_apply_merge(

@@ -1582,11 +1582,14 @@ _WINNOW_SEL_CTES = f"""toks AS (
 @register(
     "winnowing_fingerprints",
     tags=("text", "fingerprint", "dedup"),
-    doc="Robust winnowing fingerprints (Schleimer et al. 2003): hash "
+    doc="Winnowing fingerprints (Schleimer et al. 2003): hash "
     "every word-4-gram (md5-derived 60-bit, the engine-portable hash "
     "family), slide a W=4 window over the hash sequence, select each "
-    "window's MINIMUM — rightmost position on ties, the paper's "
-    "'robust' rule, made explicit as a rightmost-first CASE over "
+    "window's MINIMUM — deterministic rightmost-on-ties, the plain "
+    "winnowing tie rule (the paper's 'robust' variant prefers the "
+    "PREVIOUS window's selection on ties, falling back to rightmost; "
+    "the match guarantee is identical, density differs slightly — "
+    "ADVICE r14 #3), made explicit as a rightmost-first CASE over "
     "lead(1..3) columns so both engines resolve ties identically — "
     "and dedup the selected (pos, hash) pairs (overlapping windows "
     "mostly re-select the same fingerprint; that dedup IS the "

@@ -1952,13 +1952,23 @@ def dedup_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = lsh.hint("shuffle_hash").join(
         ex, ["left_id", "right_id"], "full_outer"
     )
+    # The outer coalesce (ADVICE r14 #2): sum() over ZERO rows is NULL
+    # in Spark, while the oracle's scalar count(*) subqueries yield 0 —
+    # on a fixture with no qualifying pairs the engines must agree on 0.
     stats = j.agg(
-        F.sum(F.coalesce("in_ex", F.lit(0))).cast("long").alias("n_exact"),
-        F.sum(F.coalesce("in_lsh", F.lit(0))).cast("long").alias("n_lsh"),
-        F.sum(
-            (F.col("in_ex").isNotNull() & F.col("in_lsh").isNotNull()).cast(
-                "long"
-            )
+        F.coalesce(F.sum(F.coalesce("in_ex", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.coalesce(F.sum(F.coalesce("in_lsh", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_lsh"),
+        F.coalesce(
+            F.sum(
+                (F.col("in_ex").isNotNull() & F.col("in_lsh").isNotNull()).cast(
+                    "long"
+                )
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_hits"),

@@ -77,7 +77,17 @@ def salted_topk(
     phase 2 re-ranks the <= salt_mod*k survivors per key, an O(k)
     window. Results are rank-identical to the single-window plan as
     long as ``order_by`` is a total order (deterministic tie-break).
+
+    ``__salt`` / ``__r1`` are reserved helper names (ADVICE r14): a
+    caller whose frame already carries either would have it silently
+    overwritten and dropped, so misuse fails loudly instead.
     """
+    reserved = {"__salt", "__r1"} & set(scored.columns)
+    if reserved:
+        raise ValueError(
+            f"salted_topk reserves helper column names {sorted(reserved)}; "
+            "rename them on the input frame"
+        )
     salted = scored.withColumn("__salt", (salt_expr % salt_mod).cast("int"))
     w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*order_by)
     partial = (

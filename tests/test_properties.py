@@ -1294,8 +1294,9 @@ def test_dsir_weights_favor_the_target_domain(spark):
     from project_orbit_spark.functions.textquality import (
         dsir_importance_weights,
     )
+    from tests.conftest import SF_DIR
 
-    rows = dsir_importance_weights(spark, "/root/testdata/sf0.001").collect()
+    rows = dsir_importance_weights(spark, SF_DIR).collect()
     c = Counter((r["lang"] == "en", r["keep"]) for r in rows)
     assert c[(True, 1)] and c[(True, 0)] and c[(False, 1)] and c[(False, 0)]
     en_rate = c[(True, 1)] / (c[(True, 1)] + c[(True, 0)])
@@ -1498,3 +1499,51 @@ def test_bucketed_near_dup_keeps_exact_clone_ground_truth(spark):
     clones = {(l, r) for (l, r) in exact if r == l + 10000}
     assert clones, "fixture must contain injected clone pairs"
     assert clones <= bucketed
+
+
+def test_salted_topk_rejects_reserved_helper_columns(spark):
+    # ADVICE r14 #4: a caller whose frame already carries __salt or
+    # __r1 would have it silently overwritten and dropped — misuse
+    # must fail loudly instead
+    import pytest
+
+    from project_orbit_spark.similarity.cosine import salted_topk
+
+    df = spark.createDataFrame(
+        [(1, 2, 0.5, 7)], "qid int, cid long, score double, __salt int"
+    )
+    with pytest.raises(ValueError, match="__salt"):
+        salted_topk(
+            df,
+            ["qid"],
+            [F.desc("score"), F.asc("cid")],
+            5,
+            salt_expr=F.col("cid"),
+        )
+
+
+def test_bpe_fit_breaks_on_exhausted_pairs_keeping_partial_fit(spark):
+    # ADVICE r14 #1: a corpus that exhausts mergeable pairs before
+    # BPE_MERGES rounds must keep the merges learned so far and the
+    # current segmentation, not silently empty every downstream face
+    from project_orbit_spark.functions.textbank import (
+        BPE_MERGES,
+        _bpe_fit_words,
+    )
+
+    # 'ab' merges once (a+b), then no adjacent pairs remain
+    words = spark.createDataFrame([("ab", 3)], "word string, freq long")
+    merges, seg = _bpe_fit_words(words, final_seg=True)
+    assert 1 <= len(merges) < BPE_MERGES
+    m = merges[0].collect()[0]
+    assert (m["left_sym"], m["right_sym"], m["merged"]) == ("a", "b", "ab")
+    seg_rows = seg.collect()
+    assert [r["s"] for r in seg_rows] == [["ab"]]  # partial fit kept
+
+    # fully degenerate: single-symbol words only -> zero merges, seg intact
+    words1 = spark.createDataFrame(
+        [("a", 5), ("b", 2)], "word string, freq long"
+    )
+    merges1, seg1 = _bpe_fit_words(words1, final_seg=True)
+    assert merges1 == []
+    assert sorted(r["s"][0] for r in seg1.collect()) == ["a", "b"]
