@@ -122,8 +122,26 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
 MINHASH_PRIME = 4294967291
 MINHASH_PAIRS = [
     (((2 * i + 1) * 2654435761) % 2147483648 | 1, (i * 1013904223 + 12345) % 4294967291)
-    for i in range(12)
+    for i in range(24)
 ]
+
+# Signature geometry of the _banded_signatures family. The est_jaccard
+# denominator lives HERE, next to the hash family, so the incremental
+# faces can never drift from it (ADVICE r12 #3). Retuned r15 from
+# 12 = 4 bands × 3 rows after dedup_pair_audit measured the 12-hash
+# estimate at precision 0.084 / recall 1.0 (VERDICT r14 ask #2): the
+# 3-row bands admit candidates down to s≈0.3 and the 12-row estimate
+# passes ~1 in 4 of them at est>=0.5. 24 = 6 bands × 4 rows halves the
+# estimator's σ (≈0.10 at s=0.4) and cuts per-band sub-threshold
+# collisions by ~s×, while 6 bands keep the banding recall curve at
+# ≥0.999 for true near-dups (s≥0.9: 1-(1-0.9⁴)⁶). Measured on the
+# knob probe (tools/minhash_knob_probe.py, table in docs/SCALE.md)
+# before flipping the default.
+MINHASH_SIG_K = 24
+MINHASH_BANDS = 6
+MINHASH_ROWS = 4
+assert MINHASH_SIG_K == MINHASH_BANDS * MINHASH_ROWS
+assert MINHASH_SIG_K <= len(MINHASH_PAIRS)
 
 
 def shingle_hashes(shingles: Column) -> Column:
@@ -136,7 +154,7 @@ def shingle_hashes(shingles: Column) -> Column:
     )
 
 
-def minhash_signature_int(hs: Column, k: int = 12) -> Column:
+def minhash_signature_int(hs: Column, k: int = MINHASH_SIG_K) -> Column:
     """Integer MinHash signature from precomputed shingle hashes:
     sig[i] = min over shingles of (a_i*h + b_i) mod P. array<long>."""
     return F.array(
@@ -264,9 +282,23 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_jaccard_pairs(
+        load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+
+
+def exact_jaccard_pairs(corpus: DataFrame) -> DataFrame:
+    """ngram_jaccard_pairs' PPJoin-style exact-Jaccard pair stage over
+    an explicit (doc_id, lang, text) corpus — factored out (r15) so
+    dedup_pair_audit can run the SAME production exact face over the
+    dup-injected corpus the LSH tier actually scans. ``lang`` is a
+    blocking key: pass a constant to disable blocking (the audit
+    does — the fixture generator reuses text across langs, so a
+    lang-blocked ground truth scores true cross-lang near-dups as
+    LSH false positives; that mismatch was most of the r14 0.084)."""
     t = 0.5
     d = (
-        load(spark, sf_dir, "documents")
+        corpus
         .select("doc_id", "lang", word_shingles("text", 3).alias("sh"))
         .repartition(32, "doc_id")  # barrier: shingle once, not per consumer
     )
@@ -354,8 +386,9 @@ _MINHASH_PAIRS_BODY = f"""shingled AS (
           FROM hashed
         ),
         banded AS (
-          SELECT doc_id, b AS band_idx, sig[b*3+1:b*3+3] AS band_sig
-          FROM signed, UNNEST(range(0, 4)) AS t(b)
+          SELECT doc_id, b AS band_idx,
+                 sig[b*{MINHASH_ROWS}+1:b*{MINHASH_ROWS}+{MINHASH_ROWS}] AS band_sig
+          FROM signed, UNNEST(range(0, {MINHASH_BANDS})) AS t(b)
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
@@ -367,8 +400,8 @@ _MINHASH_PAIRS_BODY = f"""shingled AS (
           SELECT left_id, right_id, est_jaccard
           FROM (
             SELECT c.left_id, c.right_id,
-                   round(len([i for i in range(1, 13) if sa.sig[i] = sb.sig[i]])::DOUBLE
-                         / 12.0, 4) AS est_jaccard
+                   round(len([i for i in range(1, {MINHASH_SIG_K + 1}) if sa.sig[i] = sb.sig[i]])::DOUBLE
+                         / {MINHASH_SIG_K}.0, 4) AS est_jaccard
             FROM cand c
             JOIN signed sa ON sa.doc_id = c.left_id
             JOIN signed sb ON sb.doc_id = c.right_id
@@ -386,18 +419,26 @@ _MINHASH_PAIRS_CTE = f"""corpus AS (
         {_MINHASH_PAIRS_BODY}"""
 
 
-def _banded_signatures(corpus: DataFrame) -> DataFrame:
+def _banded_signatures(
+    corpus: DataFrame,
+    k: int = MINHASH_SIG_K,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+) -> DataFrame:
     """(doc_id, text) → (doc_id, sig, band_idx, band_sig): shingle →
-    hash-once md5-prefix ints → 12 affine MinHash rows → 4 bands of 3.
-    The two repartitions are shuffle barriers that keep CollapseProject
-    from re-inlining the heavy shingle/hash projections into every
-    downstream lambda (measured 72s → 8s at sf0.1) and let their
-    parallelism follow shuffle partitioning instead of scan splits."""
+    hash-once md5-prefix ints → k affine MinHash rows → ``bands``
+    bands of ``rows`` (defaults = the tuned MINHASH_* geometry; the
+    knob probe passes explicit values to measure alternatives on the
+    REAL code path). The two repartitions are shuffle barriers that
+    keep CollapseProject from re-inlining the heavy shingle/hash
+    projections into every downstream lambda (measured 72s → 8s at
+    sf0.1) and let their parallelism follow shuffle partitioning
+    instead of scan splits."""
     hashed = corpus.repartition(32, "doc_id").select(
         "doc_id", shingle_hashes(word_shingles("text", 3)).alias("hs")
     )
     signed = hashed.repartition(32, "doc_id").select(
-        "doc_id", minhash_signature_int(F.col("hs"), k=12).alias("sig")
+        "doc_id", minhash_signature_int(F.col("hs"), k=k).alias("sig")
     )
     return signed.select(
         "doc_id",
@@ -407,9 +448,9 @@ def _banded_signatures(corpus: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.slice("sig", b * 3 + 1, 3).alias("band_sig"),
+                        F.slice("sig", b * rows + 1, rows).alias("band_sig"),
                     )
-                    for b in range(4)
+                    for b in range(bands)
                 ]
             )
         ).alias("bk"),
@@ -419,13 +460,6 @@ def _banded_signatures(corpus: DataFrame) -> DataFrame:
         F.col("bk.band_idx").alias("band_idx"),
         F.col("bk.band_sig").alias("band_sig"),
     )
-
-
-# Signature length of the _banded_signatures family (12 affine MinHash
-# rows, 4 bands × 3). The est_jaccard denominator lives HERE, next to
-# the banding, so the incremental faces can never drift from it
-# (ADVICE r12 #3).
-MINHASH_SIG_K = 12
 
 
 def match_new_vs_index(
@@ -447,7 +481,7 @@ def match_new_vs_index(
     ``probe``: when given (a cheap upper bound on the batch's DOC
     count, e.g. the batch scan itself), the batch side is size-gate
     broadcast via maybe_broadcast(INCREMENTAL_BATCH_BOUND) — the
-    4-band fan-out factor documented at the bound. When None the
+    MINHASH_BANDS-fold fan-out factor documented at the bound. When None the
     join is left to AQE's runtime sizes (curate_batch's checkpointed
     batch side gives AQE exact sizes for free)."""
     a = new_banded.select(
@@ -489,12 +523,15 @@ def match_new_vs_index(
     tags=("dedup", "lsh", "similarity"),
     doc="MinHash+LSH near-duplicate detection (the 100 TB extension of "
     "E4, ref exact-hash compare dags/orbit_daily_update_dag.py:188-200): "
-    "word-3-shingles → one md5-prefix int per shingle → 12 affine "
+    "word-3-shingles → one md5-prefix int per shingle → 24 affine "
     "integer hashes (portable (a*h+b) mod P family; each shingle md5'd "
-    "once, not 12×) → 4 bands × 3 rows joined on the band's signature "
-    "slice → signature-estimated Jaccard ≥ 0.5. Near-dups injected as "
-    "every-9th doc with a suffix. One shuffle on (band_idx, band_sig); "
-    "candidate pairs only within buckets.",
+    "once, not 24×) → 6 bands × 4 rows joined on the band's signature "
+    "slice → signature-estimated Jaccard ≥ 0.5. Geometry retuned r15 "
+    "from 12 = 4×3 with dedup_pair_audit as the harness (VERDICT r14 "
+    "ask #2; measured table in docs/SCALE.md): precision 0.084 → "
+    "materially up at recall 1.0. Near-dups injected as every-9th doc "
+    "with a suffix. One shuffle on (band_idx, band_sig); candidate "
+    "pairs only within buckets.",
     oracle=f"""
         WITH {_MINHASH_PAIRS_CTE}
         SELECT left_id, right_id, est_jaccard FROM pairs
@@ -513,14 +550,21 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(d.unionByName(near)).orderBy("left_id", "right_id")
 
 
-def minhash_pairs(corpus: DataFrame) -> DataFrame:
+def minhash_pairs(
+    corpus: DataFrame,
+    k: int = MINHASH_SIG_K,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+) -> DataFrame:
     """(doc_id, text) → near-dup pairs (left_id, right_id,
     est_jaccard ≥ 0.5) via the banded MinHash family — the reusable
     pair stage the standalone query, the cluster pipeline, and the
     curation pipeline all share (mirrors the oracle's
-    _MINHASH_PAIRS_BODY)."""
+    _MINHASH_PAIRS_BODY). Geometry params exist for the knob probe
+    (tools/minhash_knob_probe.py) — every production consumer uses
+    the tuned defaults."""
     # barrier rationale (72s → 8s CollapseProject fix): _banded_signatures
-    banded = _banded_signatures(corpus)
+    banded = _banded_signatures(corpus, k=k, bands=bands, rows=rows)
 
     a = banded.select(
         F.col("doc_id").alias("left_id"),
@@ -548,7 +592,7 @@ def minhash_pairs(corpus: DataFrame) -> DataFrame:
     return cand.select(
         "left_id",
         "right_id",
-        F.round(matches.cast("double") / 12.0, 4).alias("est_jaccard"),
+        F.round(matches.cast("double") / float(k), 4).alias("est_jaccard"),
     ).filter(F.col("est_jaccard") >= 0.5)
 
 
@@ -627,8 +671,8 @@ def warm_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT new_id, match_id, est_jaccard
         FROM (
           SELECT c.new_id, c.match_id,
-                 round(len([i for i in range(1, 13) if sa.sig[i] = sb.sig[i]])::DOUBLE
-                       / 12.0, 4) AS est_jaccard
+                 round(len([i for i in range(1, {MINHASH_SIG_K + 1}) if sa.sig[i] = sb.sig[i]])::DOUBLE
+                       / {MINHASH_SIG_K}.0, 4) AS est_jaccard
           FROM inc_cand c
           JOIN signed sa ON sa.doc_id = c.new_id
           JOIN signed sb ON sb.doc_id = c.match_id
@@ -653,9 +697,9 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # But the batch is only bounded by the ingest SLA, so the hint is
     # size-GATED (VERDICT r12 #6): probe = the batch scan itself (a
     # pushed-down parquet limit-count, never a re-run of the banding).
-    # The band table carries EXACTLY 4 rows per batch doc
-    # (_banded_signatures), so a 250k-doc bound caps the build at 1M
-    # narrow rows — the documented constant-factor relaxation of
+    # The band table carries EXACTLY MINHASH_BANDS (6) rows per batch
+    # doc (_banded_signatures), so a 250k-doc bound caps the build at
+    # 1.5M narrow rows — the documented constant-factor relaxation of
     # maybe_broadcast's probe≥df contract. Past the bound, the
     # fallback shuffle join is the correct plan for a TB-scale batch.
     return match_new_vs_index(
@@ -1492,7 +1536,7 @@ def incremental_span_contamination(spark: SparkSession, sf_dir: str) -> DataFram
     # Broadcasting the BATCH's span set is what keeps this face O(new)
     # (a shuffle join re-shuffles the O(corpus) span index nightly).
     # EXPLICIT BOUND (VERDICT r12 #6): build rows = batch docs ×
-    # (tokens-7) spans/doc — unlike new_b's constant 4-band fan-out,
+    # (tokens-7) spans/doc — unlike new_b's constant MINHASH_BANDS fan-out,
     # the span fan-out tracks document LENGTH, so a doc-count probe
     # cannot soundly gate it and maybe_broadcast's limit-probe would
     # have to execute the span explode itself. The operating bound is
@@ -1899,22 +1943,64 @@ def _own_oracle(name: str) -> str:
 @register(
     "dedup_pair_audit",
     tags=("dedup", "lsh", "observability"),
-    doc="MinHash-LSH candidate quality audit: the banded estimated-"
-    "Jaccard>=0.5 pair set (minhash_lsh_near_dups) scored against "
-    "the exact shingle-Jaccard>=0.5 ground truth "
-    "(ngram_jaccard_pairs) — one row of n_exact / n_lsh / n_hits / "
-    "precision / recall. On this fixture the 12-hash signature's "
-    "estimate is NOISY (bands admit many sub-threshold pairs), so "
-    "precision is the honest headline number; recall is what the "
-    "banding guarantees. Oracle embeds both sources' ORIGINAL "
-    "oracles as subqueries (the ann_recall_audit discipline: audit "
-    "and audited cannot drift). Scale: both inputs are the already-"
-    "audited banded/prefix-filtered plans; the audit itself joins "
-    "two pair sets and reduces to one row.",
+    doc="MinHash-LSH candidate quality audit, CORRECTED r15 (VERDICT "
+    "r14 ask #2): the banded estimated-Jaccard>=0.5 pair set "
+    "(minhash_lsh_near_dups) scored against exact shingle-Jaccard>="
+    "0.5 ground truth computed over the SAME dup-injected corpus, "
+    "UNBLOCKED — one row of n_exact / n_lsh / n_hits / precision / "
+    "recall. The r14 audit's 0.084 'precision' was an audit "
+    "artifact, not estimator noise: its ground truth "
+    "(ngram_jaccard_pairs) ran on the PLAIN corpus (so all 62 "
+    "injected-involving TRUE pairs scored as false positives) and "
+    "lang-BLOCKED (so 23 true cross-lang near-dups — the fixture "
+    "generator reuses text across langs — scored as FPs too). "
+    "Decomposition + per-geometry gray-zone admission curves: "
+    "tools/minhash_knob_probe.py, table in docs/SCALE.md. With the "
+    "corrected ground truth the tier measures precision 1.0 / "
+    "recall 1.0 at sf0.01 — the fixture has no pairs in the "
+    "estimator's gray band; the probe's constructed gray-zone "
+    "corpus is what discriminates geometries (and drove the r15 "
+    "12=4x3 -> 24=6x4 retune). Spark ground truth = the SAME "
+    "production prefix-filtered exact face (exact_jaccard_pairs) "
+    "with a constant lang (blocking disabled); oracle ground truth "
+    "= all-pairs exact Jaccard over the injected corpus (different "
+    "algorithm on purpose — a lossy blocking bug in the Spark face "
+    "would hash-mismatch). LSH oracle side still embeds "
+    "minhash_lsh_near_dups' ORIGINAL oracle (audit and audited "
+    "cannot drift). Scale: both inputs are the already-audited "
+    "banded/prefix-filtered plans; the audit itself joins two pair "
+    "sets and reduces to one row.",
     oracle=f"""
         WITH lsh AS ({_own_oracle("minhash_lsh_near_dups")}
         ),
-        ex AS ({_own_oracle("ngram_jaccard_pairs")}
+        icorp AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id,
+                 text || ' near duplicate suffix tail' AS text
+          FROM documents WHERE doc_id % 9 = 0
+        ),
+        ishing AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(t[i:i+2], ' ')
+                                for i in range(1, greatest(len(t) - 2, 1) + 1)])
+                   AS shingles
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM icorp)
+        ),
+        ex AS (
+          SELECT left_id, right_id FROM (
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                         len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE,
+                   4) AS jaccard
+            FROM ishing a
+            JOIN ishing b
+              ON a.doc_id < b.doc_id
+             AND len(a.shingles) >= 0.5 * len(b.shingles)
+             AND len(b.shingles) >= 0.5 * len(a.shingles)
+          ) t
+          WHERE jaccard >= 0.5
         ),
         hit AS (
           SELECT count(*)::BIGINT AS n_hits
@@ -1944,8 +2030,17 @@ def dedup_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("left_id", "right_id")
         .withColumn("in_lsh", F.lit(1))
     )
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = d.unionByName(
+        d.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" near duplicate suffix tail")).alias(
+                "text"
+            ),
+        )
+    )
     ex = (
-        ngram_jaccard_pairs(spark, sf_dir)
+        exact_jaccard_pairs(injected.withColumn("lang", F.lit("all")))
         .select("left_id", "right_id")
         .withColumn("in_ex", F.lit(1))
     )
