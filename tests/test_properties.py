@@ -1547,3 +1547,40 @@ def test_bpe_fit_breaks_on_exhausted_pairs_keeping_partial_fit(spark):
     merges1, seg1 = _bpe_fit_words(words1, final_seg=True)
     assert merges1 == []
     assert sorted(r["s"][0] for r in seg1.collect()) == ["a", "b"]
+
+
+def test_exact_near_dup_face_refuses_oversized_labels(spark):
+    # VERDICT r14 ask #3: the exact face's label-cardinality contract
+    # is ENFORCED, not just documented — a label past
+    # EXACT_FACE_MAX_LABEL_ROWS must fail fast with a pointer to the
+    # bucketed face instead of submitting the quadratic join
+    import pytest
+
+    from project_orbit_spark.similarity.cosine import (
+        EXACT_FACE_MAX_LABEL_ROWS,
+        exact_near_dup_pairs,
+    )
+
+    big = spark.range(EXACT_FACE_MAX_LABEL_ROWS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("label"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("emb"),
+    )
+    with pytest.raises(ValueError, match="embedding_near_dup_bucketed"):
+        exact_near_dup_pairs(big)
+
+    # under the bound the face still finds the clone pair
+    small = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]),
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.0, 1.0]),
+            (3, 1, [1.0, 0.0]),  # same vector, different label: blocked
+        ],
+        "vec_id long, label int, emb array<double>",
+    )
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in exact_near_dup_pairs(small).collect()
+    }
+    assert got == {(0, 1)}
