@@ -1542,6 +1542,45 @@ def dsir_score_batch(batch: DataFrame, lm: DataFrame, stats: DataFrame) -> DataF
 WINNOW_K = 4  # word k-gram width
 WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
 
+# Hash-once-per-token k-gram family (r15, VERDICT r14 ask #4 — the
+# MinHash affine-family trick applied to winnowing): each token is
+# md5'd ONCE into a 32-bit int, then every k-gram hash is a pure
+# integer polynomial mix of its K token hashes — two independent
+# 31-bit lanes ((acc*B + h) mod P per token, P < 2^31 so acc*B stays
+# exact in signed 64-bit on BOTH engines) packed into one 62-bit
+# value (lane1 * 2^31 + lane2; wider than the old 60-bit
+# md5-per-gram family, so corpus-wide fingerprint collisions stay
+# negligible). The old family md5'd every token K times inside the
+# per-gram concat; this one replaces K·n_grams string md5s with
+# n_toks short md5s + 2K integer ops per gram. Measured: 18.2 s →
+# see docs/SCALE.md r15 note.
+WINNOW_MIX = ((1000003, 2147483647), (1000033, 2147483629))  # (B, P) lanes
+_WINNOW_PACK = 2147483648  # 2^31: lane packing multiplier
+
+
+def _winnow_gram_hash(hs, j):
+    """Spark: 62-bit k-gram hash from token-hash array ``hs`` at
+    1-based position ``j`` (Column)."""
+    lanes = []
+    for bmul, p in WINNOW_MIX:
+        acc = F.element_at(hs, j) % F.lit(p)
+        for i in range(1, WINNOW_K):
+            acc = (acc * F.lit(bmul) + F.element_at(hs, j + i)) % F.lit(p)
+        lanes.append(acc)
+    return lanes[0] * F.lit(_WINNOW_PACK) + lanes[1]
+
+
+def _winnow_gram_hash_sql(hs: str = "hs", j: str = "j") -> str:
+    """DuckDB: the IDENTICAL arithmetic, generated from the same
+    constants/loop so the two engines cannot drift."""
+    lanes = []
+    for bmul, p in WINNOW_MIX:
+        acc = f"({hs}[{j}] % {p})"
+        for i in range(1, WINNOW_K):
+            acc = f"(({acc} * {bmul} + {hs}[{j} + {i}]) % {p})"
+        lanes.append(acc)
+    return f"({lanes[0]} * {_WINNOW_PACK} + {lanes[1]})"
+
 
 # Shared CTE chain producing sel(doc_id, pos, fp) — the winnowed
 # fingerprint set both the per-doc datasheet and the match-pairs
@@ -1551,13 +1590,18 @@ _WINNOW_SEL_CTES = f"""toks AS (
                  string_split_regex(trim(lower(text)), '\\s+') AS t
           FROM documents
         ),
+        th AS (
+          SELECT doc_id, len(t) AS n_toks,
+                 [CAST(CAST(('0x' || substring(md5(tok), 1, 8))
+                    AS UBIGINT) AS BIGINT) for tok in t] AS hs
+          FROM toks
+        ),
         gram AS (
           SELECT doc_id, j AS p,
-                 len(t) - {WINNOW_K} + 1 AS n_grams,
-                 CAST(('0x' || substring(md5(array_to_string(
-                   t[j:j + {WINNOW_K} - 1], ' ')), 1, 15)) AS BIGINT) AS hv
-          FROM toks, UNNEST(range(1, len(t) - {WINNOW_K} + 2)) u(j)
-          WHERE len(t) >= {WINNOW_K}
+                 n_toks - {WINNOW_K} + 1 AS n_grams,
+                 {_winnow_gram_hash_sql()} AS hv
+          FROM th, UNNEST(range(1, n_toks - {WINNOW_K} + 2)) u(j)
+          WHERE n_toks >= {WINNOW_K}
         ),
         led AS (
           SELECT doc_id, p, n_grams, hv,
@@ -1582,9 +1626,13 @@ _WINNOW_SEL_CTES = f"""toks AS (
 @register(
     "winnowing_fingerprints",
     tags=("text", "fingerprint", "dedup"),
-    doc="Winnowing fingerprints (Schleimer et al. 2003): hash "
-    "every word-4-gram (md5-derived 60-bit, the engine-portable hash "
-    "family), slide a W=4 window over the hash sequence, select each "
+    doc="Winnowing fingerprints (Schleimer et al. 2003): hash every "
+    "word-4-gram — r15: each TOKEN md5'd once into a 32-bit int, "
+    "k-gram hash = two-lane 31-bit polynomial mix packed to 62 bits "
+    "(WINNOW_MIX; the MinHash hash-once trick, VERDICT r14 ask #4 — "
+    "replaces K string md5s per gram with 2K integer ops; measured "
+    "18.2 s -> 1.6 s best-of-3 at sf0.1, docs/SCALE.md) — slide a "
+    "W=4 window over the hash sequence, select each "
     "window's MINIMUM — deterministic rightmost-on-ties, the plain "
     "winnowing tie rule (the paper's 'robust' variant prefers the "
     "PREVIOUS window's selection on ties, falling back to rightmost; "
@@ -1632,7 +1680,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.select(
             "doc_id",
-            F.greatest(F.size("g") - WINNOW_W + 1, F.lit(0))
+            F.greatest(
+                F.col("n_toks") - (WINNOW_K + WINNOW_W) + 2, F.lit(0)
+            )
             .cast("long")
             .alias("n_windows"),
         )
@@ -1650,27 +1700,37 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _winnow_selected(d: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """The Spark twin of _WINNOW_SEL_CTES: (base(doc_id, g), sel(
-    doc_id, pos, fp)) — the winnowed fingerprint set both faces read."""
+    """The Spark twin of _WINNOW_SEL_CTES: (base(doc_id, n_toks),
+    sel(doc_id, pos, fp)) — the winnowed fingerprint set both faces
+    read. The repartition is the _banded_signatures barrier: hash
+    each token ONCE behind a shuffle, or CollapseProject re-inlines
+    the md5 token-hash array into every element_at of every gram
+    (the O(n·K) re-evaluation trap the old md5-per-gram family paid
+    as its baseline cost)."""
     t = F.split(F.trim(F.lower("text")), r"\s+")
-    grams = F.when(
-        F.size(t) >= WINNOW_K,
+    hashed = d.select(
+        "doc_id",
         F.transform(
-            F.sequence(F.lit(1), F.size(t) - WINNOW_K + 1),
-            lambda j: F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(t, j, WINNOW_K))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long"),
+            t,
+            lambda tok: F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ).alias("hs"),
+    ).repartition(32, "doc_id")
+    n = F.size("hs")
+    grams = F.when(
+        n >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), n - WINNOW_K + 1),
+            lambda j: _winnow_gram_hash(F.col("hs"), j),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    base = d.select("doc_id", grams.alias("g"))
-    gram = base.select(
+    base = hashed.select("doc_id", n.cast("long").alias("n_toks"))
+    n_grams = F.when(n >= WINNOW_K, n - WINNOW_K + 1).otherwise(F.lit(0))
+    gram = hashed.select(
         "doc_id",
-        F.size("g").cast("long").alias("n_grams"),
-        F.posexplode("g").alias("p0", "hv"),
+        n_grams.cast("long").alias("n_grams"),
+        F.posexplode(grams).alias("p0", "hv"),
     ).select(
         "doc_id", "n_grams", (F.col("p0") + 1).alias("p"), "hv"
     )

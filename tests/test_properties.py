@@ -1329,15 +1329,28 @@ def test_winnowing_matches_python_reference(spark, texts):
 
     from project_orbit_spark.functions.textquality import (
         WINNOW_K,
+        WINNOW_MIX,
         WINNOW_W,
+        _WINNOW_PACK,
         winnowing_fingerprints,
     )
     import pathlib
     import tempfile
 
+    def token_hash(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
     def kgram_hash(words):
-        s = " ".join(words)
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        # the r15 hash-once family: per-token md5 int, two-lane
+        # polynomial mix packed to 62 bits (mirrors WINNOW_MIX)
+        hs = [token_hash(w) for w in words]
+        lanes = []
+        for bmul, p in WINNOW_MIX:
+            acc = hs[0] % p
+            for h in hs[1:]:
+                acc = (acc * bmul + h) % p
+            lanes.append(acc)
+        return lanes[0] * _WINNOW_PACK + lanes[1]
 
     expected = {}
     for i, raw in enumerate(texts):
