@@ -249,8 +249,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    # shuffle_hash pin (r15, VERDICT r14 ask #6 follow-through): the
+    # static planner broadcast the corpus-derived dfreq aggregate on
+    # under-estimated stats — the exact ngram_jaccard_pairs 100x OOM
+    # class (the vocabulary table is GBs at 100 TB). The 1-row stats
+    # broadcast below is fine; the vocab join is not.
     scored = (
-        tf.join(dfreq, "term")
+        tf.join(dfreq.hint("shuffle_hash"), "term")
         .join(F.broadcast(stats))
         .select(
             "doc_id",

@@ -1268,6 +1268,208 @@ def segment_dedup_batch(batch: DataFrame, idx: DataFrame) -> DataFrame:
     )
 
 
+def _seg_hash_sql(arr: str = "toks", i: str = "i") -> str:
+    """The oracle's 60-bit segment-hash expression (shared between
+    the segment-dedup oracles and refresh_segment_index so the hash
+    definition cannot drift)."""
+    return (
+        "CAST(CAST(('0x' || substring(md5(array_to_string("
+        f"list_slice({arr}, {i}, {i} + {_SEG_W} - 1), ' ')), 1, 15)) "
+        "AS UBIGINT) AS BIGINT)"
+    )
+
+
+def _refresh_probe_stage_sql(seen_cte: str) -> str:
+    """flagged+rebuilt CTE pair for one seen-set variant — generated
+    so the 'merged'/'compacted' and 'expired' stages share one
+    definition."""
+    return f"""flagged_{seen_cte} AS (
+          SELECT n.new_id, n.seg_idx, n.seg,
+                 (s.seg_hash IS NOT NULL) OR (row_number() OVER (
+                   PARTITION BY n.seg_hash
+                   ORDER BY n.new_id, n.seg_idx) > 1) AS is_dup
+          FROM nseg n LEFT JOIN {seen_cte} s USING (seg_hash)
+        ),
+        rebuilt_{seen_cte} AS (
+          SELECT new_id,
+                 count(*) AS n_segments,
+                 CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+                 coalesce(string_agg(
+                   CASE WHEN NOT is_dup THEN seg END, ' '
+                   ORDER BY seg_idx), '') AS clean_text
+          FROM flagged_{seen_cte} GROUP BY new_id
+        )"""
+
+
+@register(
+    "refresh_segment_index",
+    # driver=False for round 15 only (case 2, registry.py:39): the
+    # r15 window is fully committed — 39 r10 rotations + 10 MinHash-
+    # retune re-pins + 2 winnowing re-pins = 51 candidates for 50
+    # slots already (see registry._DRIVER_PRIORITY). Verified locally
+    # (tools/check at 3 SFs, driver_sim, pytest); flip to True in r16.
+    driver=False,
+    tags=("corpus", "dedup", "incremental", "maintenance"),
+    doc="Artifact maintenance for the persisted incremental indexes "
+    "(VERDICT r14 ask #5), exercised on the seen-segment index: the "
+    "on-disk index (seg_hash, partitioned by ingest dt) receives a "
+    "nightly batch MERGE (append as a new dt partition), small-file "
+    "COMPACTION (connectors.compact_parquet — rewrite, no semantic "
+    "change), and RETENTION (connectors.expire_partitions keep_latest"
+    "=3 — the oldest ingest day forgotten, bounding index size). A "
+    "probe batch (every-5th doc re-crawled with a novel 'pv*' tail) "
+    "is line-deduped against the index re-READ FROM DISK at three "
+    "stages; the oracle recomputes every verdict from the raw "
+    "documents, so 'merged' and 'compacted' hashing to the SAME "
+    "expected rows IS the proof that compaction changed layout and "
+    "nothing else, while 'expired' must match the retention-filtered "
+    "seen-set exactly (segments whose only ingest day was dropped "
+    "become unseen again — the documented cost of bounding a 100 TB "
+    "index). Cost shape: merge is O(batch) append; compaction "
+    "rewrites O(index) but only when run; expiry is O(dropped "
+    "directories); each probe is the O(new) segment_dedup_batch "
+    "plan. Each stage's verdict frame is localCheckpoint'd BEFORE "
+    "the next maintenance op rewrites the files under its lazy plan.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        corp_seg AS (
+          SELECT doc_id, {_seg_hash_sql()} AS seg_hash
+          FROM tok, UNNEST(range(1, len(toks) + 1, {_SEG_W})) AS t(i)
+        ),
+        b1_tok AS (
+          SELECT string_split_regex(trim(lower(
+                   text || ' nv1 nv2 nv3 nv4 nv5 nv6 nv7 nv8')),
+                 '\\s+') AS toks
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        b1_seg AS (
+          SELECT {_seg_hash_sql()} AS seg_hash
+          FROM b1_tok, UNNEST(range(1, len(toks) + 1, {_SEG_W})) AS t(i)
+        ),
+        seen_full AS (
+          SELECT DISTINCT seg_hash FROM (
+            SELECT seg_hash FROM corp_seg
+            UNION ALL SELECT seg_hash FROM b1_seg
+          )
+        ),
+        seen_kept AS (
+          SELECT DISTINCT seg_hash FROM (
+            SELECT seg_hash FROM corp_seg WHERE doc_id % 3 != 0
+            UNION ALL SELECT seg_hash FROM b1_seg
+          )
+        ),
+        p_tok AS (
+          SELECT doc_id + 300000 AS new_id,
+                 string_split_regex(trim(lower(
+                   text || ' pv1 pv2 pv3 pv4 pv5 pv6 pv7 pv8')),
+                 '\\s+') AS toks
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        nseg AS (
+          SELECT new_id, (i - 1) // {_SEG_W} AS seg_idx,
+                 array_to_string(
+                   list_slice(toks, i, i + {_SEG_W} - 1), ' ') AS seg,
+                 {_seg_hash_sql()} AS seg_hash
+          FROM p_tok, UNNEST(range(1, len(toks) + 1, {_SEG_W})) AS t(i)
+        ),
+        {_refresh_probe_stage_sql("seen_full")},
+        {_refresh_probe_stage_sql("seen_kept")}
+        SELECT stage, new_id, n_segments, n_dropped, clean_text,
+               length(clean_text) AS clean_n_chars
+        FROM (
+          SELECT 'merged' AS stage, * FROM rebuilt_seen_full
+          UNION ALL SELECT 'compacted' AS stage, * FROM rebuilt_seen_full
+          UNION ALL SELECT 'expired' AS stage, * FROM rebuilt_seen_kept
+        )
+        ORDER BY stage, new_id
+    """,
+)
+def refresh_segment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from project_orbit_spark.session import cache_token
+    from project_orbit_spark.sources.connectors import (
+        compact_parquet,
+        expire_partitions,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = os.path.join(
+        "/tmp/orbit_spark_roundtrip", cache_token(spark), "segment_index"
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    # seed: the existing corpus's segments, partitioned by synthetic
+    # ingest day (doc_id % 3 -> dt 2026-01-01..03), deduped per
+    # (seg_hash, dt) — the layout an offline first-wins dedup job
+    # maintains day by day
+    seed = (
+        doc_segments(d)
+        .select(
+            "seg_hash",
+            F.concat(
+                F.lit("2026-01-0"), ((F.col("doc_id") % 3) + 1).cast("string")
+            ).alias("dt"),
+        )
+        .dropDuplicates(["seg_hash", "dt"])
+    )
+    seed.write.mode("overwrite").partitionBy("dt").parquet(stage)
+    # MERGE: the nightly batch's distinct segments land as dt=...-04
+    b1seg = (
+        doc_segments(_segment_dedup_arm(d))
+        .select("seg_hash")
+        .distinct()
+        .withColumn("dt", F.lit("2026-01-04"))
+    )
+    b1seg.write.mode("append").partitionBy("dt").parquet(stage)
+
+    probe = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat("text", F.lit(" pv1 pv2 pv3 pv4 pv5 pv6 pv7 pv8")).alias(
+            "text"
+        ),
+    )
+
+    def verdicts(stage_name: str) -> DataFrame:
+        idx = (
+            spark.read.parquet(stage)
+            .select("seg_hash")
+            .distinct()
+            .select("seg_hash", F.lit(True).alias("seen"))
+        )
+        # materialize NOW: the next maintenance op rewrites/deletes
+        # the files this lazy plan would otherwise re-read
+        return (
+            segment_dedup_batch(probe, idx)
+            .withColumn("stage", F.lit(stage_name))
+            .localCheckpoint(eager=True)
+        )
+
+    merged = verdicts("merged")
+    compact_parquet(spark, stage, partition_col="dt")
+    compacted = verdicts("compacted")
+    expire_partitions(spark, stage, partition_col="dt", keep_latest=3)
+    expired = verdicts("expired")
+    return (
+        merged.unionByName(compacted)
+        .unionByName(expired)
+        .select(
+            "stage",
+            "new_id",
+            "n_segments",
+            "n_dropped",
+            "clean_text",
+            "clean_n_chars",
+        )
+        .orderBy("stage", "new_id")
+    )
+
+
 PACK_BUDGET = 512  # tokens per pack (shared with pack_sequences_budget)
 
 

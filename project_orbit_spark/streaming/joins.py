@@ -81,7 +81,15 @@ _JOIN_COND = (
 )
 def interval_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks, views = _click_view_sides(load(spark, sf_dir, "events"))
-    joined = clicks.join(views, F.expr(_JOIN_COND), "left")
+    # shuffle_hash pin (r15, VERDICT r14 ask #6 follow-through): the
+    # r14 100x probe left this ratio unexplained; reading the plan
+    # showed the static planner BROADCAST-building the views side —
+    # an EVENTS-derived, fact-scale frame (the ngram_jaccard_pairs
+    # OOM class; it only fit because the fixture's view slice is
+    # small). The hint pins the register-site contract the docstring
+    # already claimed: user_id carries a shuffle join, time bounds
+    # filter within each key group.
+    joined = clicks.join(views.hint("shuffle_hash"), F.expr(_JOIN_COND), "left")
     return (
         joined.groupBy("click_id", F.col("c_user").alias("user_id"))
         .agg(

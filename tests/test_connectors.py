@@ -508,3 +508,26 @@ def test_merge_upsert_partitioned_touches_only_batch_partitions(spark, tmp_path)
     } == want
     # staging dir is cleaned up
     assert not os.path.isdir(target + "__merge_staged")
+
+
+def test_refresh_segment_index_compaction_invariance(spark):
+    # VERDICT r14 ask #5: the maintenance face's contract — compaction
+    # never changes a dedup verdict, retention only ever REVIVES
+    # segments (a forgotten segment can only flip dup -> kept)
+    from project_orbit_spark.operators.corpus import refresh_segment_index
+    from tests.conftest import SF_DIR
+
+    out = refresh_segment_index(spark, SF_DIR).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["stage"], {})[r["new_id"]] = (
+            r["n_segments"],
+            r["n_dropped"],
+            r["clean_text"],
+        )
+    assert set(by) == {"merged", "compacted", "expired"}
+    assert by["merged"] == by["compacted"]
+    assert by["expired"] != by["merged"]
+    assert all(
+        by["expired"][k][1] <= by["merged"][k][1] for k in by["merged"]
+    )
