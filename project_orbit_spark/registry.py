@@ -202,14 +202,26 @@ def get_query(name: str) -> Query:
 # stale slots at a round boundary and never needs a same-round
 # hand-trim when rotation demand + head size would exceed 50.
 _DRIVER_PRIORITY = (
-    # Round 14 head: EMPTY by design. The r13 head entries all landed
-    # r13 records (self-expired); this round's scheduled work is the
-    # 23-query r09 rotation (VERDICT r13 ask #2), which the LRV sort
-    # fronts automatically — no pins needed. Round-14 additions are
-    # never-verified, so LRV fronts them too. Slot budget: 23 rotation
-    # + ~6 changed-path re-pins (below) + new registrations, well
-    # inside 50; forward-simulated by
-    # tests/test_entry.py::test_rotation_schedule_is_sustainable_under_lrv.
+    # Round 15 head: EMPTY by design (as r14). The scheduled work is
+    # the 39-query r10 rotation (VERDICT r14 ask #1), which the LRV
+    # sort fronts automatically. Slot budget is EXACT this round:
+    # 12 changed-path re-pins (below; one of them,
+    # minhash_lsh_near_dups, is itself in the r10 cohort) + the 38
+    # remaining r10 queries = exactly 50. That arithmetic is why
+    # round 15 makes two documented exceptions to the pin-everything
+    # convention (both value-identical changes, each with a CI test
+    # standing in for the driver slot):
+    #   - dup_cluster_size_histogram (r13 record): pure projection of
+    #     the PINNED dup_cluster_labels; the retune provably did not
+    #     move the fixture pair set at the driver's record SF
+    #     (tests/test_properties.py::
+    #     test_minhash_retune_preserves_fixture_pair_sets);
+    #   - tfidf_top_terms (r11 record): shuffle_hash hint only,
+    #     values identical; the plan is pinned by tests/test_plans.py
+    #     ::test_tfidf_vocab_join_is_never_a_static_broadcast and the
+    #     r11 record rotates naturally in the r16 window.
+    # refresh_segment_index (new, ask #5) is a case-2 deferral
+    # (driver=False this round, registry.py:39) for the same reason.
 )
 
 # Changed-path re-pins, EXEMPT from the self-expiry filter (ADVICE r11
@@ -221,30 +233,39 @@ _DRIVER_PRIORITY = (
 # once the post-change record lands (one round of life, but expired by
 # HAND at the next round's head rewrite, never by the filter).
 #
-# Round 14 (r13 entries hand-expired — their post-change records all
-# landed in CORRECTNESS_r13): this round's plan-builder changes are
-# (a) the salted two-phase top-k (VERDICT r13 #1) rerouting
-# matryoshka_funnel_topk's coarse shortlist AND cosine_topk_exact's
-# brute-force rank through salted_topk; (b) the full PNG filter
-# family (Average/Paeth) changing image_png_roundtrip's byte stream;
-# (c) the zero-chars guard (ADVICE r13) changing the repetition-frac
-# expressions shared by gopher_repetition_signals,
-# quality_ensemble_filter and corpus_report_card. All six hold r11/r13
-# records, so the freshness filter would drop them without the
-# exemption.
+# Round 15 (r14's seven entries hand-expired — their post-change
+# records all landed in CORRECTNESS_r14): this round's changes are
+# (a) the MinHash geometry retune 12=4x3 -> 24=6x4 (VERDICT r14 ask
+# #2, measured on the gray-zone knob probe): VALUE changes for every
+# query emitting est_jaccard and for the redesigned audit, and
+# geometry changes inherited by the whole pair-graph family — pinned:
+# minhash_lsh_near_dups (also in the r10 rotation cohort; pinning it
+# guarantees its slot rather than leaving it to registration-order
+# tie-break), incremental_minhash_dedup, dedup_pair_audit (also
+# rebuilt: corrected same-corpus unblocked ground truth), and the
+# pair-set consumers dup_cluster_labels, dedup_canonical_corpus,
+# dedup_quality_canonical, leakage_safe_split, corpus_curation_gold,
+# curation_training_gold, incremental_curation_gold (value-identical
+# at the record SF by the pair-set identity proof, pinned anyway —
+# their plans now carry the 6-band geometry);
+# (b) the winnowing hash-once family (ask #4): fingerprint VALUES
+# change for winnowing_fingerprints + winnowing_match_pairs.
+# The two value-identical changes NOT pinned (exact-50 window, see
+# _DRIVER_PRIORITY above): dup_cluster_size_histogram,
+# tfidf_top_terms.
 _DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
-    "matryoshka_funnel_topk",
-    "cosine_topk_exact",
-    "image_png_roundtrip",
-    "gopher_repetition_signals",
-    "quality_ensemble_filter",
-    "corpus_report_card",
-    # (d) the round-14 100x probe found ngram_jaccard_pairs' static
-    # plan broadcasting corpus-scale sides (dfreq / prefix / shingle
-    # frames) past the 64 MB threshold on underestimated aggregate
-    # stats — OOM at 100x; shuffle_hash hints pin the safe plan
-    # (r11 record, so the freshness filter would drop it).
-    "ngram_jaccard_pairs",
+    "minhash_lsh_near_dups",
+    "dedup_pair_audit",
+    "incremental_minhash_dedup",
+    "dup_cluster_labels",
+    "dedup_canonical_corpus",
+    "dedup_quality_canonical",
+    "leakage_safe_split",
+    "corpus_curation_gold",
+    "curation_training_gold",
+    "incremental_curation_gold",
+    "winnowing_fingerprints",
+    "winnowing_match_pairs",
 )
 
 

@@ -68,18 +68,36 @@ def test_simhash_join_is_banded_not_cartesian(spark):
 
 
 def test_interval_join_keys_on_user_not_cartesian(spark):
-    # the range condition must ride an equi-keyed join (hash or SMJ —
-    # AQE picks broadcast at fixture scale, shuffle at 100 TB), never
-    # a nested loop over the full event stream
+    # the range condition must ride an equi-keyed join, never a
+    # nested loop over the full event stream. r15: the views side is
+    # shuffle_hash-PINNED — the static planner was broadcast-building
+    # the fact-scale views slice (the ngram_jaccard_pairs OOM class),
+    # so a static BroadcastHashJoin here is now a plan regression.
     f = facts("interval_join_click_view", spark)
     assert "CartesianProduct" not in f.text
     assert "BroadcastNestedLoopJoin" not in f.text
-    equi_joins = (
-        f.text.count("BroadcastHashJoin")
-        + f.text.count("ShuffledHashJoin")
-        + f.n_sortmerge_joins
+    assert "BroadcastHashJoin" not in f.text, (
+        "events-derived views side must never be a static broadcast"
     )
+    equi_joins = f.text.count("ShuffledHashJoin") + f.n_sortmerge_joins
     assert equi_joins >= 1
+
+
+def test_tfidf_vocab_join_is_never_a_static_broadcast(spark):
+    # r15 (VERDICT r14 ask #6): the corpus-derived dfreq vocabulary
+    # aggregate was static-broadcast on under-estimated stats — GBs
+    # at 100 TB. The shuffle_hash pin is the contract; the only
+    # broadcast left is the 1-row corpus-size stats frame. This plan
+    # test stands in for a same-round driver re-pin: the hint changes
+    # strategy only (values identical — r11 record remains accurate;
+    # natural LRV rotation re-verifies in r16).
+    f = facts("tfidf_top_terms", spark)
+    assert "ShuffledHashJoin" in f.text, "vocab join must shuffle"
+    # the stats cross-join may broadcast (1 row); the term-keyed join may not
+    import re
+
+    for m in re.finditer(r"BroadcastHashJoin \[([^\]]*)\]", f.text):
+        assert "term" not in m.group(1), "vocab join static-broadcast regressed"
 
 
 def test_bm25_is_pushed_down_broadcast_take_ordered(spark):
