@@ -2025,10 +2025,20 @@ def dedup_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lsh/ex twice each AND let AQE broadcast a pair set, which OOMed
     # the 100x probe: pair sets GROW with the corpus, so the join is
     # hinted shuffle_hash, never broadcast).
+    #
+    # localCheckpoint barriers (r15, found by this round's own 100x
+    # re-probe of the REDESIGNED audit): without them Spark executes
+    # the minhash subtree and the exact-Jaccard subtree CONCURRENTLY
+    # inside one job, so peak memory is the SUM of the two heaviest
+    # pair stages in the repo — the 8 GiB default heap OOMed at 100x
+    # where each stage standalone fits comfortably. Each pair SET is
+    # kilobytes (near-dups only), so checkpointing serializes the
+    # heavy stages and the final full-outer joins two tiny frames.
     lsh = (
         minhash_lsh_near_dups(spark, sf_dir)
         .select("left_id", "right_id")
         .withColumn("in_lsh", F.lit(1))
+        .localCheckpoint(eager=True)
     )
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     injected = d.unionByName(
@@ -2043,6 +2053,7 @@ def dedup_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_jaccard_pairs(injected.withColumn("lang", F.lit("all")))
         .select("left_id", "right_id")
         .withColumn("in_ex", F.lit(1))
+        .localCheckpoint(eager=True)
     )
     j = lsh.hint("shuffle_hash").join(
         ex, ["left_id", "right_id"], "full_outer"
