@@ -1691,7 +1691,10 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_windows"),
         )
-        .join(agg, "doc_id", "left")
+        # shuffle_hash pin (r15 static-broadcast sweep): agg is a
+        # PER-DOC aggregate — doc-count-scale, the ngram OOM class;
+        # the static planner broadcast it on fixture-size stats
+        .join(agg.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             "n_windows",
@@ -1812,10 +1815,17 @@ def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("fp")
     )
-    a = fps.join(rare, "fp").select("fp", F.col("doc_id").alias("doc_a"))
+    # shuffle_hash pins (r15 static-broadcast sweep): rare and fps
+    # are both fingerprint-table-scale (grow with the corpus); the
+    # static planner broadcast BOTH on fixture-size stats — fine at
+    # sf0.1, an OOM at 100 TB. The df-guard bounds pairs-per-bucket,
+    # not the table sizes.
+    a = fps.join(rare.hint("shuffle_hash"), "fp").select(
+        "fp", F.col("doc_id").alias("doc_a")
+    )
     b = fps.select("fp", F.col("doc_id").alias("doc_b"))
     return (
-        a.join(b, "fp")
+        a.join(b.hint("shuffle_hash"), "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))

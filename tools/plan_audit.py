@@ -91,12 +91,93 @@ BNLJ_BOUNDED = {
     "dedup_pair_audit",
 }
 
+# --------------------------------------------------------------------------
+# Check 3 (r15): static BroadcastHashJoin builds DERIVED from fact-scale
+# tables. The ngram_jaccard_pairs r14 OOM, and r15's tfidf_top_terms /
+# interval_join_click_view / winnowing finds, were all this shape: the
+# static planner under-estimates a corpus-derived aggregate/explode below
+# the broadcast threshold, and at 100 TB the materialized build is GBs.
+# The detector flags every BroadcastExchange subtree that BOTH scans a
+# fact-scale table AND contains an Aggregate/Generate/Window (i.e. is a
+# derivation, not a pushed-down dim scan). Every current site below was
+# inventoried in the r15 sweep and falls in one of three adjudicated
+# tiers (a NEW name means a new derivation riding an unhinted broadcast —
+# audit it before allowlisting):
+#   GATED   — the build is a maybe_broadcast site whose bound is
+#             documented in code (incremental batch faces, scrub gates);
+#             at fixture SF the probe passes, so the hint appears here.
+#   BOUNDED — the build is bounded by construction: ≤256-row centroid /
+#             codebook tables, 1-row global stats / threshold frames,
+#             1024-bucket hashed LMs, ≤5-row query sets, pattern grids.
+#   SURVIVED-100x — the build grows with the corpus but the query holds a
+#             measured 100× decade in docs/SCALE.md under the default
+#             heap; these are the r16 burn-down list — each should get a
+#             shuffle_hash pin or a measured bound note, most are in the
+#             r16 rotation cohort anyway (q2/q17/q18 correlated
+#             aggregates, payload_assembly_nested, company_gold_profile,
+#             user_retention_cohorts, event_funnel_conversion,
+#             salted_skew_join, simhash pair tables, vocab/logprob LM
+#             joins, bm25/semantic corpus-derived frames).
+FACT_TABLES = ("documents", "embeddings", "events", "lineitem", "orders", "customer")
+FACT_BUILD_KNOWN = {
+    # GATED (documented bounds at the register/helper sites)
+    "incremental_minhash_dedup", "incremental_segment_dedup",
+    "incremental_span_contamination", "incremental_vocab_oov",
+    "boilerplate_segment_scrub", "segment_dedup_first_wins",
+    "repeated_span_mining", "benchmark_contamination",
+    "semantic_decontamination", "semantic_dedup_semdedup",
+    # BOUNDED by construction
+    "ann_ivf_nprobe2", "ann_ivf_pq_topk", "ann_ivf_pq_topk_warm",
+    "ann_ivf_topk", "ann_ivf_topk_warm", "ann_recall_audit",
+    "lsh_multitable_topk", "bm25_keyword_topk", "hybrid_rrf_topk",
+    "rerank_crossencoder_topk", "approx_distinct_audit",
+    "approx_percentile_audit", "corpus_report_card",
+    "dsir_importance_weights", "incremental_dsir_weights",
+    "ccnet_perplexity_bands", "corpus_mixture_sample",
+    "temperature_mixture_sample", "quality_ensemble_filter",
+    "gopher_repetition_signals", "q15_top_supplier",
+    "q22_lapsed_customer_balance", "heavy_hitters_two_pass",
+    "bloom_pruned_join", "minhash_lsh_near_dups",
+    # SURVIVED-100x (r16 burn-down list — see tier note above)
+    "q2_min_cost_supplier", "q17_small_quantity_revenue",
+    "q18_large_order_customers", "payload_assembly_nested",
+    "company_gold_profile", "user_retention_cohorts",
+    "event_funnel_conversion", "salted_skew_join",
+    "simhash_hamming_dups", "simhash64_hamming_dups",
+    "unigram_logprob_scores", "bigram_logprob_scores",
+    "vocab_coverage_oov",
+}
+
+
+def _fact_derived_broadcasts(plan: str) -> bool:
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        indent = len(line) - len(line.lstrip(" :+-"))
+        sub = []
+        for nxt in lines[i + 1 : i + 40]:
+            ni = len(nxt) - len(nxt.lstrip(" :+-"))
+            if ni <= indent:
+                break
+            sub.append(nxt)
+        subtxt = "\n".join(sub)
+        scans_fact = any(f"{t}.parquet" in subtxt for t in FACT_TABLES)
+        derived = (
+            "HashAggregate" in subtxt
+            or "Generate" in subtxt
+            or "Window" in subtxt
+        )
+        if scans_fact and derived:
+            return True
+    return False
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
-    cart, bnlj_new, errs = [], [], []
+    cart, bnlj_new, fact_new, errs = [], [], [], []
     for name, q in sorted(registry.all_queries().items()):
         try:
             df = q.fn(spark, sf_dir)
@@ -108,10 +189,17 @@ def main() -> int:
             cart.append(name)
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BOUNDED:
             bnlj_new.append(name)
+        if (
+            "BroadcastHashJoin" in plan
+            and name not in FACT_BUILD_KNOWN
+            and _fact_derived_broadcasts(plan)
+        ):
+            fact_new.append(name)
     print("CARTESIAN:", cart)
     print("BNLJ_NEW (not in bounded allowlist):", bnlj_new)
+    print("FACT_BUILD_NEW (derived fact-table broadcast, unadjudicated):", fact_new)
     print("ERRORS:", errs)
-    return 1 if (cart or bnlj_new or errs) else 0
+    return 1 if (cart or bnlj_new or fact_new or errs) else 0
 
 
 if __name__ == "__main__":
