@@ -93,10 +93,23 @@ BNLJ_BOUNDED = {
 
 # --------------------------------------------------------------------------
 # Check 3 (r15): static BroadcastHashJoin builds DERIVED from fact-scale
-# tables. The ngram_jaccard_pairs r14 OOM, and r15's tfidf_top_terms /
-# interval_join_click_view / winnowing finds, were all this shape: the
-# static planner under-estimates a corpus-derived aggregate/explode below
-# the broadcast threshold, and at 100 TB the materialized build is GBs.
+# tables. Broadcast-risk taxonomy (what this check does and does not flag):
+#   1. SCAN-BACKED builds (filter/projection of a parquet scan) are
+#      self-correcting: the size estimate is the FILE size, which grows
+#      with the data, so the planner stops broadcasting exactly when the
+#      table stops fitting. Not flagged (45 such sites exist; all safe by
+#      this argument — the r15 interval_join pin among them was a
+#      plan-contract alignment, not an OOM fix).
+#   2. DERIVED builds (Aggregate/Generate/Window between the scan and the
+#      exchange) carry GUESSED stats that do not track data size — the
+#      ngram_jaccard_pairs r14 OOM, and r15's tfidf_top_terms + three
+#      winnowing sites, were all this shape. Above a shuffle boundary AQE
+#      can demote them from real sizes, but ngram proved the estimate can
+#      slip through; the repo's rule is to shuffle_hash-pin them when the
+#      build provably grows with the corpus. THIS is what check 3 flags.
+#   3. DERIVED builds with NO exchange underneath would be statically
+#      irreversible — the worst case; currently zero such sites exist
+#      (derivations always aggregate, which shuffles).
 # The detector flags every BroadcastExchange subtree that BOTH scans a
 # fact-scale table AND contains an Aggregate/Generate/Window (i.e. is a
 # derivation, not a pushed-down dim scan). Every current site below was
