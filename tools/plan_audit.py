@@ -103,10 +103,17 @@ BNLJ_BOUNDED = {
 #   2. DERIVED builds (Aggregate/Generate/Window between the scan and the
 #      exchange) carry GUESSED stats that do not track data size — the
 #      ngram_jaccard_pairs r14 OOM, and r15's tfidf_top_terms + three
-#      winnowing sites, were all this shape. Above a shuffle boundary AQE
-#      can demote them from real sizes, but ngram proved the estimate can
-#      slip through; the repo's rule is to shuffle_hash-pin them when the
-#      build provably grows with the corpus. THIS is what check 3 flags.
+#      winnowing sites, were all this shape. AQE re-decides the join at
+#      the stage boundary above the build's shuffle, but from COMPRESSED
+#      shuffle bytes — and low-entropy text frames (sorted token/shingle
+#      vocabularies) compress 5-20x, so a build that reads "40 MB" to AQE
+#      can decompress into a GB-plus driver-side HashedRelation during
+#      broadcast materialization, which happens BEFORE any further
+#      replanning point. That compression blowup is how ngram OOMed with
+#      AQE on. The repo's rule: shuffle_hash-pin any derived build that
+#      provably grows with the corpus AND is text/array-valued (high
+#      compression ratio); numeric 1-row/1024-bucket frames are exempt.
+#      THIS is what check 3 flags.
 #   3. DERIVED builds with NO exchange underneath would be statically
 #      irreversible — the worst case; currently zero such sites exist
 #      (derivations always aggregate, which shuffles).
