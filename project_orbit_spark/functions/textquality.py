@@ -286,10 +286,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Plan shape at 100 TB: the frequency table is one hash aggregate "
     "on token (map-side partials collapse the Zipf head before the "
     "shuffle) and is a persisted vocabulary artifact in production; "
-    "the score pass joins tokens back to it — a 1-row-per-key build "
-    "side, so AQE picks broadcast when the vocab fits and the skew "
-    "on hot tokens like 'the' is probe-side only (no bucket blowup). "
-    "avg rounded 4dp per the registry's float-summation convention.",
+    "the score pass joins tokens back to it under a shuffle_hash pin "
+    "(r16: the vocab is corpus-growing and text-valued — the "
+    "compressible-build class AQE misjudges, docs/SCALE.md) and the "
+    "skew on hot tokens like 'the' is probe-side only (no bucket "
+    "blowup). avg rounded 4dp per the registry's float convention.",
     oracle="""
         WITH tok AS (
           SELECT doc_id,
@@ -312,8 +313,13 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(toks).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    # shuffle_hash pin (r16 burn-down, VERDICT r15 ask #1): the token
+    # frequency table is a corpus-growing, token-string-valued derived
+    # build — the compressible class AQE misjudges from compressed
+    # shuffle bytes (see score_with_lm's pin_vocab note). The 1-row
+    # total broadcast below is fine; the vocab join is not.
     scored = (
-        tok.join(freq, "token")
+        tok.join(freq.hint("shuffle_hash"), "token")
         .crossJoin(F.broadcast(total))
         .select("doc_id", F.log(F.col("cnt").cast("double") / F.col("total")).alias("lp"))
     )
@@ -343,8 +349,12 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CollapseProject discipline from operators/dedup.py. Plan at "
     "100 TB: three count tables (bigram, context, unigram) are hash "
     "aggregates with map-side partials; in production they are "
-    "persisted vocabulary artifacts, and the probe joins are "
-    "AQE-broadcast when the vocab fits. Docs with <2 tokens have no "
+    "persisted vocabulary artifacts. The probe joins carry "
+    "shuffle_hash pins for the full-fit face (r16 burn-down: "
+    "corpus-growing text-valued builds are the compressible class "
+    "AQE misjudges — score_with_lm's pin_vocab note); the "
+    "incremental face, probing honest-stat persisted artifacts, "
+    "keeps batch-side broadcast. Docs with <2 tokens have no "
     "bigrams and drop out, identically in both engines. avg rounded "
     "4dp per the registry's float-summation convention.",
     oracle="""
@@ -429,6 +439,7 @@ def score_with_lm(
     c1: DataFrame,
     freq: DataFrame,
     total: DataFrame,
+    pin_vocab: bool = True,
 ) -> DataFrame:
     """Score a (doc_id, w1, w2) bigram stream against LM count
     tables → (doc_id, n_bigrams, avg_logprob). INNER joins: bigrams
@@ -436,7 +447,28 @@ def score_with_lm(
     comes from the fitted corpus itself, every bigram is known and
     this is exactly the full-fit scoring; the incremental face's
     'score what the model knows' contract falls out of the same
-    joins)."""
+    joins).
+
+    ``pin_vocab`` (r16 broadcast burn-down, VERDICT r15 ask #1): the
+    three count tables are corpus-derived, corpus-GROWING, and
+    token-string-valued — exactly the compressible-build class whose
+    shuffle bytes AQE under-reads 5-20x (docs/SCALE.md, the
+    ngram_jaccard_pairs r14 OOM mechanism), so a "fits" verdict at
+    the stage boundary can still materialize a GB-plus driver
+    HashedRelation. Full-fit callers (bigram_logprob_scores,
+    ccnet_perplexity_bands, the curation golds) keep the default
+    True: the count tables get shuffle_hash pins, and the only
+    broadcast left is the 1-row total. The incremental face passes
+    False: its count tables are PERSISTED artifacts whose
+    InMemoryRelation stats are exact materialized sizes (not guessed,
+    not compressed — the self-correcting class), and its O(new)
+    batch side is the legitimate broadcast candidate."""
+    if pin_vocab:
+        c2, c1, freq = (
+            c2.hint("shuffle_hash"),
+            c1.hint("shuffle_hash"),
+            freq.hint("shuffle_hash"),
+        )
     lp = F.log(
         0.7 * (F.col("c2").cast("double") / F.col("c1"))
         + 0.3 * (F.col("cnt").cast("double") / F.col("total"))
@@ -1557,8 +1589,10 @@ WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
 # md5-per-gram family, so corpus-wide fingerprint collisions stay
 # negligible). The old family md5'd every token K times inside the
 # per-gram concat; this one replaces K·n_grams string md5s with
-# n_toks short md5s + 2K integer ops per gram. Measured: 18.2 s →
-# see docs/SCALE.md r15 note.
+# n_toks short md5s + 2K integer ops per gram. Measured (docs/
+# SCALE.md r15 probe table, the single source of truth — ADVICE r15
+# #1): winnowing_fingerprints 18.6 → 1.7 s at 1×, 109.0 → 9.9 at
+# 100×; winnowing_match_pairs 11.4 → 1.9 at 1×, 143.7 → 10.4 at 100×.
 WINNOW_MIX = ((1000003, 2147483647), (1000033, 2147483629))  # (B, P) lanes
 _WINNOW_PACK = 2147483648  # 2^31: lane packing multiplier
 
@@ -1636,7 +1670,8 @@ _WINNOW_SEL_CTES = f"""toks AS (
     "k-gram hash = two-lane 31-bit polynomial mix packed to 62 bits "
     "(WINNOW_MIX; the MinHash hash-once trick, VERDICT r14 ask #4 — "
     "replaces K string md5s per gram with 2K integer ops; measured "
-    "18.2 s -> 1.6 s best-of-3 at sf0.1, docs/SCALE.md) — slide a "
+    "18.6 -> 1.7 s at 1x, 109.0 -> 9.9 at 100x, docs/SCALE.md r15 "
+    "probe table) — slide a "
     "W=4 window over the hash sequence, select each "
     "window's MINIMUM — deterministic rightmost-on-ties, the plain "
     "winnowing tie rule (the paper's 'robust' variant prefers the "

@@ -1304,12 +1304,10 @@ def _refresh_probe_stage_sql(seen_cte: str) -> str:
 
 @register(
     "refresh_segment_index",
-    # driver=False for round 15 only (case 2, registry.py:39): the
-    # r15 window is fully committed — 39 r10 rotations + 10 MinHash-
-    # retune re-pins + 2 winnowing re-pins = 51 candidates for 50
-    # slots already (see registry._DRIVER_PRIORITY). Verified locally
-    # (tools/check at 3 SFs, driver_sim, pytest); flip to True in r16.
-    driver=False,
+    # r16: flipped to True per the r15 case-2 deferral note (the r15
+    # window was exactly full; VERDICT r15 ask #2). Never-verified →
+    # the LRV sort fronts it automatically this round.
+    driver=True,
     tags=("corpus", "dedup", "incremental", "maintenance"),
     doc="Artifact maintenance for the persisted incremental indexes "
     "(VERDICT r14 ask #5), exercised on the seen-segment index: the "
@@ -1392,6 +1390,7 @@ def _refresh_probe_stage_sql(seen_cte: str) -> str:
 def refresh_segment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
+    import uuid
 
     from project_orbit_spark.session import cache_token
     from project_orbit_spark.sources.connectors import (
@@ -1400,8 +1399,15 @@ def refresh_segment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # per-invocation nonce (ADVICE r15 #3): a fixed path + rmtree
+    # would let two concurrent invocations in one session (bench +
+    # parity run) corrupt each other's staged index mid-lifecycle.
+    # uuid4 reads the OS entropy pool, not the seeded PRNG — no
+    # determinism contract touches the staging path.
     stage = os.path.join(
-        "/tmp/orbit_spark_roundtrip", cache_token(spark), "segment_index"
+        "/tmp/orbit_spark_roundtrip",
+        cache_token(spark),
+        f"segment_index_{uuid.uuid4().hex[:12]}",
     )
     shutil.rmtree(stage, ignore_errors=True)
     # seed: the existing corpus's segments, partitioned by synthetic
@@ -1455,6 +1461,10 @@ def refresh_segment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted = verdicts("compacted")
     expire_partitions(spark, stage, partition_col="dt", keep_latest=3)
     expired = verdicts("expired")
+    # all three verdict frames are EAGERLY checkpointed above, so the
+    # nonce'd staging tree is dead weight the moment we get here —
+    # reclaim it (the fixed path used to self-clean via overwrite).
+    shutil.rmtree(stage, ignore_errors=True)
     return (
         merged.unionByName(compacted)
         .unionByName(expired)
@@ -2255,9 +2265,18 @@ def curate_batch(batch: DataFrame, art: dict) -> DataFrame:
         .localCheckpoint()
     )
     # stage 2 (O(new)): score against the persisted LM, band by the
-    # persisted cutoffs, drop the tail
+    # persisted cutoffs, drop the tail. pin_vocab=False (r16): the
+    # count tables here are PERSISTED artifacts — InMemoryRelation
+    # stats are exact materialized sizes, not the guessed/compressed
+    # class the full-fit pin defends against — and the O(new) batch
+    # side is the legitimate broadcast candidate at 100 TB.
     scores = score_with_lm(
-        doc_bigrams(scrub), art["c2"], art["c1"], art["freq"], art["total"]
+        doc_bigrams(scrub),
+        art["c2"],
+        art["c1"],
+        art["freq"],
+        art["total"],
+        pin_vocab=False,
     ).select("doc_id", "avg_logprob")
     gated = scrub.join(
         band_with_cutoffs(scores, art["cuts"])

@@ -202,26 +202,18 @@ def get_query(name: str) -> Query:
 # stale slots at a round boundary and never needs a same-round
 # hand-trim when rotation demand + head size would exceed 50.
 _DRIVER_PRIORITY = (
-    # Round 15 head: EMPTY by design (as r14). The scheduled work is
-    # the 39-query r10 rotation (VERDICT r14 ask #1), which the LRV
-    # sort fronts automatically. Slot budget is EXACT this round:
-    # 12 changed-path re-pins (below; one of them,
-    # minhash_lsh_near_dups, is itself in the r10 cohort) + the 38
-    # remaining r10 queries = exactly 50. That arithmetic is why
-    # round 15 makes two documented exceptions to the pin-everything
-    # convention (both value-identical changes, each with a CI test
-    # standing in for the driver slot):
-    #   - dup_cluster_size_histogram (r13 record): pure projection of
-    #     the PINNED dup_cluster_labels; the retune provably did not
-    #     move the fixture pair set at the driver's record SF
-    #     (tests/test_properties.py::
-    #     test_minhash_retune_preserves_fixture_pair_sets);
-    #   - tfidf_top_terms (r11 record): shuffle_hash hint only,
-    #     values identical; the plan is pinned by tests/test_plans.py
-    #     ::test_tfidf_vocab_join_is_never_a_static_broadcast and the
-    #     r11 record rotates naturally in the r16 window.
-    # refresh_segment_index (new, ask #5) is a case-2 deferral
-    # (driver=False this round, registry.py:39) for the same reason.
+    # Round 16 head: EMPTY by design (third round running). The
+    # scheduled work is the 44-query r11 rotation (VERDICT r15 ask
+    # #3), which the LRV sort fronts automatically, plus
+    # refresh_segment_index's case-2 flip (never-verified → sorts at
+    # round 0, ahead of the cohort). Slot budget: 1 flip + 44 r11 +
+    # 4 burn-down re-pins (below) = 49 of 50; the 50th slot falls to
+    # the registration-order head of the r12 cohort — one slot of
+    # slack kept deliberately after two exactly-full windows.
+    # New r16 registrations (winnowing_match_audit,
+    # refresh_band_index) are case-2 deferrals (driver=False,
+    # registry.py:39), locally verified, flipping in r17 where ~49
+    # r12-cohort slots still leave room for two round-0 entries.
 )
 
 # Changed-path re-pins, EXEMPT from the self-expiry filter (ADVICE r11
@@ -233,39 +225,32 @@ _DRIVER_PRIORITY = (
 # once the post-change record lands (one round of life, but expired by
 # HAND at the next round's head rewrite, never by the filter).
 #
-# Round 15 (r14's seven entries hand-expired — their post-change
-# records all landed in CORRECTNESS_r14): this round's changes are
-# (a) the MinHash geometry retune 12=4x3 -> 24=6x4 (VERDICT r14 ask
-# #2, measured on the gray-zone knob probe): VALUE changes for every
-# query emitting est_jaccard and for the redesigned audit, and
-# geometry changes inherited by the whole pair-graph family — pinned:
-# minhash_lsh_near_dups (also in the r10 rotation cohort; pinning it
-# guarantees its slot rather than leaving it to registration-order
-# tie-break), incremental_minhash_dedup, dedup_pair_audit (also
-# rebuilt: corrected same-corpus unblocked ground truth), and the
-# pair-set consumers dup_cluster_labels, dedup_canonical_corpus,
-# dedup_quality_canonical, leakage_safe_split, corpus_curation_gold,
-# curation_training_gold, incremental_curation_gold (value-identical
-# at the record SF by the pair-set identity proof, pinned anyway —
-# their plans now carry the 6-band geometry);
-# (b) the winnowing hash-once family (ask #4): fingerprint VALUES
-# change for winnowing_fingerprints + winnowing_match_pairs.
-# The two value-identical changes NOT pinned (exact-50 window, see
-# _DRIVER_PRIORITY above): dup_cluster_size_histogram,
-# tfidf_top_terms.
+# Round 16 (r15's twelve entries hand-expired — their post-change
+# records all landed in CORRECTNESS_r15): this round's change is the
+# broadcast burn-down (VERDICT r15 ask #1) — shuffle_hash pins on the
+# corpus-growing text-valued LM vocab joins via score_with_lm
+# (pin_vocab=True) and the unigram freq join. Values identical
+# everywhere (a join-strategy hint), but the PLANS changed, so the
+# four named faces get their guaranteed slots: unigram/bigram (r15
+# records — would not rotate naturally), ccnet + vocab_coverage_oov
+# (r12 records — only ~1 natural r12 slot exists this round).
+# vocab_coverage_oov's burn-down verdict was BOUNDED-not-pinned
+# (tools/plan_audit.py tier note: limit-K build, no size estimate
+# anywhere), but it takes its scheduled slot so the adjudication
+# carries a fresh driver record.
+# Value-identical changes NOT pinned, per the r15 tfidf precedent
+# (plan covered by tests/test_plans.py::
+# test_lm_vocab_joins_are_never_static_broadcasts, natural rotation
+# later): the composed golds curation_training_gold /
+# corpus_curation_gold (r15 records, inherit the pin through
+# bigram_scores) and incremental_curation_gold (pin_vocab=False —
+# plan bit-identical to r15). refresh_segment_index is NOT here: its
+# never-verified round-0 LRV rank already guarantees its slot.
 _DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
-    "minhash_lsh_near_dups",
-    "dedup_pair_audit",
-    "incremental_minhash_dedup",
-    "dup_cluster_labels",
-    "dedup_canonical_corpus",
-    "dedup_quality_canonical",
-    "leakage_safe_split",
-    "corpus_curation_gold",
-    "curation_training_gold",
-    "incremental_curation_gold",
-    "winnowing_fingerprints",
-    "winnowing_match_pairs",
+    "unigram_logprob_scores",
+    "bigram_logprob_scores",
+    "ccnet_perplexity_bands",
+    "vocab_coverage_oov",
 )
 
 

@@ -16,6 +16,12 @@ from project_orbit_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# The driver records official correctness at sf0.01 — tests that make
+# claims about the DRIVER's records (not just engine semantics) must
+# run at this SF (ADVICE r15 #4: the record-SF rationale lives here,
+# on the constant, not in per-test comments).
+RECORD_SF_DIR = "/root/testdata/sf0.01"
+
 
 def pytest_configure(config):
     config.addinivalue_line(

@@ -938,3 +938,91 @@ def test_incremental_dsir_scores_against_persisted_model(spark):
     assert f.n_broadcast_joins >= 1
     assert "CartesianProduct" not in f.text
     assert f.partial_agg
+
+
+def test_lm_vocab_joins_are_never_static_broadcasts(spark):
+    # r16 burn-down (VERDICT r15 ask #1): the LM count tables
+    # (bigram c2, context c1, unigram freq) are corpus-growing,
+    # token-string-valued derived builds — the compressible class AQE
+    # misjudges from compressed shuffle bytes (the ngram_jaccard_pairs
+    # r14 OOM mechanism, docs/SCALE.md). score_with_lm pins
+    # shuffle_hash on all three for full-fit callers; the only
+    # broadcast left is the 1-row total (and ccnet's 1-row cutoffs).
+    # Inherited by the curation golds through bigram_scores — this
+    # test is the standing contract for the whole full-fit family.
+    import re
+
+    for name, min_shj in (
+        ("unigram_logprob_scores", 1),
+        ("bigram_logprob_scores", 3),
+        ("ccnet_perplexity_bands", 3),
+    ):
+        f = facts(name, spark)
+        assert f.text.count("ShuffledHashJoin") >= min_shj, (
+            f"{name}: vocab joins must shuffle, not broadcast"
+        )
+        for m in re.finditer(r"BroadcastHashJoin \[([^\]]*)\]", f.text):
+            keys = m.group(1)
+            assert not any(k in keys for k in ("token", "w1", "w2")), (
+                f"{name}: vocab join static-broadcast regressed on [{keys}]"
+            )
+
+
+def test_score_with_lm_unpinned_face_keeps_batch_broadcastable(spark):
+    # The incremental face (operators/corpus.py stage 2) passes
+    # pin_vocab=False: its count tables are PERSISTED artifacts whose
+    # InMemoryRelation stats are exact, and the O(new) batch is the
+    # right broadcast side at 100 TB. Assert the flag actually
+    # controls the plan: pinned → ShuffledHashJoin, unpinned on
+    # small frames → the planner stays free to broadcast.
+    from pyspark.sql import functions as F
+
+    from project_orbit_spark.functions.textquality import (
+        doc_bigrams,
+        lm_count_tables,
+        score_with_lm,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b a b d")], ["doc_id", "text"]
+    )
+    big = doc_bigrams(d)
+    tables = lm_count_tables(d)
+    pinned = score_with_lm(big, *tables)
+    free = score_with_lm(big, *tables, pin_vocab=False)
+    pinned_plan = pinned._jdf.queryExecution().executedPlan().toString()
+    free_plan = free._jdf.queryExecution().executedPlan().toString()
+    assert pinned_plan.count("ShuffledHashJoin") >= 3
+    assert "ShuffledHashJoin" not in free_plan, (
+        "pin_vocab=False must leave join strategy to the planner"
+    )
+
+
+def test_vocab_oov_broadcasts_only_the_topk(spark):
+    # r16 burn-down adjudication: vocab_coverage_oov was classified
+    # with the LM vocab joins, but its broadcast build is the
+    # TakeOrdered top-K vocabulary — bounded to VOCAB_TOP_K rows BY
+    # THE LIMIT OPERATOR, explicitly F.broadcast-ed (no size estimate
+    # anywhere, so the AQE compression-blowup mechanism cannot apply).
+    # A shuffle_hash pin would pessimize: it would shuffle the
+    # corpus-sized exploded token stream to meet a K-row table. The
+    # contract: the broadcast subtree contains the TakeOrdered limit;
+    # the corpus token stream stays probe-side (no shuffle exchange
+    # between the documents scan and the join's streamed side).
+    f = facts("vocab_coverage_oov", spark)
+    assert f.n_broadcast_joins >= 1, "the K-row vocab must broadcast"
+    lines = f.text.splitlines()
+    bx = next(
+        i for i, ln in enumerate(lines) if "BroadcastExchange" in ln
+    )
+    indent = len(lines[bx]) - len(lines[bx].lstrip(" :+-"))
+    sub = []
+    for nxt in lines[bx + 1 :]:
+        ni = len(nxt) - len(nxt.lstrip(" :+-"))
+        if ni <= indent:
+            break
+        sub.append(nxt)
+    subtxt = "\n".join(sub)
+    assert "TakeOrderedAndProject" in subtxt, (
+        "broadcast build must be the limit-K vocab, not an unbounded frame"
+    )

@@ -1612,16 +1612,17 @@ def test_minhash_retune_preserves_fixture_pair_sets(spark):
     # (corpus_curation_gold). If a fixture regeneration ever breaks
     # this identity, the affected queries need _DRIVER_PRIORITY pins
     # in that round — that is what this failing would mean.
-    # DELIBERATELY at sf0.01, not conftest's sf0.001: the claim is
-    # about the DRIVER's official records, and the driver checks at
-    # sf0.01 (at sf0.001 the sets genuinely differ — a borderline
-    # pair flips with the estimator, which is exactly why the claim
-    # must be proven at the record SF rather than assumed).
+    # DELIBERATELY at RECORD_SF_DIR, not conftest's sf0.001: the
+    # claim is about the DRIVER's official records (at sf0.001 the
+    # sets genuinely differ — a borderline pair flips with the
+    # estimator, which is exactly why the claim must be proven at the
+    # record SF rather than assumed).
     from project_orbit_spark.catalog import load
     from project_orbit_spark.functions.textquality import quality_score
     from project_orbit_spark.operators.dedup import minhash_pairs
+    from tests.conftest import RECORD_SF_DIR
 
-    SF_DIR = "/root/testdata/sf0.01"
+    SF_DIR = RECORD_SF_DIR
 
     def pairset(corpus, **geo):
         return {

@@ -158,25 +158,47 @@ FACT_BUILD_KNOWN = {
     "gopher_repetition_signals", "q15_top_supplier",
     "q22_lapsed_customer_balance", "heavy_hitters_two_pass",
     "bloom_pruned_join", "minhash_lsh_near_dups",
-    # SURVIVED-100x (r16 burn-down list — see tier note above)
+    # SURVIVED-100x (numeric/high-entropy derived builds — AQE's
+    # compressed-bytes size reading is honest for these, so demotion
+    # is reliable; each holds a measured 100x decade in docs/SCALE.md.
+    # Adjudicated DOCUMENT-only in the r16 burn-down.)
     "q2_min_cost_supplier", "q17_small_quantity_revenue",
     "q18_large_order_customers", "payload_assembly_nested",
     "company_gold_profile", "user_retention_cohorts",
     "event_funnel_conversion", "salted_skew_join",
     "simhash_hamming_dups", "simhash64_hamming_dups",
+    # PINNED (r16 burn-down executed, VERDICT r15 ask #1): the
+    # text-valued corpus-growing LM vocab joins now carry shuffle_hash
+    # pins (score_with_lm pin_vocab=True + the unigram freq join);
+    # the only derived-fact broadcasts left in their plans are 1-row
+    # total/cutoff frames — allowlisted for exactly that reason. Plan
+    # contract: tests/test_plans.py::
+    # test_lm_vocab_joins_are_never_static_broadcasts.
     "unigram_logprob_scores", "bigram_logprob_scores",
+    # RE-ADJUDICATED BOUNDED (r16): vocab_coverage_oov's broadcast
+    # build is the TakeOrdered top-K vocabulary — at most VOCAB_TOP_K
+    # rows BY THE LIMIT OPERATOR at any corpus size, and explicitly
+    # F.broadcast-ed, so no size ESTIMATE is involved anywhere (the
+    # compression-blowup mechanism needs a guessed size; a limit-K
+    # materialization cannot blow up). A shuffle_hash pin here would
+    # be a pessimization: it would shuffle the corpus-sized exploded
+    # token stream to meet a K-row table. Plan contract:
+    # tests/test_plans.py::test_vocab_oov_broadcasts_only_the_topk.
     "vocab_coverage_oov",
 }
 
 
 def _fact_derived_broadcasts(plan: str) -> bool:
+    # ADVICE r15 #2: scan the FULL subtree (until indentation returns
+    # to <= the exchange's level), not a fixed 40-line window — a
+    # derivation sitting deeper than 40 lines must not escape the gate.
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "BroadcastExchange" not in line:
             continue
         indent = len(line) - len(line.lstrip(" :+-"))
         sub = []
-        for nxt in lines[i + 1 : i + 40]:
+        for nxt in lines[i + 1 :]:
             ni = len(nxt) - len(nxt.lstrip(" :+-"))
             if ni <= indent:
                 break
