@@ -1651,3 +1651,46 @@ def test_minhash_retune_preserves_fixture_pair_sets(spark):
         .select("doc_id", "text")
     )
     assert pairset(kept, k=12, bands=4, rows=3) == pairset(kept)
+
+
+def test_span_batch_broadcast_gate_demotes_past_bound(spark):
+    # VERDICT r15 ask #5: the last ungated batch-scale broadcast
+    # (incremental_span_contamination's new_spans) is now an
+    # executable length-aware gate — the probe sums the exact span
+    # fan-out (no explode), and past SPAN_BROADCAST_MAX_ROWS the hint
+    # is DROPPED (demotion, not refusal: values identical, the
+    # planner takes the index shuffle that is correct at that size).
+    from project_orbit_spark.operators import dedup
+
+    near = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "k l m n o p q r s t")],
+        ["doc_id", "text"],
+    )
+    spans = dedup._span_hashes(near).select("doc_id", "span_hash")
+    idx = spans.select("span_hash").limit(1)
+
+    def join_plan(build):
+        df = build.join(idx, "span_hash")
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # default bound: the 6-span batch fits -> broadcast hint applied
+    hinted = join_plan(dedup._gated_span_batch(near, spans))
+    assert "BroadcastHashJoin" in hinted
+
+    # shrink the bound below the batch's 6 spans -> hint dropped
+    orig = dedup.SPAN_BROADCAST_MAX_ROWS
+    dedup.SPAN_BROADCAST_MAX_ROWS = 3
+    try:
+        free = dedup._gated_span_batch(near, spans)
+    finally:
+        dedup.SPAN_BROADCAST_MAX_ROWS = orig
+    assert free is spans, "past the bound the frame must come back unhinted"
+
+    # the probe itself is exact: 2 docs x (10 tokens - 7) = 6 spans,
+    # so a bound of exactly 6 still broadcasts
+    dedup.SPAN_BROADCAST_MAX_ROWS = 6
+    try:
+        exact = join_plan(dedup._gated_span_batch(near, spans))
+    finally:
+        dedup.SPAN_BROADCAST_MAX_ROWS = orig
+    assert "BroadcastHashJoin" in exact
