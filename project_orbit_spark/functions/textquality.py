@@ -1624,10 +1624,15 @@ def _winnow_gram_hash_sql(hs: str = "hs", j: str = "j") -> str:
 # Shared CTE chain producing sel(doc_id, pos, fp) — the winnowed
 # fingerprint set both the per-doc datasheet and the match-pairs
 # query read (one SQL definition, two oracles that cannot drift).
-_WINNOW_SEL_CTES = f"""toks AS (
+def _winnow_sel_ctes(src: str = "documents") -> str:
+    """The winnowing selection CTE bank over source relation ``src``
+    — parameterized (r16) so the match audit can run the IDENTICAL
+    selection over its dup-injected corpus CTE (audit and audited
+    cannot drift, the dedup_pair_audit lesson)."""
+    return f"""toks AS (
           SELECT doc_id,
                  string_split_regex(trim(lower(text)), '\\s+') AS t
-          FROM documents
+          FROM {src}
         ),
         th AS (
           SELECT doc_id, len(t) AS n_toks,
@@ -1660,6 +1665,9 @@ _WINNOW_SEL_CTES = f"""toks AS (
           FROM led WHERE p <= n_grams - {WINNOW_W} + 1
         ),
         sel AS (SELECT DISTINCT doc_id, pos, fp FROM win)"""
+
+
+_WINNOW_SEL_CTES = _winnow_sel_ctes()
 
 
 @register(
@@ -1840,7 +1848,14 @@ WINNOW_MIN_SHARED = 2  # pair noise floor (one shared fp can be chance)
     """,
 )
 def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, sel = _winnow_selected(load(spark, sf_dir, "documents"))
+    return _winnow_match_frame(load(spark, sf_dir, "documents"))
+
+
+def _winnow_match_frame(d: DataFrame) -> DataFrame:
+    """winnowing_match_pairs' plan over any (doc_id, text) corpus —
+    factored out (r16) so winnowing_match_audit scores the IDENTICAL
+    match face over its dup-injected corpus."""
+    _, sel = _winnow_selected(d)
     fps = sel.select("doc_id", "fp").distinct()
     rare = (
         fps.groupBy("fp")
@@ -1866,4 +1881,211 @@ def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# Ground-truth knobs for winnowing_match_audit. MIN_GRAMS = WINNOW_W:
+# the minimal guaranteed-detectable passage (K+W-1 = 7 words) yields
+# exactly W distinct k-grams, so the ground-truth bar equals the
+# guarantee's floor — and, structurally, every ground-truth doc has
+# >= 1 winnowing window (a doc must carry >= W grams to qualify),
+# which pins the zero-density edge OUT of the recall denominator.
+WINNOW_AUDIT_MIN_GRAMS = WINNOW_W
+# Grams shared by more than this many docs are corpus boilerplate,
+# not evidence of a pair-specific shared passage — and an unguarded
+# gram bucket makes the ground truth itself quadratic. 5x looser
+# than the audited face's WINNOW_MAX_DOC_FREQ, so the guard's own
+# recall cost (fps dropped because a FINGERPRINT is common) is
+# measured rather than mirrored.
+WINNOW_AUDIT_GT_MAX_DF = 50
+
+
+@register(
+    "winnowing_match_audit",
+    tags=("text", "fingerprint", "dedup", "observability"),
+    doc="Winnowing match quality audit (VERDICT r15 ask #6 — the "
+    "dedup_pair_audit / ann_recall_audit treatment for the winnowing "
+    "tier): winnowing_match_pairs' pair set over a dup-injected "
+    "corpus (every 9th doc re-appended with a 3-word tail, so each "
+    "injected doc shares its full base text as a long passage) "
+    "scored against EXACT word-4-gram-overlap ground truth — pairs "
+    "sharing >= W=4 distinct rare grams (= one minimal guaranteed "
+    "passage of K+W-1=7 words; grams in > 50 docs are boilerplate, "
+    "see WINNOW_AUDIT_GT_MAX_DF). One verdict row: n_exact / "
+    "n_winnow / n_hits / precision / recall + n_zero_window_docs "
+    "(docs under 7 tokens emit no windows, hence no fingerprints — "
+    "the 0-density edge, pinned here as an exact count; such docs "
+    "structurally cannot enter the ground truth, so recall's "
+    "denominator is collision- and guard-loss only). Ground truth "
+    "compares gram STRINGS, not hashes — winnowing's 62-bit "
+    "fingerprint collisions surface as precision loss, selection "
+    "misses (shared grams that are never window minima) and the "
+    "df<=10/min-shared>=2 guards as recall loss. Spark face reuses "
+    "the REGISTERED match plan verbatim (_winnow_match_frame); the "
+    "oracle embeds the registered CTE bank over the injected corpus "
+    "(audit and audited cannot drift). Scale: both pair sets are "
+    "df-guard-bounded buckets (never all-pairs); the audit reduces "
+    "them to one row behind localCheckpoint barriers (the "
+    "dedup_pair_audit concurrency lesson).",
+    oracle=f"""
+        WITH icorp AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id,
+                 text || ' winnow audit tail' AS text
+          FROM documents WHERE doc_id % 9 = 0
+        ),
+        {_winnow_sel_ctes("icorp")},
+        wm_fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+        wm_rare AS (
+          SELECT fp FROM wm_fps GROUP BY fp
+          HAVING count(*) BETWEEN 2 AND {WINNOW_MAX_DOC_FREQ}
+        ),
+        wm AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n
+            FROM wm_fps a
+            JOIN wm_rare r ON a.fp = r.fp
+            JOIN wm_fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+          ) t WHERE n >= {WINNOW_MIN_SHARED}
+        ),
+        gg AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(t[i:i+{WINNOW_K - 1}], ' ') AS g
+          FROM toks, UNNEST(range(1, len(t) - {WINNOW_K} + 2)) u(i)
+          WHERE len(t) >= {WINNOW_K}
+        ),
+        grare AS (
+          SELECT g FROM gg GROUP BY g
+          HAVING count(*) BETWEEN 2 AND {WINNOW_AUDIT_GT_MAX_DF}
+        ),
+        gt AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n
+            FROM gg a
+            JOIN grare r ON a.g = r.g
+            JOIN gg b ON b.g = a.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+          ) t WHERE n >= {WINNOW_AUDIT_MIN_GRAMS}
+        ),
+        hit AS (
+          SELECT count(*)::BIGINT AS n_hits
+          FROM wm JOIN gt USING (doc_a, doc_b)
+        ),
+        zw AS (
+          SELECT count(*)::BIGINT AS n_zero_window_docs
+          FROM toks WHERE len(t) < {WINNOW_K + WINNOW_W - 1}
+        )
+        SELECT (SELECT count(*) FROM gt)::BIGINT AS n_exact,
+               (SELECT count(*) FROM wm)::BIGINT AS n_winnow,
+               hit.n_hits,
+               floor(hit.n_hits::DOUBLE
+                 / nullif((SELECT count(*) FROM wm), 0) * 10000) / 10000
+                 AS precision_at_t,
+               floor(hit.n_hits::DOUBLE
+                 / nullif((SELECT count(*) FROM gt), 0) * 10000) / 10000
+                 AS recall_at_t,
+               zw.n_zero_window_docs
+        FROM hit, zw
+    """,
+)
+def winnowing_match_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = d.unionByName(
+        d.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" winnow audit tail")).alias("text"),
+        )
+    )
+    # audited side: the REGISTERED match face, verbatim
+    wm = (
+        _winnow_match_frame(injected)
+        .select("doc_a", "doc_b")
+        .withColumn("in_wm", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    # ground truth: exact rare-gram overlap on gram STRINGS
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    toks = injected.select("doc_id", t.alias("t"))
+    gram = F.concat_ws(
+        " ", *[F.element_at("t", F.col("p") + i) for i in range(WINNOW_K)]
+    )
+    gg = (
+        toks.filter(F.size("t") >= WINNOW_K)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - (WINNOW_K - 1))
+            ).alias("p"),
+        )
+        .select("doc_id", gram.alias("g"))
+        .distinct()
+    )
+    grare = (
+        gg.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(
+            (F.col("df") >= 2) & (F.col("df") <= WINNOW_AUDIT_GT_MAX_DF)
+        )
+        .select("g")
+    )
+    # shuffle_hash pins: gram tables are corpus-growing and
+    # text-valued — the compressible class, never broadcast-built
+    a = gg.join(grare.hint("shuffle_hash"), "g").select(
+        "g", F.col("doc_id").alias("doc_a")
+    )
+    b = gg.select("g", F.col("doc_id").alias("doc_b"))
+    gt = (
+        a.join(b.hint("shuffle_hash"), "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= WINNOW_AUDIT_MIN_GRAMS)
+        .select("doc_a", "doc_b")
+        .withColumn("in_gt", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    j = wm.hint("shuffle_hash").join(gt, ["doc_a", "doc_b"], "full_outer")
+    stats = j.agg(
+        F.coalesce(F.sum(F.coalesce("in_gt", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.coalesce(F.sum(F.coalesce("in_wm", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_winnow"),
+        F.coalesce(
+            F.sum(
+                (F.col("in_gt").isNotNull() & F.col("in_wm").isNotNull())
+                .cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_hits"),
+    )
+    zw = injected.agg(
+        F.coalesce(
+            F.sum((F.size(t) < WINNOW_K + WINNOW_W - 1).cast("long")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_zero_window_docs")
+    )
+    ratio = lambda num, den: (  # noqa: E731 — local expression builder
+        F.floor(
+            F.col(num).cast("double") / F.nullif(F.col(den), F.lit(0)) * 10000
+        )
+        / 10000
+    )
+    return stats.crossJoin(F.broadcast(zw)).select(
+        "n_exact",
+        "n_winnow",
+        "n_hits",
+        ratio("n_hits", "n_winnow").alias("precision_at_t"),
+        ratio("n_hits", "n_exact").alias("recall_at_t"),
+        "n_zero_window_docs",
     )

@@ -205,15 +205,15 @@ _DRIVER_PRIORITY = (
     # Round 16 head: EMPTY by design (third round running). The
     # scheduled work is the 44-query r11 rotation (VERDICT r15 ask
     # #3), which the LRV sort fronts automatically, plus
-    # refresh_segment_index's case-2 flip (never-verified → sorts at
-    # round 0, ahead of the cohort). Slot budget: 1 flip + 44 r11 +
-    # 4 burn-down re-pins (below) = 49 of 50; the 50th slot falls to
-    # the registration-order head of the r12 cohort — one slot of
-    # slack kept deliberately after two exactly-full windows.
-    # New r16 registrations (winnowing_match_audit,
-    # refresh_band_index) are case-2 deferrals (driver=False,
-    # registry.py:39), locally verified, flipping in r17 where ~49
-    # r12-cohort slots still leave room for two round-0 entries.
+    # refresh_segment_index's case-2 flip and winnowing_match_audit
+    # (both never-verified → round 0, ahead of the cohort). Slot
+    # budget is EXACT again: 2 round-0 + 44 r11 + 4 burn-down
+    # re-pins (below) = 50 (VERDICT r15 asks #2/#6 both demand their
+    # r16 records, so the window carries no retry slack this round —
+    # the same deliberate trade r15 made). refresh_band_index (ask
+    # #7) is the round's case-2 deferral (driver=False,
+    # registry.py:39), locally verified, flipping in r17 where the
+    # ~49-slot r12 cohort leaves exactly one round-0 opening.
 )
 
 # Changed-path re-pins, EXEMPT from the self-expiry filter (ADVICE r11

@@ -1694,3 +1694,47 @@ def test_span_batch_broadcast_gate_demotes_past_bound(spark):
     finally:
         dedup.SPAN_BROADCAST_MAX_ROWS = orig
     assert "BroadcastHashJoin" in exact
+
+
+def test_winnowing_audit_pins_the_zero_window_edge(spark):
+    # VERDICT r15 ask #6: docs shorter than K+W-1 = 7 tokens emit no
+    # windows, hence no fingerprints — they must be COUNTED by the
+    # audit (n_zero_window_docs) and structurally excluded from both
+    # pair sets. Fixture: two clones sharing a long passage (found),
+    # one 5-token doc (zero windows), one unrelated doc.
+    import pathlib
+    import tempfile
+
+    import pandas as pd
+
+    from project_orbit_spark.functions.textquality import (
+        winnowing_match_audit,
+    )
+
+    passage = " ".join(f"w{i}" for i in range(30))
+    texts = [
+        "alpha beta " + passage,
+        "gamma delta " + passage,
+        "tiny doc of five words",  # 5 tokens: grams but no windows
+        " ".join(f"z{i}" for i in range(40)),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["t"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ).to_parquet(pathlib.Path(td) / "documents.parquet")
+        row = winnowing_match_audit(spark, td).collect()[0]
+    # injected corpus = 4 base docs + doc 0 re-appended (0 % 9 == 0);
+    # the 5-token doc appears once and is the only zero-window doc
+    assert row["n_zero_window_docs"] == 1
+    # clone pair (0,1) + injection pair (0, 100000) + (1, 100000):
+    # all three share the 30-word passage in both metrics
+    assert row["n_exact"] == 3
+    assert row["n_winnow"] == 3
+    assert row["n_hits"] == 3
+    assert row["precision_at_t"] == 1.0 and row["recall_at_t"] == 1.0

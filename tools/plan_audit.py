@@ -89,6 +89,10 @@ BNLJ_BOUNDED = {
     # dedup_pair_audit crossJoins its three 1-row count frames (the
     # same shape as the cluster histogram)
     "dedup_pair_audit",
+    # round-16 addition (hand-audited): winnowing_match_audit
+    # crossJoins the single 1-row zero-window-count frame onto the
+    # 1-row stats aggregate — both bounded at exactly one row
+    "winnowing_match_audit",
 }
 
 # --------------------------------------------------------------------------
@@ -158,6 +162,9 @@ FACT_BUILD_KNOWN = {
     "gopher_repetition_signals", "q15_top_supplier",
     "q22_lapsed_customer_balance", "heavy_hitters_two_pass",
     "bloom_pruned_join", "minhash_lsh_near_dups",
+    # r16: the audit's only broadcast build is its 1-row
+    # zero-window-count aggregate (pair sets are shuffle_hash-pinned)
+    "winnowing_match_audit",
     # SURVIVED-100x (numeric/high-entropy derived builds — AQE's
     # compressed-bytes size reading is honest for these, so demotion
     # is reliable; each holds a measured 100x decade in docs/SCALE.md.
