@@ -710,7 +710,10 @@ def warm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The existing corpus's top-K vocabulary, persisted once per
     (session, sf_dir) — at 100 TB a stored artifact the offline vocab
     job refreshes (same contract as warm_span_index /
-    warm_band_index / warm_kmeans_centroids)."""
+    warm_band_index / warm_kmeans_centroids).
+    Lifecycle: merge/compact/expire transfers from refresh_segment_index +
+    refresh_band_index (dt-partitioned rows, no cross-row state), proven
+    by their compaction-invariance oracles."""
     global _VOCAB_CACHE
     from project_orbit_spark.session import cache_token, register_df_cache
 
@@ -1437,7 +1440,8 @@ def warm_dsir_lm(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     the 1-row (ts, tt, t) summary — persisted once per (session,
     sf_dir): at 100 TB the hashed-LM fit is an offline artifact the
     selection job refreshes (same contract as warm_vocab /
-    warm_span_index / warm_band_index / warm_kmeans_centroids)."""
+    warm_span_index / warm_band_index / warm_kmeans_centroids).
+    Lifecycle: merge/compact/expire transfers from refresh_segment_index + refresh_band_index (dt-partitioned rows, no cross-row state), proven by their compaction-invariance oracles."""
     global _DSIR_CACHE
     from project_orbit_spark.session import cache_token, register_df_cache
 

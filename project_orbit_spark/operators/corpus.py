@@ -1113,7 +1113,8 @@ def warm_segment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The existing corpus's seen-segment set (distinct seg_hash),
     persisted once per (session, sf_dir) — at 100 TB a stored artifact
     the offline first-wins dedup job maintains (same contract as
-    warm_vocab / warm_span_index / warm_band_index)."""
+    warm_vocab / warm_span_index / warm_band_index).
+    Lifecycle: exercised DIRECTLY by refresh_segment_index."""
     global _SEGMENT_INDEX_CACHE
     from project_orbit_spark.session import cache_token, register_df_cache
 
@@ -1932,6 +1933,11 @@ def warm_curation_artifacts(spark: SparkSession, sf_dir: str) -> dict:
 
     Same contract as warm_band_index / lsh.warm_embedding_index:
     persisted on first use, released via session.clear_df_caches().
+    Lifecycle: the LM counts and band/canon tables are dt-partitionable
+    rows with no cross-row state — merge/compact/expire transfers from
+    refresh_segment_index + refresh_band_index (the banded artifact is
+    LITERALLY the refresh_band_index layout); cuts/total are 1-row
+    frames rebuilt per refresh, not merged.
     """
     from project_orbit_spark.functions.textquality import (
         band_cutoffs,

@@ -616,7 +616,10 @@ def warm_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-mines from the full corpus. Same contract as warm_band_index /
     lsh.warm_embedding_index; released via session.clear_df_caches().
     Semantics identical to minhash_lsh_near_dups — correctness
-    sessions just materialize on first use."""
+    sessions just materialize on first use.
+    Lifecycle: merge/compact/expire transfers from refresh_band_index
+    (pair rows are dt-partitionable with no cross-row state; expiring
+    an ingest day drops exactly that day's pairs)."""
     key = (cache_token(spark), sf_dir)
     if key not in _DUP_PAIRS_CACHE:
         p = minhash_lsh_near_dups(spark, sf_dir).persist()
@@ -707,6 +710,158 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         warm_band_index(spark, sf_dir),
         probe=near,
     ).orderBy("new_id", "match_id")
+
+
+def _refresh_band_stage_sql(idx_cte: str) -> str:
+    """Oracle match CTE for one index variant — generated so the
+    'merged'/'compacted' and 'expired' stages share one definition
+    (the refresh_segment_index pattern, corpus.py)."""
+    return f"""m_{idx_cte} AS (
+          SELECT new_id, match_id, est_jaccard FROM (
+            SELECT c.new_id, c.match_id,
+                   round(len([i for i in range(1, {MINHASH_SIG_K + 1})
+                              if sa.sig[i] = sb.sig[i]])::DOUBLE
+                         / {MINHASH_SIG_K}.0, 4) AS est_jaccard
+            FROM (
+              SELECT DISTINCT p.doc_id AS new_id, ix.doc_id AS match_id
+              FROM probe_b p JOIN {idx_cte} ix
+                ON p.band_idx = ix.band_idx AND p.band_sig = ix.band_sig
+            ) c
+            JOIN signed sa ON sa.doc_id = c.new_id
+            JOIN signed sb ON sb.doc_id = c.match_id
+          )
+          WHERE est_jaccard >= 0.5
+        )"""
+
+
+@register(
+    "refresh_band_index",
+    # driver=False for round 16 only (case 2, registry.py:39): the
+    # r16 window is exactly full — 2 round-0 entries + 44 r11
+    # rotations + 4 burn-down re-pins = 50 (see _DRIVER_PRIORITY).
+    # Verified locally (tools/check at 3 SFs, driver_sim, pytest);
+    # flip to True in r17.
+    driver=False,
+    tags=("dedup", "lsh", "incremental", "maintenance"),
+    doc="Artifact maintenance for the MinHash band index — the "
+    "SECOND face of the merge → compact → expire lifecycle "
+    "refresh_segment_index proved (VERDICT r15 ask #7: the band "
+    "index is the most write-heavy persisted artifact, fed nightly "
+    "by every incremental dedup run). The on-disk index holds "
+    "_banded_signatures rows (doc_id, sig, band_idx, band_sig) "
+    "partitioned by ingest dt; a nightly batch MERGEs as a new dt "
+    "partition, COMPACTION (connectors.compact_parquet) rewrites "
+    "layout, RETENTION (connectors.expire_partitions keep_latest=3) "
+    "drops the oldest ingest day. A probe batch runs the REGISTERED "
+    "O(new) match plan (match_new_vs_index — the shared helper, so "
+    "the maintenance face exercises exactly the production probe) "
+    "against the index re-READ FROM DISK at each stage; the oracle "
+    "recomputes every signature from the raw documents, so 'merged' "
+    "and 'compacted' hashing identically IS the compaction-invariance "
+    "proof, and 'expired' must lose exactly the matches whose index "
+    "doc's only ingest day was dropped. Cost shape at 100 TB: merge "
+    "O(batch) append, compaction O(index) only when run, expiry "
+    "O(dropped directories), probes O(new).",
+    oracle=f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 400000 AS doc_id,
+                 text || ' band refresh tail' AS text
+          FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 500000 AS doc_id,
+                 text || ' band probe tail' AS text
+          FROM documents WHERE doc_id % 11 = 0
+        ),
+        {_MINHASH_PAIRS_BODY},
+        probe_b AS (SELECT * FROM banded WHERE doc_id >= 500000),
+        idx_full AS (SELECT * FROM banded WHERE doc_id < 500000),
+        idx_kept AS (
+          SELECT * FROM banded
+          WHERE (doc_id < 100000 AND doc_id % 3 != 0)
+             OR (doc_id >= 400000 AND doc_id < 500000)
+        ),
+        {_refresh_band_stage_sql("idx_full")},
+        {_refresh_band_stage_sql("idx_kept")}
+        SELECT stage, new_id, match_id, est_jaccard FROM (
+          SELECT 'merged' AS stage, * FROM m_idx_full
+          UNION ALL SELECT 'compacted' AS stage, * FROM m_idx_full
+          UNION ALL SELECT 'expired' AS stage, * FROM m_idx_kept
+        )
+        ORDER BY stage, new_id, match_id
+    """,
+)
+def refresh_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from project_orbit_spark.session import cache_token
+    from project_orbit_spark.sources.connectors import (
+        compact_parquet,
+        expire_partitions,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # per-invocation nonce + post-checkpoint reclaim, exactly as
+    # refresh_segment_index (ADVICE r15 #3)
+    stage_dir = os.path.join(
+        "/tmp/orbit_spark_roundtrip",
+        cache_token(spark),
+        f"band_index_{uuid.uuid4().hex[:12]}",
+    )
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    # seed: the corpus's band table, partitioned by synthetic ingest
+    # day (doc_id % 3 -> dt 2026-01-01..03) — the layout the offline
+    # indexing job maintains day by day
+    seed = _banded_signatures(d).withColumn(
+        "dt",
+        F.concat(
+            F.lit("2026-01-0"), ((F.col("doc_id") % 3) + 1).cast("string")
+        ),
+    )
+    seed.write.mode("overwrite").partitionBy("dt").parquet(stage_dir)
+    # MERGE: the nightly batch's band rows land as dt=...-04
+    batch = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat("text", F.lit(" band refresh tail")).alias("text"),
+    )
+    _banded_signatures(batch).withColumn(
+        "dt", F.lit("2026-01-04")
+    ).write.mode("append").partitionBy("dt").parquet(stage_dir)
+
+    probe = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat("text", F.lit(" band probe tail")).alias("text"),
+    )
+    probe_banded = _banded_signatures(probe).localCheckpoint(eager=True)
+
+    def verdicts(stage_name: str) -> DataFrame:
+        idx = spark.read.parquet(stage_dir).select(
+            "doc_id", "sig", "band_idx", "band_sig"
+        )
+        # materialize NOW: the next maintenance op rewrites/deletes
+        # the files this lazy plan would otherwise re-read. probe=None:
+        # the batch side is already checkpointed, AQE sees exact sizes.
+        return (
+            match_new_vs_index(probe_banded, idx)
+            .withColumn("stage", F.lit(stage_name))
+            .localCheckpoint(eager=True)
+        )
+
+    merged = verdicts("merged")
+    compact_parquet(spark, stage_dir, partition_col="dt")
+    compacted = verdicts("compacted")
+    expire_partitions(spark, stage_dir, partition_col="dt", keep_latest=3)
+    expired = verdicts("expired")
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    return (
+        merged.unionByName(compacted)
+        .unionByName(expired)
+        .select("stage", "new_id", "match_id", "est_jaccard")
+        .orderBy("stage", "new_id", "match_id")
+    )
 
 
 @register(
@@ -1461,7 +1616,10 @@ _SPAN_INDEX_CACHE: dict[tuple[str, str], DataFrame] = register_df_cache({})
 def warm_span_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The existing corpus's distinct span-hash set, persisted once per
     (session, sf_dir) — at 100 TB a stored index artifact the offline
-    span-mining job refreshes (same contract as warm_band_index)."""
+    span-mining job refreshes (same contract as warm_band_index).
+    Lifecycle: merge/compact/expire transfers from refresh_segment_index +
+    refresh_band_index (dt-partitioned rows, no cross-row state), proven
+    by their compaction-invariance oracles."""
     key = (cache_token(spark), sf_dir)
     if key not in _SPAN_INDEX_CACHE:
         d = load(spark, sf_dir, "documents").select("doc_id", "text")

@@ -341,7 +341,8 @@ def warm_embedding_index(
     scale (the registered oracle contract); widening is an index
     REBUILD, which is exactly how a real deployment grows the block
     count with the corpus. Mirrors dedup.warm_band_index /
-    cosine.warm_centroids; released via session.clear_df_caches()."""
+    cosine.warm_centroids; released via session.clear_df_caches().
+    Lifecycle: merge/compact/expire transfers from refresh_segment_index + refresh_band_index (dt-partitioned rows, no cross-row state), proven by their compaction-invariance oracles."""
     if n_planes is None:
         n_planes = index_planes(spark, sf_dir)
     key = (cache_token(spark), f"{sf_dir}#p{n_planes}")

@@ -1738,3 +1738,27 @@ def test_winnowing_audit_pins_the_zero_window_edge(spark):
     assert row["n_winnow"] == 3
     assert row["n_hits"] == 3
     assert row["precision_at_t"] == 1.0 and row["recall_at_t"] == 1.0
+
+
+def test_band_index_expiry_only_removes_matches(spark):
+    # refresh_band_index (r16, VERDICT r15 ask #7): dropping an
+    # ingest day can only REMOVE index docs, so the expired stage's
+    # match set must be a subset of the merged stage's — the dual of
+    # the segment face's retention-can-only-REVIVE pin — and
+    # compaction must change nothing at all.
+    from project_orbit_spark.operators.dedup import refresh_band_index
+    from tests.conftest import SF_DIR
+
+    rows = refresh_band_index(spark, SF_DIR).collect()
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], set()).add(
+            (r["new_id"], r["match_id"], r["est_jaccard"])
+        )
+    assert by_stage["compacted"] == by_stage["merged"]
+    assert by_stage["expired"] <= by_stage["merged"]
+    # the fixture must actually exercise the edge: some base doc with
+    # doc_id % 3 == 0 matched the probe and was expired away
+    assert by_stage["expired"] != by_stage["merged"], (
+        "fixture should lose at least one match to retention"
+    )
