@@ -1928,9 +1928,12 @@ WINNOW_AUDIT_GT_MAX_DF = 50
     "the REGISTERED match plan verbatim (_winnow_match_frame); the "
     "oracle embeds the registered CTE bank over the injected corpus "
     "(audit and audited cannot drift). Scale: both pair sets are "
-    "df-guard-bounded buckets (never all-pairs); the audit reduces "
-    "them to one row behind localCheckpoint barriers (the "
-    "dedup_pair_audit concurrency lesson).",
+    "df-guard-bounded buckets (never all-pairs); the ground-truth "
+    "side pre-filters both self-join inputs through the rare guard "
+    "and rides merge-hinted (spill-safe) string joins — a "
+    "shuffle_hash build of the raw gram stream OOMed the first 100x "
+    "probe; the audit reduces to one row behind localCheckpoint "
+    "barriers (the dedup_pair_audit concurrency lesson).",
     oracle=f"""
         WITH icorp AS (
           SELECT doc_id, text FROM documents
@@ -2037,14 +2040,22 @@ def winnowing_match_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("g")
     )
-    # shuffle_hash pins: gram tables are corpus-growing and
-    # text-valued — the compressible class, never broadcast-built
-    a = gg.join(grare.hint("shuffle_hash"), "g").select(
-        "g", F.col("doc_id").alias("doc_a")
-    )
-    b = gg.select("g", F.col("doc_id").alias("doc_b"))
+    # Both pair-join sides are pre-filtered through the rare guard
+    # ONCE (occ) — semantically identical (a non-rare gram can never
+    # survive the join) but it shrinks the join inputs from the full
+    # corpus gram stream to rare-gram occurrences (df <= 50 each).
+    # The first 100x probe of this audit OOMed here with the
+    # unfiltered stream as a shuffle_hash build: raw gram STRINGS
+    # are ~7x wider than the winnowed long fingerprints, so the
+    # per-partition hash build blew the task memory pool. merge
+    # hints (sort-merge, spill-safe) instead: these are string-keyed
+    # corpus-growing tables — never broadcast-built, and for an
+    # observability query graceful spill beats a pinned hash build.
+    occ = gg.join(grare.hint("merge"), "g")
+    a = occ.select("g", F.col("doc_id").alias("doc_a"))
+    b = occ.select("g", F.col("doc_id").alias("doc_b"))
     gt = (
-        a.join(b.hint("shuffle_hash"), "g")
+        a.join(b.hint("merge"), "g")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n"))
