@@ -33,6 +33,10 @@ COLLECT_ALLOWED = {
     # .limit(1).collect() — output bounded at ONE row by the limit,
     # and it runs INSTEAD OF a quadratic join, not on a data path
     "similarity/cosine.py": 1,
+    # _gated_span_batch's summed-fan-out probe (r16, VERDICT r15 ask
+    # #5): one global agg over the O(new) batch → exactly ONE row
+    # out; it gates a broadcast hint, it is not a data path
+    "operators/dedup.py": 1,
 }
 
 
