@@ -1874,10 +1874,18 @@ def _winnow_match_frame(d: DataFrame) -> DataFrame:
     # static planner broadcast BOTH on fixture-size stats — fine at
     # sf0.1, an OOM at 100 TB. The df-guard bounds pairs-per-bucket,
     # not the table sizes.
-    a = fps.join(rare.hint("shuffle_hash"), "fp").select(
-        "fp", F.col("doc_id").alias("doc_a")
-    )
-    b = fps.select("fp", F.col("doc_id").alias("doc_b"))
+    #
+    # r16 (the audit-OOM lesson applied to the audited face): BOTH
+    # self-join sides pre-filter through the rare guard once (occ) —
+    # semantically identical, since a fingerprint outside `rare` can
+    # never produce a pair, but the pair join's shuffle_hash BUILD
+    # side shrinks from the full corpus fingerprint table to
+    # rare-fp occurrences (df in [2, 10] each, typically a small
+    # fraction of fps). Values and oracle unchanged; Spark reuses
+    # occ's exchange for both aliases.
+    occ = fps.join(rare.hint("shuffle_hash"), "fp")
+    a = occ.select("fp", F.col("doc_id").alias("doc_a"))
+    b = occ.select("fp", F.col("doc_id").alias("doc_b"))
     return (
         a.join(b.hint("shuffle_hash"), "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -244,8 +244,12 @@ _DRIVER_PRIORITY = (
 # later): the composed golds curation_training_gold /
 # corpus_curation_gold (r15 records, inherit the pin through
 # bigram_scores) and incremental_curation_gold (pin_vocab=False —
-# plan bit-identical to r15). refresh_segment_index is NOT here: its
-# never-verified round-0 LRV rank already guarantees its slot.
+# plan bit-identical to r15); winnowing_match_pairs (r15 record —
+# r16 shrinks the pair join's build side by pre-filtering both
+# aliases through the rare guard, a set-algebra identity; oracle
+# unchanged, hash re-checked at sf0.01 this round, 100x re-probed).
+# refresh_segment_index is NOT here: its never-verified round-0 LRV
+# rank already guarantees its slot.
 _DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
     "unigram_logprob_scores",
     "bigram_logprob_scores",
