@@ -1026,3 +1026,20 @@ def test_vocab_oov_broadcasts_only_the_topk(spark):
     assert "TakeOrderedAndProject" in subtxt, (
         "broadcast build must be the limit-K vocab, not an unbounded frame"
     )
+
+
+def test_winnowing_pair_joins_never_static_broadcast(spark):
+    # r15 pins + r16 build-shrink: the fingerprint tables grow with
+    # the corpus, so the pair join must ride shuffle joins with the
+    # rare-guard-filtered occurrence table as build — a static
+    # BroadcastHashJoin keyed on fp is the ngram OOM class.
+    import re
+
+    for name in ("winnowing_match_pairs", "winnowing_match_audit"):
+        f = facts(name, spark)
+        assert "CartesianProduct" not in f.text, name
+        for m in re.finditer(r"BroadcastHashJoin \[([^\]]*)\]", f.text):
+            keys = m.group(1)
+            assert "fp" not in keys and not re.search(r"\bg#\d", keys), (
+                f"{name}: pair join static-broadcast regressed on [{keys}]"
+            )
