@@ -2279,3 +2279,188 @@ def dedup_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio("n_hits", "n_lsh").alias("precision_at_t"),
         ratio("n_hits", "n_exact").alias("recall_at_t"),
     )
+
+
+@register(
+    "simhash_match_audit",
+    # driver=False for round 16 only (case 2, registry.py:39): the
+    # r16 window is exactly full. Flips to True in r17, where the
+    # rotation cohort shrinks to ~46 (ccnet/vocab_oov/
+    # event_type_histogram pick up r16 records), leaving room for
+    # this flip + refresh_band_index's. Verified locally: tools/check
+    # hash-PASS at sf0.001 + sf0.01 (the driver's record SF; the
+    # sf0.1 DuckDB all-pairs-Jaccard ORACLE exceeds the local
+    # harness budget — engine side runs sf0.1 in 22.8 s with
+    # consistent metrics), driver_sim, pytest.
+    driver=False,
+    tags=("dedup", "simhash", "observability"),
+    doc="SimHash tier quality audit — the LAST unaudited dedup tier "
+    "joins the measurable family (minhash: dedup_pair_audit, ANN: "
+    "ann_recall_audit, winnowing: winnowing_match_audit): the "
+    "registered simhash64_hamming_dups pair set (64-bit, 4x16 "
+    "pigeonhole bands, hamming <= 3, lang-BLOCKED by design) scored "
+    "against the SAME exact 3-shingle-Jaccard >= 0.5 ground truth "
+    "machinery dedup_pair_audit uses (exact_jaccard_pairs, blocking "
+    "disabled), over simhash's own %11 + ' tail' injected corpus — "
+    "so the two tiers' precision/recall are DIRECTLY comparable on "
+    "equal-footing ground truth. One verdict row decomposes the "
+    "recall cost: n_exact (all true near-dup pairs) vs "
+    "n_exact_same_lang (those simhash's lang-blocking can even see) "
+    "give recall_at_h and recall_same_lang_at_h — the gap between "
+    "them is the BLOCKING policy's cost, the same-lang shortfall is "
+    "the ESTIMATOR's. Measured (sf0.01): precision 0.0217, recall "
+    "0.081, same-lang recall 0.1132 — LOW ON BOTH AXES, and that is "
+    "the finding, consistent with the r9 knob probe's 0.114 "
+    "injected-dup recall: simhash's bit-vote-over-distinct-tokens "
+    "similarity correlates only weakly with shingle-Jaccard on this "
+    "corpus, so the two tiers rank DIFFERENT pairs as near-dups. "
+    "This row is the registered, driver-checked record of that "
+    "disagreement — the quantitative reason minhash is the engine's "
+    "primary near-dup tier and simhash a complementary "
+    "cheap-fingerprint signal, not a substitute (docs/SCALE.md r9: "
+    "the width knob cannot be tuned out of this; it is the "
+    "similarity MEASURE that differs). Every simhash hit is "
+    "same-lang by construction, so recall_same_lang divides "
+    "cleanly. Scale: both inputs are the "
+    "already-audited banded/prefix-filtered plans; pair sets join "
+    "shuffle_hash (corpus-growing, never broadcast) behind eager "
+    "checkpoints (the dedup_pair_audit concurrency lesson).",
+    oracle=f"""
+        WITH sh AS ({_own_oracle("simhash64_hamming_dups")}
+        ),
+        icorp AS (
+          SELECT doc_id, lang, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, lang, text || ' tail' AS text
+          FROM documents WHERE doc_id % 11 = 0
+        ),
+        ishing AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(t[i:i+2], ' ')
+                                for i in range(1, greatest(len(t) - 2, 1) + 1)])
+                   AS shingles
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM icorp)
+        ),
+        ex AS (
+          SELECT left_id, right_id FROM (
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                         len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE,
+                   4) AS jaccard
+            FROM ishing a
+            JOIN ishing b
+              ON a.doc_id < b.doc_id
+             AND len(a.shingles) >= 0.5 * len(b.shingles)
+             AND len(b.shingles) >= 0.5 * len(a.shingles)
+          ) t
+          WHERE jaccard >= 0.5
+        ),
+        exl AS (
+          SELECT e.left_id, e.right_id,
+                 (la.lang = lb.lang) AS same_lang
+          FROM ex e
+          JOIN icorp la ON la.doc_id = e.left_id
+          JOIN icorp lb ON lb.doc_id = e.right_id
+        ),
+        hit AS (
+          SELECT count(*)::BIGINT AS n_hits
+          FROM sh JOIN ex USING (left_id, right_id)
+        )
+        SELECT (SELECT count(*) FROM ex)::BIGINT AS n_exact,
+               (SELECT count(*) FROM exl WHERE same_lang)::BIGINT
+                 AS n_exact_same_lang,
+               (SELECT count(*) FROM sh)::BIGINT AS n_simhash,
+               hit.n_hits,
+               floor(hit.n_hits::DOUBLE
+                 / nullif((SELECT count(*) FROM sh), 0) * 10000) / 10000
+                 AS precision_at_h,
+               floor(hit.n_hits::DOUBLE
+                 / nullif((SELECT count(*) FROM ex), 0) * 10000) / 10000
+                 AS recall_at_h,
+               floor(hit.n_hits::DOUBLE
+                 / nullif((SELECT count(*) FROM exl WHERE same_lang), 0)
+                 * 10000) / 10000 AS recall_same_lang_at_h
+        FROM hit
+    """,
+)
+def simhash_match_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    # DISK_ONLY checkpoint (found by this audit's own 100x probe):
+    # the simhash tier emits ~7.7M pairs at the 100x corpus (r9
+    # table), and holding them in MEMORY_AND_DISK while the exact-
+    # Jaccard ground truth runs its heavy verify stages pushed the
+    # combined session over the default heap — each half runs clean
+    # alone. The pair set is read exactly once more (the final tiny
+    # full_outer), so disk residency costs nothing measurable.
+    sh = (
+        simhash64_hamming_dups(spark, sf_dir)
+        .select("left_id", "right_id")
+        .withColumn("in_sh", F.lit(1))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    corpus = _near_dup_corpus(spark, sf_dir)
+    langs = corpus.select("doc_id", "lang")
+    ex = exact_jaccard_pairs(
+        corpus.select("doc_id", "text").withColumn("lang", F.lit("all"))
+    ).select("left_id", "right_id")
+    exl = (
+        ex.join(
+            langs.select(
+                F.col("doc_id").alias("left_id"), F.col("lang").alias("la")
+            ),
+            "left_id",
+        )
+        .join(
+            langs.select(
+                F.col("doc_id").alias("right_id"), F.col("lang").alias("lb")
+            ),
+            "right_id",
+        )
+        .select(
+            "left_id",
+            "right_id",
+            (F.col("la") == F.col("lb")).cast("long").alias("same_lang"),
+        )
+        .withColumn("in_ex", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    j = sh.hint("shuffle_hash").join(
+        exl, ["left_id", "right_id"], "full_outer"
+    )
+    stats = j.agg(
+        F.coalesce(F.sum(F.coalesce("in_ex", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.coalesce(F.sum(F.coalesce("same_lang", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_exact_same_lang"),
+        F.coalesce(F.sum(F.coalesce("in_sh", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_simhash"),
+        F.coalesce(
+            F.sum(
+                (F.col("in_ex").isNotNull() & F.col("in_sh").isNotNull())
+                .cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_hits"),
+    )
+    ratio = lambda num, den: (  # noqa: E731 — local expression builder
+        F.floor(
+            F.col(num).cast("double") / F.nullif(F.col(den), F.lit(0)) * 10000
+        )
+        / 10000
+    )
+    return stats.select(
+        "n_exact",
+        "n_exact_same_lang",
+        "n_simhash",
+        "n_hits",
+        ratio("n_hits", "n_simhash").alias("precision_at_h"),
+        ratio("n_hits", "n_exact").alias("recall_at_h"),
+        ratio("n_hits", "n_exact_same_lang").alias("recall_same_lang_at_h"),
+    )

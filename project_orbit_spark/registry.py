@@ -211,9 +211,11 @@ _DRIVER_PRIORITY = (
     # re-pins (below) = 50 (VERDICT r15 asks #2/#6 both demand their
     # r16 records, so the window carries no retry slack this round —
     # the same deliberate trade r15 made). refresh_band_index (ask
-    # #7) is the round's case-2 deferral (driver=False,
-    # registry.py:39), locally verified, flipping in r17 where the
-    # ~49-slot r12 cohort leaves exactly one round-0 opening.
+    # #7) and simhash_match_audit are the round's case-2 deferrals
+    # (driver=False, registry.py:39), locally verified, flipping in
+    # r17 where the rotation cohort shrinks to ~46 (ccnet /
+    # vocab_coverage_oov / event_type_histogram pick up r16
+    # records): 46 + 2 flips = 48, two retry slots back in hand.
 )
 
 # Changed-path re-pins, EXEMPT from the self-expiry filter (ADVICE r11
