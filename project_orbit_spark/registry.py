@@ -202,20 +202,20 @@ def get_query(name: str) -> Query:
 # stale slots at a round boundary and never needs a same-round
 # hand-trim when rotation demand + head size would exceed 50.
 _DRIVER_PRIORITY = (
-    # Round 16 head: EMPTY by design (third round running). The
-    # scheduled work is the 44-query r11 rotation (VERDICT r15 ask
-    # #3), which the LRV sort fronts automatically, plus
-    # refresh_segment_index's case-2 flip and winnowing_match_audit
-    # (both never-verified → round 0, ahead of the cohort). Slot
-    # budget is EXACT again: 2 round-0 + 44 r11 + 4 burn-down
-    # re-pins (below) = 50 (VERDICT r15 asks #2/#6 both demand their
-    # r16 records, so the window carries no retry slack this round —
-    # the same deliberate trade r15 made). refresh_band_index (ask
-    # #7) and simhash_match_audit are the round's case-2 deferrals
-    # (driver=False, registry.py:39), locally verified, flipping in
-    # r17 where the rotation cohort shrinks to ~46 (ccnet /
-    # vocab_coverage_oov / event_type_histogram pick up r16
-    # records): 46 + 2 flips = 48, two retry slots back in hand.
+    # Round 17 head: EMPTY by design (fourth round running). The
+    # scheduled work is the r12 rotation cohort — 47 queries by the
+    # recomputed r01–r16 union (the r16 plan estimated ~46; the
+    # difference is one query whose r16 natural slot the burn-down
+    # re-pins displaced) — which the LRV sort fronts automatically,
+    # plus the two r16 case-2 flips refresh_band_index and
+    # simhash_match_audit (never-verified → round 0, ahead of the
+    # cohort; both hash-verified by the r16 judge). Slot arithmetic:
+    # 2 round-0 flips + 2 changed-path re-pins (below) + 46 of the
+    # 47 r12 rotations = 50; the one displaced r12 query (last in
+    # registration order among the cohort) carries to r18 where the
+    # LRV sort fronts it — the boundary simulation in
+    # tests/test_entry.py proves both guards stay green through that
+    # carry.
 )
 
 # Changed-path re-pins, EXEMPT from the self-expiry filter (ADVICE r11
@@ -227,36 +227,24 @@ _DRIVER_PRIORITY = (
 # once the post-change record lands (one round of life, but expired by
 # HAND at the next round's head rewrite, never by the filter).
 #
-# Round 16 (r15's twelve entries hand-expired — their post-change
-# records all landed in CORRECTNESS_r15): this round's change is the
-# broadcast burn-down (VERDICT r15 ask #1) — shuffle_hash pins on the
-# corpus-growing text-valued LM vocab joins via score_with_lm
-# (pin_vocab=True) and the unigram freq join. Values identical
-# everywhere (a join-strategy hint), but the PLANS changed, so the
-# four named faces get their guaranteed slots: unigram/bigram (r15
-# records — would not rotate naturally), ccnet + vocab_coverage_oov
-# (r12 records — only ~1 natural r12 slot exists this round).
-# vocab_coverage_oov's burn-down verdict was BOUNDED-not-pinned
-# (tools/plan_audit.py tier note: limit-K build, no size estimate
-# anywhere), but it takes its scheduled slot so the adjudication
-# carries a fresh driver record.
-# Value-identical changes NOT pinned, per the r15 tfidf precedent
-# (plan covered by tests/test_plans.py::
-# test_lm_vocab_joins_are_never_static_broadcasts, natural rotation
-# later): the composed golds curation_training_gold /
-# corpus_curation_gold (r15 records, inherit the pin through
-# bigram_scores) and incremental_curation_gold (pin_vocab=False —
-# plan bit-identical to r15); winnowing_match_pairs (r15 record —
-# r16 shrinks the pair join's build side by pre-filtering both
-# aliases through the rare guard, a set-algebra identity; oracle
-# unchanged, hash re-checked at sf0.01 this round, 100x re-probed).
-# refresh_segment_index is NOT here: its never-verified round-0 LRV
-# rank already guarantees its slot.
+# Round 17 (r16's four burn-down entries hand-expired — their
+# post-change records all landed in CORRECTNESS_r16): this round's
+# pins are the two LATE-r16 changed paths that the r16 head rewrite
+# predated (VERDICT r16 what's-wrong #1 / ask #1):
+# winnowing_match_pairs — its pair join changed in r16 (rare-guard
+# pre-filter on both self-join sides, a set-algebra identity; oracle
+# unchanged, hash re-checked locally at sf0.01 in r16, 100x
+# re-probed 10.4 → 8.7 s) but holds an r15 record; and
+# incremental_span_contamination — its batch broadcast path changed
+# in r16 (the _gated_span_batch exact summed-fan-out probe,
+# operators/dedup.py) on an r15 record. Both would otherwise wait
+# for natural rotation (~r20 under LRV) with changed plans — exactly
+# what this list exists to prevent. The r17 flips
+# (refresh_band_index, simhash_match_audit) are NOT here: their
+# never-verified round-0 LRV rank already guarantees their slots.
 _DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
-    "unigram_logprob_scores",
-    "bigram_logprob_scores",
-    "ccnet_perplexity_bands",
-    "vocab_coverage_oov",
+    "winnowing_match_pairs",
+    "incremental_span_contamination",
 )
 
 
