@@ -83,3 +83,31 @@ def test_no_wall_clock_or_rng_in_operators():
         f"nondeterminism found at {offenders} — operators are pure "
         "functions of their input tables (hash-bucket instead)"
     )
+
+
+def test_fixture_doc_ids_stay_below_inject_offset():
+    """The dedup-injection id-space contract (ADVICE r16 #2): every
+    oracle that models injected docs by id range (refresh_band_index's
+    expiry predicate `doc_id < 100000`, the audits' `doc_id >= 100000`
+    ground-truth splits) is sound only while BASE doc_ids stay below
+    INJECT_OFFSET. Pin that bound against the actual fixtures at all
+    three SFs, so a regenerated/larger fixture fails here instead of
+    silently diverging oracle from engine. (tools/scale_probe.py
+    enforces the same bound on its synthesized K-times corpora at
+    synth time.)"""
+    import pyarrow.parquet as pq
+
+    from project_orbit_spark.operators.dedup import INJECT_OFFSET
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = Path("/root/testdata") / sf / "documents.parquet"
+        if not path.exists():
+            continue
+        hi = max(
+            pq.read_table(path, columns=["doc_id"])["doc_id"].to_pylist()
+        )
+        assert hi < INJECT_OFFSET, (
+            f"{sf}: max doc_id {hi} >= INJECT_OFFSET {INJECT_OFFSET} — "
+            "the id-range oracles in operators/dedup.py are no longer "
+            "sound for this fixture"
+        )

@@ -1009,23 +1009,37 @@ def test_vocab_oov_broadcasts_only_the_topk(spark):
     # contract: the broadcast subtree contains the TakeOrdered limit;
     # the corpus token stream stays probe-side (no shuffle exchange
     # between the documents scan and the join's streamed side).
+    # ADVICE r16 #3: scan EVERY BroadcastExchange subtree (the first
+    # one in print order is not guaranteed to be the vocab build —
+    # plan reordering or a benign reused exchange printing first made
+    # the old next(...) version spuriously brittle), mirroring
+    # _fact_derived_broadcasts' full-subtree walk: at least one build
+    # must be the TakeOrdered limit-K vocab, and none may be an
+    # unbounded frame derived from the corpus token stream.
     f = facts("vocab_coverage_oov", spark)
     assert f.n_broadcast_joins >= 1, "the K-row vocab must broadcast"
     lines = f.text.splitlines()
-    bx = next(
-        i for i, ln in enumerate(lines) if "BroadcastExchange" in ln
+    subtrees = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        indent = len(ln) - len(ln.lstrip(" :+-"))
+        sub = []
+        for nxt in lines[i + 1 :]:
+            ni = len(nxt) - len(nxt.lstrip(" :+-"))
+            if ni <= indent:
+                break
+            sub.append(nxt)
+        subtrees.append("\n".join(sub))
+    assert subtrees, "n_broadcast_joins >= 1 but no BroadcastExchange printed"
+    assert any("TakeOrderedAndProject" in s for s in subtrees), (
+        "no broadcast build is the limit-K vocab — the bounded-build "
+        "adjudication no longer holds"
     )
-    indent = len(lines[bx]) - len(lines[bx].lstrip(" :+-"))
-    sub = []
-    for nxt in lines[bx + 1 :]:
-        ni = len(nxt) - len(nxt.lstrip(" :+-"))
-        if ni <= indent:
-            break
-        sub.append(nxt)
-    subtxt = "\n".join(sub)
-    assert "TakeOrderedAndProject" in subtxt, (
-        "broadcast build must be the limit-K vocab, not an unbounded frame"
-    )
+    for s in subtrees:
+        assert not (
+            "documents.parquet" in s and "TakeOrderedAndProject" not in s
+        ), "a corpus-derived UNBOUNDED frame is being broadcast"
 
 
 def test_winnowing_pair_joins_never_static_broadcast(spark):

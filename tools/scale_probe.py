@@ -127,6 +127,19 @@ def synthesize(spark, sf_dir: str, out_dir: Path, k: int) -> None:
 
     docs = load(spark, sf_dir, "documents")
     n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    # Dup-injection bound (ADVICE r16 #2): the dedup queries inject
+    # synthetic docs at doc_id + INJECT_OFFSET, and their oracles/
+    # audits distinguish base from injected by that id band. A probe
+    # config whose replicated ids reach the band (e.g. K=100 over
+    # sf0.1's 5000 docs) would silently corrupt every dedup audit,
+    # so refuse it at synth time.
+    from project_orbit_spark.operators.dedup import INJECT_OFFSET
+
+    assert k * n_docs <= INJECT_OFFSET, (
+        f"probe corpus ids reach {k * n_docs - 1} >= INJECT_OFFSET "
+        f"{INJECT_OFFSET}: replicated doc_ids would collide with the "
+        f"dedup injection band — lower K or use a smaller sf_dir"
+    )
     doc_reps = [
         docs.select(
             (F.col("doc_id") + i * n_docs).alias("doc_id"),
