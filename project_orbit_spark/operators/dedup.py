@@ -383,6 +383,14 @@ def exact_jaccard_pairs(corpus: DataFrame) -> DataFrame:
 # boundary, truncated to 3dp (the audit floor-rounds its ratios to
 # 4dp, so the 5th decimal of the bound cannot move a verdict).
 SIMHASH_COS_T = 0.989
+# = SIMHASH_COS_T², exact in decimal (989² = 978121) — the size-filter
+# bound shared verbatim by the Spark pair stage and the DuckDB oracle,
+# so the two sides prune with the SAME literal. The pruning bound is
+# sound either way (a qualifying pair has min/max >= cos² >= t²; the
+# nearest rational size ratio with doc-scale denominators is ~1e-7
+# away, far outside float64 ulp drift), but sharing the literal keeps
+# the plans textually honest.
+_COS_T2 = 0.978121
 
 
 def exact_token_cosine_pairs(corpus: DataFrame, t: float = SIMHASH_COS_T) -> DataFrame:
@@ -398,6 +406,7 @@ def exact_token_cosine_pairs(corpus: DataFrame, t: float = SIMHASH_COS_T) -> Dat
     face; pass a constant lang to disable (the audit does). All
     corpus-derived join sides ride shuffle_hash per the r14 100x
     lesson."""
+    t2 = _COS_T2 if t == SIMHASH_COS_T else t * t
     d = (
         corpus
         .select(
@@ -423,7 +432,7 @@ def exact_token_cosine_pairs(corpus: DataFrame, t: float = SIMHASH_COS_T) -> Dat
         )
     )
     pref_len = (
-        F.col("sz") - F.ceil(F.lit(t * t) * F.col("sz")) + 1
+        F.col("sz") - F.ceil(F.lit(t2) * F.col("sz")) + 1
     ).cast("int")
     pref = ordered.select(
         "doc_id",
@@ -441,7 +450,7 @@ def exact_token_cosine_pairs(corpus: DataFrame, t: float = SIMHASH_COS_T) -> Dat
         a.join(b.hint("shuffle_hash"), ["lang", "tok"])
         .filter(
             (F.col("left_id") < F.col("right_id"))
-            & (F.least("sz_a", "sz_b") >= F.lit(t * t) * F.greatest("sz_a", "sz_b"))
+            & (F.least("sz_a", "sz_b") >= F.lit(t2) * F.greatest("sz_a", "sz_b"))
         )
         .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
@@ -2412,23 +2421,30 @@ def dedup_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "n_exact_same_lang (those simhash's lang-blocking can even see) "
     "give recall_at_h and recall_same_lang_at_h — the gap between "
     "them is the BLOCKING policy's cost, the same-lang shortfall is "
-    "the ESTIMATOR's. Measured (sf0.01): precision 0.0217, recall "
-    "0.081, same-lang recall 0.1132 — LOW ON BOTH AXES, and that is "
-    "the finding, consistent with the r9 knob probe's 0.114 "
-    "injected-dup recall: simhash's bit-vote-over-distinct-tokens "
-    "similarity correlates only weakly with shingle-Jaccard on this "
-    "corpus, so the two tiers rank DIFFERENT pairs as near-dups. "
-    "This row is the registered, driver-checked record of that "
-    "disagreement — the quantitative reason minhash is the engine's "
-    "primary near-dup tier and simhash a complementary "
-    "cheap-fingerprint signal, not a substitute (docs/SCALE.md r9: "
-    "the width knob cannot be tuned out of this; it is the "
-    "similarity MEASURE that differs). Every simhash hit is "
-    "same-lang by construction, so recall_same_lang divides "
-    "cleanly. Scale: both inputs are the "
-    "already-audited banded/prefix-filtered plans; pair sets join "
-    "shuffle_hash (corpus-growing, never broadcast) behind eager "
-    "checkpoints (the dedup_pair_audit concurrency lesson).",
+    "the ESTIMATOR's. r17 (VERDICT r16 ask #4) adds the tier's OWN "
+    "contract axis alongside: a 64-bit simhash over distinct tokens "
+    "is a random-hyperplane sketch of the binary token-indicator "
+    "vector (E[hamming]/64 = angle/pi), so hamming <= 3 estimates "
+    "token-set COSINE >= cos(3*pi/64) ~= 0.989 — NOT shingle-"
+    "Jaccard. The n_cos/precision_at_cos/recall_at_cos columns score "
+    "the same pair set against exact_token_cosine_pairs at that "
+    "boundary. Measured (sf0.01): on the Jaccard ruler precision "
+    "0.0217 / recall 0.081 (consistent with the r9 knob probe) — on "
+    "its OWN cosine ruler precision 0.4202 / recall_cos_same_lang "
+    "1.0: simhash finds EVERY same-lang pair above its contract "
+    "threshold, the overall-recall gap (0.2595) is entirely the "
+    "lang-BLOCKING policy, and the sub-1.0 precision is boundary "
+    "spillover (hamming <= 3 is a noisy estimate of the 0.989 "
+    "angle). The two-ruler row is the quantitative reason minhash "
+    "stays the engine's primary near-dup tier for shingle-Jaccard "
+    "semantics while simhash is a CORRECT estimator of a DIFFERENT "
+    "similarity — complementary, not broken (docs/SCALE.md r9: no "
+    "width knob can move one measure onto the other). Every simhash "
+    "hit is same-lang by construction, so recall_same_lang divides "
+    "cleanly. Scale: all three inputs are banded/prefix-filtered "
+    "plans; pair sets join shuffle_hash (corpus-growing, never "
+    "broadcast) behind eager checkpoints (the dedup_pair_audit "
+    "concurrency lesson).",
     oracle=f"""
         WITH sh AS ({_own_oracle("simhash64_hamming_dups")}
         ),
@@ -2470,6 +2486,26 @@ def dedup_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit AS (
           SELECT count(*)::BIGINT AS n_hits
           FROM sh JOIN ex USING (left_id, right_id)
+        ),
+        itok AS (
+          SELECT doc_id, lang,
+                 list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+          FROM icorp
+        ),
+        cosp AS (
+          SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                 (a.lang = b.lang) AS same_lang
+          FROM itok a JOIN itok b
+            ON a.doc_id < b.doc_id
+           AND len(a.toks) >= {_COS_T2} * len(b.toks)
+           AND len(b.toks) >= {_COS_T2} * len(a.toks)
+           AND len(list_intersect(a.toks, b.toks))::DOUBLE
+               / sqrt(len(a.toks)::DOUBLE * len(b.toks)::DOUBLE)
+               >= {SIMHASH_COS_T}
+        ),
+        coshit AS (
+          SELECT count(*)::BIGINT AS n_cos_hits
+          FROM sh JOIN cosp USING (left_id, right_id)
         )
         SELECT (SELECT count(*) FROM ex)::BIGINT AS n_exact,
                (SELECT count(*) FROM exl WHERE same_lang)::BIGINT
@@ -2484,8 +2520,21 @@ def dedup_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS recall_at_h,
                floor(hit.n_hits::DOUBLE
                  / nullif((SELECT count(*) FROM exl WHERE same_lang), 0)
-                 * 10000) / 10000 AS recall_same_lang_at_h
-        FROM hit
+                 * 10000) / 10000 AS recall_same_lang_at_h,
+               (SELECT count(*) FROM cosp)::BIGINT AS n_cos,
+               (SELECT count(*) FROM cosp WHERE same_lang)::BIGINT
+                 AS n_cos_same_lang,
+               coshit.n_cos_hits,
+               floor(coshit.n_cos_hits::DOUBLE
+                 / nullif((SELECT count(*) FROM sh), 0) * 10000) / 10000
+                 AS precision_at_cos,
+               floor(coshit.n_cos_hits::DOUBLE
+                 / nullif((SELECT count(*) FROM cosp), 0) * 10000) / 10000
+                 AS recall_at_cos,
+               floor(coshit.n_cos_hits::DOUBLE
+                 / nullif((SELECT count(*) FROM cosp WHERE same_lang), 0)
+                 * 10000) / 10000 AS recall_cos_same_lang
+        FROM hit, coshit
     """,
 )
 def simhash_match_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2530,6 +2579,31 @@ def simhash_match_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("in_ex", F.lit(1))
         .localCheckpoint(eager=True)
     )
+    cosl = (
+        exact_token_cosine_pairs(
+            corpus.select("doc_id", "text").withColumn("lang", F.lit("all"))
+        )
+        .select("left_id", "right_id")
+        .join(
+            langs.select(
+                F.col("doc_id").alias("left_id"), F.col("lang").alias("la")
+            ),
+            "left_id",
+        )
+        .join(
+            langs.select(
+                F.col("doc_id").alias("right_id"), F.col("lang").alias("lb")
+            ),
+            "right_id",
+        )
+        .select(
+            "left_id",
+            "right_id",
+            (F.col("la") == F.col("lb")).cast("long").alias("same_lang"),
+        )
+        .withColumn("in_ex", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
     j = sh.hint("shuffle_hash").join(
         exl, ["left_id", "right_id"], "full_outer"
     )
@@ -2553,13 +2627,34 @@ def simhash_match_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_hits"),
     )
+    jc = sh.hint("shuffle_hash").join(
+        cosl, ["left_id", "right_id"], "full_outer"
+    )
+    stats_c = jc.agg(
+        F.coalesce(F.sum(F.coalesce("in_ex", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_cos"),
+        F.coalesce(F.sum(F.coalesce("same_lang", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_cos_same_lang"),
+        F.coalesce(
+            F.sum(
+                (F.col("in_ex").isNotNull() & F.col("in_sh").isNotNull())
+                .cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_cos_hits"),
+    )
     ratio = lambda num, den: (  # noqa: E731 — local expression builder
         F.floor(
             F.col(num).cast("double") / F.nullif(F.col(den), F.lit(0)) * 10000
         )
         / 10000
     )
-    return stats.select(
+    # two 1-row verdict frames; the cross join is 1x1 by construction
+    return stats.crossJoin(stats_c).select(
         "n_exact",
         "n_exact_same_lang",
         "n_simhash",
@@ -2567,4 +2662,10 @@ def simhash_match_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio("n_hits", "n_simhash").alias("precision_at_h"),
         ratio("n_hits", "n_exact").alias("recall_at_h"),
         ratio("n_hits", "n_exact_same_lang").alias("recall_same_lang_at_h"),
+        "n_cos",
+        "n_cos_same_lang",
+        "n_cos_hits",
+        ratio("n_cos_hits", "n_simhash").alias("precision_at_cos"),
+        ratio("n_cos_hits", "n_cos").alias("recall_at_cos"),
+        ratio("n_cos_hits", "n_cos_same_lang").alias("recall_cos_same_lang"),
     )

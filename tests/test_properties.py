@@ -1762,3 +1762,62 @@ def test_band_index_expiry_only_removes_matches(spark):
     assert by_stage["expired"] != by_stage["merged"], (
         "fixture should lose at least one match to retention"
     )
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta eta theta".split()),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=4,
+        max_size=14,
+    ),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_exact_token_cosine_pairs_matches_brute_force(spark, docs, seed):
+    """exact_token_cosine_pairs (the simhash own-axis ground truth,
+    r17) must equal the O(n²) definition on every corpus: binary
+    token-set cosine |A∩B|/sqrt(|A||B|) >= t, pairs left_id <
+    right_id, lang-blocked. The PPJoin prefix filter (rarest-first,
+    length sz - ceil(t²·sz) + 1) and the t²-size prune are the parts
+    a bug would silently DROP pairs from — brute force is the
+    soundness oracle. Run at a mid threshold (0.6) so generated docs
+    actually produce boundary pairs, and once at the production
+    SIMHASH_COS_T default."""
+    import math
+
+    from project_orbit_spark.operators.dedup import (
+        SIMHASH_COS_T,
+        exact_token_cosine_pairs,
+    )
+
+    rows = [
+        (i, "l" + str((seed + i) % 2), " ".join(toks))
+        for i, toks in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+    def brute(t):
+        sets = {
+            i: (lang, set(text.strip().lower().split()))
+            for i, lang, text in rows
+        }
+        out = set()
+        for i in sets:
+            for j in sets:
+                if i >= j or sets[i][0] != sets[j][0]:
+                    continue
+                a, b = sets[i][1], sets[j][1]
+                if a and b and len(a & b) / math.sqrt(len(a) * len(b)) >= t:
+                    out.add((i, j))
+        return out
+
+    for t in (0.6, SIMHASH_COS_T):
+        got = {
+            (r["left_id"], r["right_id"])
+            for r in exact_token_cosine_pairs(df, t).collect()
+        }
+        assert got == brute(t), f"t={t}: {got ^ brute(t)}"

@@ -115,7 +115,18 @@ def synthesize(spark, sf_dir: str, out_dir: Path, k: int) -> None:
     # shift left replicas 0.999-cosine-near each other, manufacturing
     # K genuine near-dups per base vector (the embedding analog of the
     # prefix-only text tag this docstring already warns about)
-    want = {"k": k, "sf_dir": str(sf_dir), "tables": list(_SYNTH_TABLES), "v": 2}
+    # v3: documents replicate at DOC_STRIDE instead of densely at
+    # n_docs — dense replication pushed doc_ids past the dedup
+    # queries' +100000/+400000/+500000 injection offsets at K=100
+    # over sf0.1 (500k docs), so injected ids COLLIDED with replica
+    # ids and corrupted the dedup audits' quality semantics at 100×
+    # (ADVICE r16 #2; the r9 knob probe had already worked around
+    # the same collision for its own injections). With a 1M stride
+    # every replica is a self-contained id universe: base ids in
+    # [i·1M, i·1M + n_docs), injected ids in [i·1M + 100000,
+    # i·1M + 550000) — disjoint from every other replica's bands for
+    # any n_docs <= INJECT_OFFSET.
+    want = {"k": k, "sf_dir": str(sf_dir), "tables": list(_SYNTH_TABLES), "v": 3}
     if (
         all((out_dir / f"{t}.parquet").exists() for t in _SYNTH_TABLES)
         and manifest.exists()
@@ -127,22 +138,20 @@ def synthesize(spark, sf_dir: str, out_dir: Path, k: int) -> None:
 
     docs = load(spark, sf_dir, "documents")
     n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
-    # Dup-injection bound (ADVICE r16 #2): the dedup queries inject
-    # synthetic docs at doc_id + INJECT_OFFSET, and their oracles/
-    # audits distinguish base from injected by that id band. A probe
-    # config whose replicated ids reach the band (e.g. K=100 over
-    # sf0.1's 5000 docs) would silently corrupt every dedup audit,
-    # so refuse it at synth time.
+    # Collision-free replica stride (see manifest v3 note above):
+    # each replica's id universe must hold the base ids AND the dedup
+    # injection bands without touching its neighbors'.
     from project_orbit_spark.operators.dedup import INJECT_OFFSET
 
-    assert k * n_docs <= INJECT_OFFSET, (
-        f"probe corpus ids reach {k * n_docs - 1} >= INJECT_OFFSET "
-        f"{INJECT_OFFSET}: replicated doc_ids would collide with the "
-        f"dedup injection band — lower K or use a smaller sf_dir"
+    DOC_STRIDE = 1_000_000
+    assert n_docs <= INJECT_OFFSET, (
+        f"base fixture doc_ids reach {n_docs - 1} >= INJECT_OFFSET "
+        f"{INJECT_OFFSET}: the dedup injection oracles are unsound for "
+        f"this fixture (tests/test_hygiene.py pins the same bound)"
     )
     doc_reps = [
         docs.select(
-            (F.col("doc_id") + i * n_docs).alias("doc_id"),
+            (F.col("doc_id") + i * DOC_STRIDE).alias("doc_id"),
             (
                 F.regexp_replace("text", r"(\S+)", rf"$1r{i}") if i else F.col("text")
             ).alias("text"),
