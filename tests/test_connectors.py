@@ -531,3 +531,80 @@ def test_refresh_segment_index_compaction_invariance(spark):
     assert all(
         by["expired"][k][1] <= by["merged"][k][1] for k in by["merged"]
     )
+
+
+def test_vector_index_lifecycle_verdict_invariance(spark, tmp_path):
+    """VERDICT r16 ask #7: the vector index is the one remaining
+    pair-GENERATING persisted artifact without a proven maintenance
+    lifecycle (segment + band indexes have registered faces). Run the
+    same merge -> compact -> expire helpers against the
+    warm_embedding_index layout (vec_id, label, bucket, emb;
+    dt-partitioned) and pin verdict-invariance through the REGISTERED
+    O(new) match plan (match_new_vs_vector_index — the helper
+    incremental_embedding_dedup itself calls):
+
+    - compaction must not change a single verdict row (it rewrites
+      layout, not the relation);
+    - expiry must lose EXACTLY the matches whose index vector lived
+      only in the dropped ingest day — containment, nothing revived.
+    """
+    from project_orbit_spark.similarity.lsh import (
+        index_planes,
+        lsh_bucket,
+        match_new_vs_vector_index,
+        _emb,
+    )
+    from project_orbit_spark.sources.connectors import (
+        compact_parquet,
+        expire_partitions,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    planes = index_planes(spark, sf_dir)
+    base = _emb(spark, sf_dir).select(
+        "vec_id", "label", lsh_bucket(F.col("emb"), planes).alias("bucket"), "emb"
+    )
+    idx_dir = str(tmp_path / "vector_index")
+    # seed: three synthetic ingest days, the offline job's layout
+    base.withColumn(
+        "dt",
+        F.concat(F.lit("2026-01-0"), ((F.col("vec_id") % 3) + 1).cast("string")),
+    ).write.partitionBy("dt").parquet(idx_dir)
+    # MERGE: nightly batch of exact clones lands as day 4
+    base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 40000).alias("vec_id"), "label", "bucket", "emb"
+    ).withColumn("dt", F.lit("2026-01-04")).write.mode("append").partitionBy(
+        "dt"
+    ).parquet(idx_dir)
+
+    probe = base.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10000).alias("new_id"),
+        "label",
+        "bucket",
+        F.col("emb").alias("ne"),
+    ).localCheckpoint(eager=True)
+
+    def verdicts(stage):
+        idx = spark.read.parquet(idx_dir).select(
+            F.col("vec_id").alias("match_id"), "label", "bucket",
+            F.col("emb").alias("ie"),
+        )
+        return {
+            (r["new_id"], r["match_id"], r["score"])
+            for r in match_new_vs_vector_index(probe, idx).collect()
+        }
+
+    merged = verdicts("merged")
+    # every probe vector is an exact clone of an indexed one — identical
+    # vectors share every sign bit, so the blocked plan can never miss it
+    assert {(n, n - 10000, 1.0) for n, _, _ in merged} <= merged
+    files_before, files_after = compact_parquet(spark, idx_dir, partition_col="dt")
+    assert files_after <= files_before
+    assert verdicts("compacted") == merged, "compaction changed verdicts"
+    dropped = expire_partitions(spark, idx_dir, partition_col="dt", keep_latest=3)
+    assert dropped == ["2026-01-01"]
+    expired = verdicts("expired")
+    # day 1 held exactly the base vectors with vec_id % 3 == 0
+    gone = {m for m in merged if m[1] < 40000 and m[1] % 3 == 0}
+    assert expired == merged - gone, "expiry must drop exactly day-1 matches"
+    assert gone, "fixture produced no day-1 matches — the test is vacuous"
