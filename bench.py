@@ -34,7 +34,15 @@ def load_marker() -> dict:
     around each bench pass in BENCH_DETAIL.json — so cross-round
     timing deltas on unchanged queries can be attributed to box
     contention from data, not inference (r8 lesson: a uniform +14%
-    drift on untouched queries took a review cycle to argue away)."""
+    drift on untouched queries took a review cycle to argue away).
+
+    STANDING CONVENTION (r17, VERDICT r16 ask #6): every round ends
+    with one committed BENCH_DETAIL.json refresh from an idle window
+    (loadavg well under the core count) BEFORE the driver's official
+    bench run — the r16 adjudication (driver line +13% vs r15, real
+    steady state slightly FASTER) was only possible because such a
+    rehearsal was already on disk. The round notes cite the refresh
+    commit."""
     out: dict = {}
     try:
         la = Path("/proc/loadavg").read_text().split()
