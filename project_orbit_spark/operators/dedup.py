@@ -2577,7 +2577,10 @@ def simhash_match_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("la") == F.col("lb")).cast("long").alias("same_lang"),
         )
         .withColumn("in_ex", F.lit(1))
-        .localCheckpoint(eager=True)
+        # DISK_ONLY like sh (r17): the ground-truth pair sets are each
+        # read exactly once more, and with TWO ground-truth jobs in
+        # this audit every avoidable resident block matters at 100x
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     cosl = (
         exact_token_cosine_pairs(
@@ -2602,7 +2605,7 @@ def simhash_match_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("la") == F.col("lb")).cast("long").alias("same_lang"),
         )
         .withColumn("in_ex", F.lit(1))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     j = sh.hint("shuffle_hash").join(
         exl, ["left_id", "right_id"], "full_outer"

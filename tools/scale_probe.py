@@ -294,8 +294,19 @@ def main() -> None:
     print(f"# synthesizing {k}x corpus from {sf_dir}", file=sys.stderr)
     synthesize(spark, sf_dir, out_dir, k)
 
+    from project_orbit_spark.session import clear_df_caches
+
     rows = []
     for name in names:
+        # Hermetic per-query probes (r17): warm_* indexes persisted by
+        # one probed query otherwise stay resident for every LATER
+        # query in the list — at 100× the span/band/segment indexes
+        # are GBs, and a long batch ending in a heavy query OOMs on
+        # ACCUMULATED warms, not its own footprint (observed: the
+        # simhash audit died at heap after three index-warming faces
+        # ran first). Each query still reuses its own warms across
+        # its REPS and its 1×/K× pair — cleared only at the boundary.
+        clear_df_caches()
         t1 = time_query(spark, name, sf_dir)
         tk = time_query(spark, name, str(out_dir))
         ratio = tk / t1 if t1 > 0 else float("nan")
