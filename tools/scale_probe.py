@@ -126,7 +126,17 @@ def synthesize(spark, sf_dir: str, out_dir: Path, k: int) -> None:
     # [i·1M, i·1M + n_docs), injected ids in [i·1M + 100000,
     # i·1M + 550000) — disjoint from every other replica's bands for
     # any n_docs <= INJECT_OFFSET.
-    want = {"k": k, "sf_dir": str(sf_dir), "tables": list(_SYNTH_TABLES), "v": 3}
+    # v4: embeddings get the same treatment — the vector faces inject
+    # at vec_id/eval_id + 10000, and dense vec_id replication (2000
+    # vectors at sf0.1) collided with that band from replica 5 on,
+    # corrupting the incremental vector faces' 100× semantics the
+    # same way. VEC_STRIDE holds base ids + the +10000 band per
+    # replica. (customer is NOT strided: levenshtein_name_dedup's
+    # c_custkey+100000 injection would collide at K >= 7 over sf0.1,
+    # but that query is not in the probe set and customer ids key the
+    # orders FK chain — probe it at sf0.01 if it ever joins the
+    # ledger.)
+    want = {"k": k, "sf_dir": str(sf_dir), "tables": list(_SYNTH_TABLES), "v": 4}
     if (
         all((out_dir / f"{t}.parquet").exists() for t in _SYNTH_TABLES)
         and manifest.exists()
@@ -190,9 +200,15 @@ def synthesize(spark, sf_dir: str, out_dir: Path, k: int) -> None:
             ).cast("float"),
         )
 
+    VEC_STRIDE = 100_000
+    assert n_vec <= 10_000, (
+        f"base fixture vec_ids reach {n_vec - 1} >= the +10000 vector "
+        "injection band — the incremental vector-face oracles are "
+        "unsound for this fixture"
+    )
     emb_reps = [
         emb.select(
-            (F.col("vec_id") + i * n_vec).alias("vec_id"),
+            (F.col("vec_id") + i * VEC_STRIDE).alias("vec_id"),
             perturbed(i).alias("embedding"),
             "label",
         )
