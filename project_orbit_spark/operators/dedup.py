@@ -470,6 +470,57 @@ def exact_token_cosine_pairs(corpus: DataFrame, t: float = SIMHASH_COS_T) -> Dat
     )
 
 
+@register(
+    "token_cosine_dups",
+    # driver=False for round 17 only (case 2, registry.py:39): the
+    # r17 window is exactly full — 2 changed-path pins + 2 flips +
+    # 46 of the 47 r12 rotations = 50. Verified locally (tools/check
+    # at 3 SFs, driver_sim, pytest); flip to True in r18, where the
+    # cohort shrinks to ~39 (r13×38 + the carried r12
+    # section_completeness).
+    driver=False,
+    tags=("dedup", "similarity"),
+    doc="Exact token-set cosine near-dups — the user-facing face of "
+    "the r17 own-axis ground truth (exact_token_cosine_pairs): pairs "
+    "at binary token-indicator cosine >= 0.989 (= cos(3π/64), the "
+    "similarity simhash64's hamming<=3 contract estimates), "
+    "lang-blocked like the production tiers. PPJoin prefix filtering "
+    "at the cosine bound (rarest-first ordering, prefix length "
+    "sz - ceil(t²·sz) + 1 ≈ 2.2% of each doc) keeps the candidate "
+    "join near-linear; the oracle deliberately runs a DIFFERENT "
+    "algorithm (all-pairs-within-lang + the t² size filter) so a "
+    "lossy prefix bug would hash-mismatch, the ngram_jaccard_pairs "
+    "discipline. Complements that face exactly: same corpus, same "
+    "blocking, the OTHER similarity measure — together they are the "
+    "exact references both sketch tiers (minhash→Jaccard, "
+    "simhash→cosine) are audited against. Property-tested vs the "
+    "brute-force O(n²) definition at two thresholds.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+          FROM documents
+        )
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                     / sqrt(len(a.toks)::DOUBLE * len(b.toks)::DOUBLE),
+               4) AS cosine
+        FROM tok a JOIN tok b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND len(a.toks) >= {_COS_T2} * len(b.toks)
+         AND len(b.toks) >= {_COS_T2} * len(a.toks)
+         AND len(list_intersect(a.toks, b.toks))::DOUBLE
+             / sqrt(len(a.toks)::DOUBLE * len(b.toks)::DOUBLE)
+             >= {SIMHASH_COS_T}
+        ORDER BY left_id, right_id
+    """,
+)
+def token_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_token_cosine_pairs(
+        load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).withColumn("cosine", F.round("cosine", 4))
+
+
 _DUCK_SIG_ENTRIES = ",\n                 ".join(
     f"list_min([({a} * h + {b}) % {MINHASH_PRIME} for h in hs])"
     for a, b in MINHASH_PAIRS
