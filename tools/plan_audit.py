@@ -93,6 +93,11 @@ BNLJ_BOUNDED = {
     # crossJoins the single 1-row zero-window-count frame onto the
     # 1-row stats aggregate — both bounded at exactly one row
     "winnowing_match_audit",
+    # round-17 addition (hand-audited): simhash_match_audit crossJoins
+    # its two 1-row verdict aggregates (the Jaccard-ruler stats row ×
+    # the cosine-ruler stats row — the dedup_pair_audit shape); both
+    # are global aggregates, bounded at exactly one row each
+    "simhash_match_audit",
 }
 
 # --------------------------------------------------------------------------
