@@ -1174,26 +1174,57 @@ def _simhash_pairs(
     assert n_bands >= max_hamming + 1, (
         "pigeonhole needs >= max_hamming + 1 bands for losslessness"
     )
-    sh = simhash_bits(corpus, n_words=n_words)
-    # pigeonhole banding: band value packed to a long (holds any
-    # band_bits <= 62 — the 128-bit knob tier uses 32-bit bands)
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda bidx: F.struct(
-            bidx.cast("int").alias("band_idx"),
-            F.aggregate(
-                F.slice(F.col("bits"), bidx * band_bits + 1, band_bits),
-                F.lit(0).cast("long"),
-                lambda s, v: s * 2 + v,
-            ).alias("band_val"),
-        ),
+    # r17 representation change (value-identical, plan-asserted in
+    # tests/test_plans.py): each 32-bit word of the hash is PACKED to
+    # one long immediately after the vote stage and the bits array is
+    # dropped before any shuffle. The band-explode previously carried
+    # the full 64-element int array through a 4-way explode and the
+    # candidate self-join verified hamming with a zip_with aggregate
+    # over two such arrays — on the heaviest bench tier that array was
+    # ~30x the bytes of two longs, paid per exploded band row on both
+    # join sides. Packed words shrink the shuffled row to n_words
+    # longs, band values become shift-and-mask reads, and hamming is
+    # sum(bit_count(xor)) — one codegen'd instruction pair per word.
+    assert band_bits <= 32 and 32 % band_bits == 0, (
+        "packed banding reads each band from a single word: band_bits "
+        "must divide 32 (all registered tiers: 8, 16, 32)"
     )
-    banded = sh.select(
-        "doc_id", "lang", "bits", F.explode(band_keys).alias("bk")
+    sh = simhash_bits(corpus, n_words=n_words)
+    words = [
+        F.aggregate(
+            F.slice("bits", w * 32 + 1, 32),
+            F.lit(0).cast("long"),
+            lambda s, v: s * 2 + v,
+        ).alias(f"w{w}")
+        for w in range(n_words)
+    ]
+    packed = sh.select("doc_id", "lang", *words)
+    bands_per_word = 32 // band_bits
+    mask = (1 << band_bits) - 1
+    # band b = bits [b*band_bits+1, (b+1)*band_bits] == the (b %
+    # bands_per_word)-th band_bits-wide slice of word b //
+    # bands_per_word, MSB-first (the packing fold makes bit 1 the MSB)
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_idx"),
+                F.shiftright(
+                    F.col(f"w{b // bands_per_word}"),
+                    32 - band_bits * ((b % bands_per_word) + 1),
+                )
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    wcols = [f"w{w}" for w in range(n_words)]
+    banded = packed.select(
+        "doc_id", "lang", *wcols, F.explode(band_keys).alias("bk")
     ).select(
         "doc_id",
         "lang",
-        "bits",
+        *wcols,
         F.col("bk.band_idx").alias("band_idx"),
         F.col("bk.band_val").alias("band_val"),
     )
@@ -1202,23 +1233,29 @@ def _simhash_pairs(
         "lang",
         "band_idx",
         "band_val",
-        F.col("bits").alias("ba"),
+        *[F.col(f"w{w}").alias(f"wa{w}") for w in range(n_words)],
     )
     b = banded.select(
         F.col("doc_id").alias("right_id"),
         "lang",
         "band_idx",
         "band_val",
-        F.col("bits").alias("bb"),
+        *[F.col(f"w{w}").alias(f"wb{w}") for w in range(n_words)],
     )
     cand = (
         a.join(b, ["lang", "band_idx", "band_val"])
         .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", "ba", "bb")
+        .select(
+            "left_id",
+            "right_id",
+            *[f"wa{w}" for w in range(n_words)],
+            *[f"wb{w}" for w in range(n_words)],
+        )
         .dropDuplicates(["left_id", "right_id"])
     )
-    hamming = F.aggregate(
-        F.zip_with("ba", "bb", lambda x, y: (x != y).cast("int")), F.lit(0), lambda s, v: s + v
+    hamming = sum(
+        F.bit_count(F.col(f"wa{w}").bitwiseXOR(F.col(f"wb{w}")))
+        for w in range(n_words)
     )
     return (
         cand.select("left_id", "right_id", hamming.cast("long").alias("hamming"))

@@ -242,9 +242,22 @@ _DRIVER_PRIORITY = (
 # what this list exists to prevent. The r17 flips
 # (refresh_band_index, simhash_match_audit) are NOT here: their
 # never-verified round-0 LRV rank already guarantees their slots.
+# Late-r17 addition: the packed-word simhash representation change
+# (value-identical — bits packed to longs before the band shuffle,
+# hamming via bit_count(xor); hash re-checked at 3 SFs, plan-pinned
+# by test_simhash_pair_shuffle_carries_packed_words) touches both
+# simhash tiers, whose records (r15/r13) sit outside this round's
+# window. Pinning them makes the head 52 > 50: the two LAST r12
+# cohort members in LRV order slip to r18, where the LRV sort fronts
+# them at exactly the staleness bar — the boundary and sustainability
+# guards hold (verified at HEAD). That is the same trade the r16
+# VERDICT demanded for the late-r16 changed paths: changed plans get
+# driver records NOW; an unchanged query's record may ride the bar.
 _DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
     "winnowing_match_pairs",
     "incremental_span_contamination",
+    "simhash_hamming_dups",
+    "simhash64_hamming_dups",
 )
 
 

@@ -1057,3 +1057,17 @@ def test_winnowing_pair_joins_never_static_broadcast(spark):
             assert "fp" not in keys and not re.search(r"\bg#\d", keys), (
                 f"{name}: pair join static-broadcast regressed on [{keys}]"
             )
+
+
+def test_simhash_pair_shuffle_carries_packed_words(spark):
+    # r17 representation change: the band-explode self-join must
+    # carry n_words packed longs, never the 64-element bit array —
+    # and hamming must be bit_count(xor), not a zip_with aggregate.
+    # The array form paid ~30x the shuffle bytes per exploded band
+    # row on BOTH join sides of the heaviest bench tier.
+    for name in ("simhash_hamming_dups", "simhash64_hamming_dups"):
+        f = facts(name, spark)
+        assert "bit_count" in f.text, f"{name}: hamming must be bit_count(xor)"
+        assert "zip_with" not in f.text, (
+            f"{name}: array-valued hamming aggregate regressed"
+        )
