@@ -323,13 +323,15 @@ def test_simhash_banding_is_lossless_both_tiers(spark, texts):
     # all-pairs comparison of the fingerprints finds — on arbitrary
     # corpora, for the 32-bit and 64-bit tiers AND the round-9
     # 128-bit/h<=6 knob tier (8x16-bit bands, long band accumulator)
+    # and the width-only cautionary tier C (4x32-bit bands — the
+    # packed-word band extraction's shift-0 / full-word-mask edge)
     from project_orbit_spark.operators.dedup import _simhash_pairs, simhash_bits
 
     rows = [(i, "xx", t) for i, t in enumerate(texts) if t.strip()]
     if len(rows) < 2:
         return
     corpus = spark.createDataFrame(rows, "doc_id long, lang string, text string")
-    for n_words, band_bits, max_hamming in ((1, 8, 3), (2, 16, 3), (4, 16, 6)):
+    for n_words, band_bits, max_hamming in ((1, 8, 3), (2, 16, 3), (4, 16, 6), (4, 32, 3)):
         bits = {
             r["doc_id"]: r["bits"]
             for r in simhash_bits(corpus, n_words=n_words).collect()
