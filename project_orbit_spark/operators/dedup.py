@@ -1147,6 +1147,62 @@ def simhash_bits(corpus: DataFrame, *, n_words: int) -> DataFrame:
     return hashed.select("doc_id", "lang", bits.alias("bits"))
 
 
+def _packed_banded(
+    corpus: DataFrame, *, n_words: int, band_bits: int
+) -> DataFrame:
+    """(doc_id, lang, text) → (doc_id, lang, w0..w{n-1}, band_idx,
+    band_val): the packed-word simhash banding stage shared by the
+    pair self-join (_simhash_pairs) and the O(new) incremental screen
+    (warm_simhash_index / incremental_simhash_screen). Each 32-bit
+    word of the hash packs to one long immediately after the vote
+    stage (bit 1 = MSB), so the bits array never reaches a shuffle;
+    band values are shift-and-mask reads from the word holding them."""
+    assert band_bits <= 32 and 32 % band_bits == 0, (
+        "packed banding reads each band from a single word: band_bits "
+        "must divide 32 (all registered tiers: 8, 16, 32)"
+    )
+    n_bands = 32 * n_words // band_bits
+    sh = simhash_bits(corpus, n_words=n_words)
+    words = [
+        F.aggregate(
+            F.slice("bits", w * 32 + 1, 32),
+            F.lit(0).cast("long"),
+            lambda s, v: s * 2 + v,
+        ).alias(f"w{w}")
+        for w in range(n_words)
+    ]
+    packed = sh.select("doc_id", "lang", *words)
+    bands_per_word = 32 // band_bits
+    mask = (1 << band_bits) - 1
+    # band b = bits [b*band_bits+1, (b+1)*band_bits] == the (b %
+    # bands_per_word)-th band_bits-wide slice of word b //
+    # bands_per_word, MSB-first (the packing fold makes bit 1 the MSB)
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_idx"),
+                F.shiftright(
+                    F.col(f"w{b // bands_per_word}"),
+                    32 - band_bits * ((b % bands_per_word) + 1),
+                )
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    wcols = [f"w{w}" for w in range(n_words)]
+    return packed.select(
+        "doc_id", "lang", *wcols, F.explode(band_keys).alias("bk")
+    ).select(
+        "doc_id",
+        "lang",
+        *wcols,
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_val").alias("band_val"),
+    )
+
+
 def _simhash_pairs(
     corpus: DataFrame, *, n_words: int, band_bits: int, max_hamming: int = 3
 ) -> DataFrame:
@@ -1185,49 +1241,7 @@ def _simhash_pairs(
     # join sides. Packed words shrink the shuffled row to n_words
     # longs, band values become shift-and-mask reads, and hamming is
     # sum(bit_count(xor)) — one codegen'd instruction pair per word.
-    assert band_bits <= 32 and 32 % band_bits == 0, (
-        "packed banding reads each band from a single word: band_bits "
-        "must divide 32 (all registered tiers: 8, 16, 32)"
-    )
-    sh = simhash_bits(corpus, n_words=n_words)
-    words = [
-        F.aggregate(
-            F.slice("bits", w * 32 + 1, 32),
-            F.lit(0).cast("long"),
-            lambda s, v: s * 2 + v,
-        ).alias(f"w{w}")
-        for w in range(n_words)
-    ]
-    packed = sh.select("doc_id", "lang", *words)
-    bands_per_word = 32 // band_bits
-    mask = (1 << band_bits) - 1
-    # band b = bits [b*band_bits+1, (b+1)*band_bits] == the (b %
-    # bands_per_word)-th band_bits-wide slice of word b //
-    # bands_per_word, MSB-first (the packing fold makes bit 1 the MSB)
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("band_idx"),
-                F.shiftright(
-                    F.col(f"w{b // bands_per_word}"),
-                    32 - band_bits * ((b % bands_per_word) + 1),
-                )
-                .bitwiseAND(F.lit(mask))
-                .alias("band_val"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    wcols = [f"w{w}" for w in range(n_words)]
-    banded = packed.select(
-        "doc_id", "lang", *wcols, F.explode(band_keys).alias("bk")
-    ).select(
-        "doc_id",
-        "lang",
-        *wcols,
-        F.col("bk.band_idx").alias("band_idx"),
-        F.col("bk.band_val").alias("band_val"),
-    )
+    banded = _packed_banded(corpus, n_words=n_words, band_bits=band_bits)
     a = banded.select(
         F.col("doc_id").alias("left_id"),
         "lang",
@@ -1315,6 +1329,128 @@ def _simhash_pairs(
 )
 def simhash64_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_pairs(_near_dup_corpus(spark, sf_dir), n_words=2, band_bits=16)
+
+
+_SIMHASH_INDEX_CACHE: dict[tuple[str, str], DataFrame] = register_df_cache({})
+
+
+def warm_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The existing corpus's packed 64-bit simhash band table
+    (doc_id, lang, w0, w1, band_idx, band_val), persisted once per
+    (session, sf_dir) — at 100 TB the stored fingerprint index the
+    offline job refreshes nightly, same contract as warm_band_index /
+    lsh.warm_embedding_index; released via session.clear_df_caches().
+    Lifecycle: merge/compact/expire transfers from refresh_band_index
+    (dt-partitionable rows, no cross-row state) and from the vector
+    index's proven on-disk lifecycle test — six longs per row, the
+    cheapest index artifact the engine persists."""
+    key = (cache_token(spark), sf_dir)
+    if key not in _SIMHASH_INDEX_CACHE:
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        b = _packed_banded(d, n_words=2, band_bits=16).persist()
+        b.count()
+        _SIMHASH_INDEX_CACHE[key] = b
+    return _SIMHASH_INDEX_CACHE[key]
+
+
+@register(
+    "incremental_simhash_screen",
+    # driver=False for round 17 only (case 2, registry.py:39): the
+    # r17 window is exactly full (2+2 changed-path pins + 2 flips +
+    # 44 r12 rotations = 52-head trade documented at
+    # _DRIVER_PRIORITY_CHANGED). Verified locally (tools/check at 3
+    # SFs, driver_sim, pytest); flips to True in r18 alongside
+    # token_cosine_dups (cohort ~40, ample slack).
+    driver=False,
+    tags=("dedup", "simhash", "incremental"),
+    doc="O(new) incremental simhash screen — the cheap-fingerprint "
+    "complement of incremental_minhash_dedup, closing the last tier "
+    "of the incremental-dedup contract (minhash bands, embedding LSH "
+    "blocks, span hashes, segment keys — and now simhash bands): a "
+    "nightly batch (every-11th doc with a ' tail' suffix, the "
+    "simhash family's injection) probes the EXISTING corpus's "
+    "persisted packed band index on (lang, band_idx, band_val), "
+    "dedupes candidates, and verifies hamming <= 3 via "
+    "bit_count(xor) on the two packed words — new×index only, never "
+    "index×index. Pigeonhole losslessness transfers unchanged (4 "
+    "bands >= h+1). The batch side rides the size-gated broadcast "
+    "(INCREMENTAL_BATCH_BOUND, probe = the batch's raw id scan); "
+    "past the bound AQE takes the index shuffle. Use case at 100 TB: "
+    "a pre-filter screen that flags likely near-dup incoming docs "
+    "for the minhash tier at a fraction of its cost — the two-ruler "
+    "audit (simhash_match_audit) documents exactly what the screen "
+    "does and does not promise.",
+    prepare=lambda spark, sf_dir: warm_simhash_index(spark, sf_dir) and None,
+    oracle="""
+        WITH base AS (
+          SELECT doc_id, lang, text FROM documents
+        ),
+        batch AS (
+          SELECT doc_id + 100000 AS doc_id, lang, text || ' tail' AS text
+          FROM documents WHERE doc_id % 11 = 0
+        ),
+        allsh AS (
+          SELECT doc_id, lang,
+                 [CASE WHEN 2 * len([t for t in toks
+                        IF ((CAST(('0x' || substring(md5(t), 1, 8)) AS UBIGINT) >> i) & 1) = 1])
+                        >= len(toks)
+                       THEN 1 ELSE 0 END
+                  for i in range(0, 32)]
+                 ||
+                 [CASE WHEN 2 * len([t for t in toks
+                        IF ((CAST(('0x' || substring(md5(t), 9, 8)) AS UBIGINT) >> i) & 1) = 1])
+                        >= len(toks)
+                       THEN 1 ELSE 0 END
+                  for i in range(0, 32)] AS bits
+          FROM (SELECT doc_id, lang,
+                       list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+                FROM (SELECT * FROM base UNION ALL SELECT * FROM batch))
+        )
+        SELECT n.doc_id AS new_id, i.doc_id AS match_id,
+               CAST(len([j for j in range(1, 65) if n.bits[j] != i.bits[j]]) AS BIGINT)
+                 AS hamming
+        FROM allsh n JOIN allsh i
+          ON n.doc_id >= 100000 AND i.doc_id < 100000 AND n.lang = i.lang
+        WHERE len([j for j in range(1, 65) if n.bits[j] != i.bits[j]]) <= 3
+        ORDER BY new_id, match_id
+    """,
+)
+def incremental_simhash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    batch = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + INJECT_OFFSET).alias("doc_id"),
+        "lang",
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    new_b = _packed_banded(batch, n_words=2, band_bits=16).select(
+        F.col("doc_id").alias("new_id"),
+        "lang",
+        "band_idx",
+        "band_val",
+        F.col("w0").alias("na0"),
+        F.col("w1").alias("na1"),
+    )
+    batch_ids = d.filter(F.col("doc_id") % 11 == 0).select("doc_id")
+    idx = warm_simhash_index(spark, sf_dir).select(
+        F.col("doc_id").alias("match_id"),
+        "lang",
+        "band_idx",
+        "band_val",
+        F.col("w0").alias("nb0"),
+        F.col("w1").alias("nb1"),
+    )
+    hamming = F.bit_count(
+        F.col("na0").bitwiseXOR(F.col("nb0"))
+    ) + F.bit_count(F.col("na1").bitwiseXOR(F.col("nb1")))
+    return (
+        maybe_broadcast(new_b, INCREMENTAL_BATCH_BOUND, probe=batch_ids)
+        .join(idx, ["lang", "band_idx", "band_val"])
+        .select("new_id", "match_id", "na0", "na1", "nb0", "nb1")
+        .dropDuplicates(["new_id", "match_id"])
+        .select("new_id", "match_id", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("new_id", "match_id")
+    )
 
 
 @register(
