@@ -1220,11 +1220,15 @@ def _simhash_pairs(
     the near-dup criterion (a one-token edit flips ~width × p bits, so
     fixed h≤3 over 2× width halves the edit budget — measured 0.4%
     injected-dup recall), and even the budget-preserving ladder
-    (64b/h≤3 → 128b/h≤6) keeps only ~44% of the pair decisions while
-    costing 5–6× more at 100× scale (docs/SCALE.md round 9, probed by
-    tools/simhash_knob_probe.py). The 64b/4×16/h≤3 tier is the
-    contract; a future widening is a re-calibration, exposed here as
-    parameters so it is a one-line change."""
+    (64b/h≤3 → 128b/h≤6) keeps only ~44% of the pair decisions
+    (docs/SCALE.md round 9, re-confirmed r17 on the packed plan:
+    agreement 0.4448). The r9 cost argument is now moot — packing cut
+    the ladder's 100× premium from 5–6× to 1.42× (47.4 → 67.3 s,
+    tools/simhash_knob_probe.py r17) — which makes the point sharper,
+    not weaker: widening is affordable but it is a RE-CALIBRATION of
+    the near-dup definition, never a drop-in cost/quality knob. The
+    64b/4×16/h≤3 tier is the contract; parameters keep a future
+    widening a one-line change."""
     n_bits = 32 * n_words
     n_bands = n_bits // band_bits
     assert n_bands >= max_hamming + 1, (
