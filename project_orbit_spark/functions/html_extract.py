@@ -1691,19 +1691,19 @@ def make_table_extractor():
                 emitted += 1
                 caption = "".join(t["caption"]).strip()
                 for c, h in enumerate(headers, start=1):
-                    yield {"doc_id": doc_id, "tbl": emitted, "caption": caption,
-                           "kind": "header", "r": 0, "c": c, "value": h}
+                    yield (doc_id, emitted, caption, "header", 0, c, h)
                 for r, row in enumerate(rows, start=1):
                     for c, v in enumerate(row, start=1):
-                        yield {"doc_id": doc_id, "tbl": emitted, "caption": caption,
-                               "kind": "cell", "r": r, "c": c, "value": v}
+                        yield (doc_id, emitted, caption, "cell", r, c, v)
 
         cols = ["doc_id", "tbl", "caption", "kind", "r", "c", "value"]
         for pdf in batches:
+            # zip over the two columns, not iterrows() — a Series is
+            # materialized per row under iterrows (r17, guide §4.2)
             rows = [
                 r
-                for _, row in pdf.iterrows()
-                for r in walk(int(row["doc_id"]), row["html"])
+                for doc_id, html in zip(pdf["doc_id"], pdf["html"])
+                for r in walk(int(doc_id), html)
             ]
             out = _pd.DataFrame(rows, columns=cols)
             yield out.astype({"doc_id": "int64", "tbl": "int64", "r": "int64", "c": "int64"}) if len(

@@ -708,26 +708,41 @@ def make_png_synth():
             )
 
         for pdf in batches:
-            blobs = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w = 5 + (d % 6)  # 5..10
-                h = 4 + (d % 4)  # 4..7
-                x = np.arange(w)[None, :, None]
-                y = np.arange(h)[:, None, None]
-                c = np.arange(3)[None, None, :]
-                px = ((d * 11 + x * 5 + y * 7 + c * 3) % 256).astype(np.int64)
-                prior = np.zeros((w, 3), dtype=np.int64)
-                scanlines = []
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            blobs: list[bytes | None] = [None] * len(ids)
+            # r17 (guide §4.2): dims are doc_id-derived — 5+(d%6) x
+            # 4+(d%4), i.e. 12 shape classes by d%12 — so the pixel
+            # synthesis and the whole per-row filter family vectorize
+            # ACROSS the documents of a class (one numpy op per
+            # scanline for the class instead of per doc). Only the
+            # per-doc DEFLATE + chunk assembly stays row-at-a-time;
+            # the emitted bytes are identical to the old per-doc path
+            # (same scanline layout, same zlib level, same CRCs).
+            classes: dict[tuple[int, int], list[int]] = {}
+            for pos, d in enumerate(ids):
+                classes.setdefault((int(d) % 6, int(d) % 4), []).append(pos)
+            for (m6, m4), poss in classes.items():
+                w, h = 5 + m6, 4 + m4
+                dvec = ids[poss][:, None, None, None]  # (N,1,1,1)
+                x = np.arange(w)[None, None, :, None]
+                y = np.arange(h)[None, :, None, None]
+                c = np.arange(3)[None, None, None, :]
+                px = ((dvec * 11 + x * 5 + y * 7 + c * 3) % 256).astype(
+                    np.int64
+                )  # (N, h, w, 3)
+                filt = np.empty_like(px)
                 for yy in range(h):
-                    raw = px[yy]  # (w, 3)
+                    raw = px[:, yy]  # (N, w, 3)
+                    prior = (
+                        px[:, yy - 1] if yy else np.zeros_like(raw)
+                    )
                     f = yy % 5
                     # per the spec, filters predict from the RAW
                     # (unfiltered) bytes of this row and the row above
                     left = np.zeros_like(raw)
-                    left[1:] = raw[:-1]
+                    left[:, 1:] = raw[:, :-1]
                     upleft = np.zeros_like(prior)
-                    upleft[1:] = prior[:-1]
+                    upleft[:, 1:] = prior[:, :-1]
                     if f == 0:  # None
                         out = raw
                     elif f == 1:  # Sub: minus left pixel, first kept
@@ -747,17 +762,22 @@ def make_png_synth():
                             np.where(pb <= pc, prior, upleft),
                         )
                         out = (raw - pred) % 256
-                    scanlines.append(
-                        bytes([f]) + out.astype(np.uint8).tobytes()
-                    )
-                    prior = raw
-                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-                blobs.append(
-                    b"\x89PNG\r\n\x1a\n"
-                    + chunk(b"IHDR", ihdr)
-                    + chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
-                    + chunk(b"IEND", b"")
+                    filt[:, yy] = out
+                # scanline stream per doc: filter byte + 3w payload
+                # bytes per row, identical to bytes([f]) + row bytes
+                stream = np.empty((len(poss), h, 1 + 3 * w), dtype=np.uint8)
+                stream[:, :, 0] = (np.arange(h) % 5)[None, :]
+                stream[:, :, 1:] = filt.reshape(len(poss), h, 3 * w)
+                ihdr_chunk = chunk(
+                    b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
                 )
+                for k, pos in enumerate(poss):
+                    blobs[pos] = (
+                        b"\x89PNG\r\n\x1a\n"
+                        + ihdr_chunk
+                        + chunk(b"IDAT", zlib.compress(stream[k].tobytes()))
+                        + chunk(b"IEND", b"")
+                    )
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
     return synth
@@ -783,16 +803,28 @@ def make_png_decoder():
         import pandas as _pd
 
         for pdf in batches:
-            rows = []
-            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+            n = len(pdf)
+            widths = np.zeros(n, dtype=np.int64)
+            heights = np.zeros(n, dtype=np.int64)
+            pixel_sums = np.zeros(n, dtype=np.int64)
+            luma_sums = np.zeros(n, dtype=np.int64)
+            # chunk walk + CRC verification + inflate stay PER DOC
+            # (each stream has its own chunk boundaries and DEFLATE
+            # payload); the unfiltering below is then vectorized
+            # across all docs sharing a (w, h) shape (r17, guide
+            # §4.2) — grouped further by each scanline's ACTUAL
+            # filter byte, so the decoder still acts on what is in
+            # the stream, not on how the synth happens to cycle them.
+            classes: dict[tuple[int, int], list[tuple[int, bytes]]] = {}
+            for pos, b in enumerate(pdf["content"]):
                 b = bytes(b)
                 assert b[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG signature"
-                pos, w, h, idat = 8, None, None, b""
-                while pos < len(b):
-                    (ln,) = struct.unpack_from(">I", b, pos)
-                    typ = b[pos + 4 : pos + 8]
-                    data = b[pos + 8 : pos + 8 + ln]
-                    (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
+                off, w, h, idat = 8, None, None, b""
+                while off < len(b):
+                    (ln,) = struct.unpack_from(">I", b, off)
+                    typ = b[off + 4 : off + 8]
+                    data = b[off + 8 : off + 8 + ln]
+                    (crc,) = struct.unpack_from(">I", b, off + 8 + ln)
                     assert crc == zlib.crc32(typ + data), (
                         "CRC mismatch in " + typ.decode("latin1")
                     )
@@ -805,61 +837,79 @@ def make_png_decoder():
                         idat += data
                     elif typ == b"IEND":
                         break
-                    pos += 12 + ln
+                    off += 12 + ln
                 raw = zlib.decompress(idat)
-                stride = 1 + 3 * w
-                assert len(raw) == stride * h, "scanline stream truncated"
-                prior = np.zeros((w, 3), dtype=np.int64)
-                img = np.zeros((h, w, 3), dtype=np.int64)
+                assert len(raw) == (1 + 3 * w) * h, "scanline stream truncated"
+                widths[pos], heights[pos] = w, h
+                classes.setdefault((w, h), []).append((pos, raw))
+            for (w, h), items in classes.items():
+                m = len(items)
+                poss = np.array([p for p, _ in items], dtype=np.int64)
+                lines = np.frombuffer(
+                    b"".join(r for _, r in items), dtype=np.uint8
+                ).reshape(m, h, 1 + 3 * w)
+                fs = lines[:, :, 0]
+                vals = (
+                    lines[:, :, 1:].astype(np.int64).reshape(m, h, w, 3)
+                )
+                img = np.zeros_like(vals)
+                prior = np.zeros((m, w, 3), dtype=np.int64)
                 for yy in range(h):
-                    line = raw[yy * stride : (yy + 1) * stride]
-                    f = line[0]
-                    data = np.frombuffer(
-                        line, dtype=np.uint8, count=3 * w, offset=1
-                    ).astype(np.int64).reshape(w, 3)
-                    if f == 0:
-                        cur = data
-                    elif f == 1:  # Sub: cumulative along pixel axis
-                        cur = np.cumsum(data, axis=0) % 256
-                    elif f == 2:  # Up
-                        cur = (data + prior) % 256
-                    elif f in (3, 4):
-                        # Average/Paeth reconstruct sequentially along
-                        # x (the left neighbor is the RECONSTRUCTED
-                        # pixel); vectorized over the 3 channels
-                        cur = np.zeros((w, 3), dtype=np.int64)
-                        for xx in range(w):
-                            left = cur[xx - 1] if xx else np.zeros(3, dtype=np.int64)
-                            up = prior[xx]
-                            if f == 3:  # Average
-                                pred = (left + up) // 2
-                            else:  # Paeth predictor
-                                upleft = (
-                                    prior[xx - 1] if xx else np.zeros(3, dtype=np.int64)
-                                )
-                                p = left + up - upleft
-                                pa = np.abs(p - left)
-                                pb = np.abs(p - up)
-                                pc = np.abs(p - upleft)
-                                pred = np.where(
-                                    (pa <= pb) & (pa <= pc),
-                                    left,
-                                    np.where(pb <= pc, up, upleft),
-                                )
-                            cur[xx] = (data[xx] + pred) % 256
-                    else:
-                        raise AssertionError(f"unsupported filter {f}")
-                    img[yy] = cur
+                    data = vals[:, yy]  # (m, w, 3)
+                    cur = np.empty_like(data)
+                    for f in np.unique(fs[:, yy]):
+                        sel = fs[:, yy] == f
+                        d_, pr = data[sel], prior[sel]
+                        if f == 0:
+                            cu = d_
+                        elif f == 1:  # Sub: cumulative along pixel axis
+                            cu = np.cumsum(d_, axis=1) % 256
+                        elif f == 2:  # Up
+                            cu = (d_ + pr) % 256
+                        elif f in (3, 4):
+                            # Average/Paeth reconstruct sequentially
+                            # along x (the left neighbor is the
+                            # RECONSTRUCTED pixel); vectorized over
+                            # the docs and the 3 channels
+                            cu = np.zeros_like(d_)
+                            zero = np.zeros((int(sel.sum()), 3), dtype=np.int64)
+                            for xx in range(w):
+                                left = cu[:, xx - 1] if xx else zero
+                                up = pr[:, xx]
+                                if f == 3:  # Average
+                                    pred = (left + up) // 2
+                                else:  # Paeth predictor
+                                    upleft = pr[:, xx - 1] if xx else zero
+                                    p = left + up - upleft
+                                    pa = np.abs(p - left)
+                                    pb = np.abs(p - up)
+                                    pc = np.abs(p - upleft)
+                                    pred = np.where(
+                                        (pa <= pb) & (pa <= pc),
+                                        left,
+                                        np.where(pb <= pc, up, upleft),
+                                    )
+                                cu[:, xx] = (d_[:, xx] + pred) % 256
+                        else:
+                            raise AssertionError(f"unsupported filter {f}")
+                        cur[sel] = cu
+                    img[:, yy] = cur
                     prior = cur
                 luma = (
-                    img[:, :, 0] * 299 + img[:, :, 1] * 587 + img[:, :, 2] * 114
+                    img[:, :, :, 0] * 299
+                    + img[:, :, :, 1] * 587
+                    + img[:, :, :, 2] * 114
                 ) // 1000
-                rows.append(
-                    (int(doc_id), w, h, int(img.sum()), int(luma.sum()))
-                )
+                pixel_sums[poss] = img.sum(axis=(1, 2, 3))
+                luma_sums[poss] = luma.sum(axis=(1, 2))
             yield _pd.DataFrame(
-                rows,
-                columns=["doc_id", "width", "height", "pixel_sum", "luma_sum"],
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                    "width": widths,
+                    "height": heights,
+                    "pixel_sum": pixel_sums,
+                    "luma_sum": luma_sums,
+                }
             )
 
     return decode
