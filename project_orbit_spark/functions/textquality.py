@@ -961,143 +961,97 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(d.select("doc_id", "text"))
 
 
-def _rep_gram_stats(t: Column, n: int) -> Column:
-    """struct(top, dup) of the n-gram multiset of token array ``t``,
-    computed PER ROW: top = max over distinct grams of count*chars,
-    dup = sum over grams with count>1 of count*chars. Each (doc_id,
-    n, gram) count group of the original formulation was keyed by
-    doc_id — one input row — so the whole aggregation tree is a
-    per-row reduction: sort the gram array (equal grams become
-    adjacent runs) and fold run lengths, no explode, no exchange
-    (guide §2.4 — the r17 shuffle-removal rewrite; value-identical,
-    property-tested against the exact Python reference). Docs with
-    size(t) < n fold the empty array to (0, 0), exactly the value the
-    old left-join + coalesce path produced for their absent rows."""
-    grams = F.when(
-        F.size(t) >= n,
-        F.array_sort(
-            F.transform(
-                F.sequence(F.lit(0), F.size(t) - n),
-                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    init = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("top"),
-        F.lit(0).cast("long").alias("dup"),
-    )
-
-    def flushed(acc):
-        # close the current run: fold its count*chars contribution
-        # into top/dup (run > 1 ⇒ duplicate gram, per the paper every
-        # overlapping occurrence counts)
-        contrib = acc["run"] * F.length(acc["prev"]).cast("long")
-        top = F.when(
-            acc["prev"].isNull(), acc["top"]
-        ).otherwise(F.greatest(acc["top"], contrib))
-        dup = F.when(
-            acc["prev"].isNotNull() & (acc["run"] > 1),
-            acc["dup"] + contrib,
-        ).otherwise(acc["dup"])
-        return top, dup
-
-    def step(acc, g):
-        top, dup = flushed(acc)
-        return F.when(
-            acc["prev"].isNotNull() & (acc["prev"] == g),
-            F.struct(
-                acc["prev"].alias("prev"),
-                (acc["run"] + 1).alias("run"),
-                acc["top"].alias("top"),
-                acc["dup"].alias("dup"),
-            ),
-        ).otherwise(
-            F.struct(
-                g.alias("prev"),
-                F.lit(1).cast("long").alias("run"),
-                top.alias("top"),
-                dup.alias("dup"),
-            )
-        )
-
-    def finish(acc):
-        top, dup = flushed(acc)
-        return F.struct(top.alias("top"), dup.alias("dup"))
-
-    return F.aggregate(grams, init, step, finish)
-
-
-def _rep_frac(c: Column, total_chars: Column) -> Column:
-    # zero-chars guard (ADVICE r13): an empty/whitespace-only doc
-    # has total_chars=0, where Spark's Divide yields NULL but
-    # DuckDB's double division yields inf/nan — and least()
-    # IGNORES nulls on both engines, so a divisor-level nullif
-    # alone would be masked back to 1.0; the whole fraction must
-    # be NULL for degenerate docs, hence the outer when()
-    return F.when(
-        total_chars > 0,
-        F.floor(
-            F.least(
-                F.lit(1.0),
-                F.coalesce(c, F.lit(0)).cast("double") / total_chars,
-            )
-            * 1000000
-        )
-        / 1000000,
-    )
-
-
-def _with_repetition_fracs(base: DataFrame) -> DataFrame:
-    """Add top2_frac/top3_frac/dup3_frac/dup4_frac to a frame carrying
-    token array ``t`` and ``total_chars`` — map-only (see
-    _rep_gram_stats); shared by the standalone signals face, the
-    ensemble filter, and the report card so none of them pays a
-    per-doc join for features computable in the document's own row."""
-    return (
-        base.withColumn("_s2", _rep_gram_stats(F.col("t"), 2))
-        .withColumn("_s3", _rep_gram_stats(F.col("t"), 3))
-        .withColumn("_s4", _rep_gram_stats(F.col("t"), 4))
-        .withColumn(
-            "top2_frac", _rep_frac(F.col("_s2.top"), F.col("total_chars"))
-        )
-        .withColumn(
-            "top3_frac", _rep_frac(F.col("_s3.top"), F.col("total_chars"))
-        )
-        .withColumn(
-            "dup3_frac", _rep_frac(F.col("_s3.dup"), F.col("total_chars"))
-        )
-        .withColumn(
-            "dup4_frac", _rep_frac(F.col("_s4.dup"), F.col("total_chars"))
-        )
-        .drop("_s2", "_s3", "_s4")
-    )
-
-
-def _rep_base(d: DataFrame, *extra_cols: str) -> DataFrame:
-    """(doc_id, *extra, t, total_chars) — the tokenized spine the
-    repetition fracs are computed over."""
+def repetition_signals(d: DataFrame) -> DataFrame:
+    """Library face of ``gopher_repetition_signals`` over any
+    (doc_id, text) corpus."""
     toks = F.split(F.trim(F.lower("text")), r"\s+")
-    return (
-        d.select("doc_id", *extra_cols, toks.alias("t"))
+    base = (
+        d.select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= 1)
         .withColumn(
             "total_chars", F.length(F.concat_ws(" ", "t")).cast("long")
         )
     )
 
+    def grams(n: int):
+        # sequence() guards on size >= n: sequence(0, negative) would
+        # DESCEND in Spark, fabricating windows — the when() branch is
+        # only evaluated on matching rows (codegen CASE short-circuit).
+        windows = F.transform(
+            F.sequence(F.lit(0), F.size("t") - n),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice("t", i + 1, n)).alias("gram"),
+            ),
+        )
+        return F.when(F.size("t") >= n, windows).otherwise(
+            F.array().cast("array<struct<n:int,gram:string>>")
+        )
 
-def repetition_signals(d: DataFrame) -> DataFrame:
-    """Library face of ``gopher_repetition_signals`` over any
-    (doc_id, text) corpus. r17: single corpus pass, ZERO exchanges
-    before the output sort — the per-doc gram counting runs inside
-    the row (guide §2.4), where the old plan exploded a (doc_id, n,
-    gram) stream through a hash-aggregate shuffle keyed by doc_id."""
+    stream = base.select(
+        "doc_id",
+        F.explode(F.flatten(F.array(grams(2), grams(3), grams(4)))).alias(
+            "g"
+        ),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    cnt = (
+        stream.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("chars", F.length("gram").cast("long"))
+    )
+    per_n = cnt.groupBy("doc_id", "n").agg(
+        F.max(F.col("c") * F.col("chars")).alias("top_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("chars"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dup_chars"),
+    )
+    piv = per_n.groupBy("doc_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("n") == 2, F.col("top_chars"))), F.lit(0)
+        ).alias("top2"),
+        F.coalesce(
+            F.max(F.when(F.col("n") == 3, F.col("top_chars"))), F.lit(0)
+        ).alias("top3"),
+        F.coalesce(
+            F.max(F.when(F.col("n") == 3, F.col("dup_chars"))), F.lit(0)
+        ).alias("dup3"),
+        F.coalesce(
+            F.max(F.when(F.col("n") == 4, F.col("dup_chars"))), F.lit(0)
+        ).alias("dup4"),
+    )
+
+    def frac(c: Column) -> Column:
+        # zero-chars guard (ADVICE r13): an empty/whitespace-only doc
+        # has total_chars=0, where Spark's Divide yields NULL but
+        # DuckDB's double division yields inf/nan — and least()
+        # IGNORES nulls on both engines, so a divisor-level nullif
+        # alone would be masked back to 1.0; the whole fraction must
+        # be NULL for degenerate docs, hence the outer when()
+        return F.when(
+            F.col("total_chars") > 0,
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.coalesce(c, F.lit(0)).cast("double")
+                    / F.col("total_chars"),
+                )
+                * 1000000
+            )
+            / 1000000,
+        )
+
     return (
-        _with_repetition_fracs(_rep_base(d))
+        base.select("doc_id", "total_chars")
+        .join(piv, "doc_id", "left")
         .select(
-            "doc_id", "top2_frac", "top3_frac", "dup3_frac", "dup4_frac"
+            "doc_id",
+            frac(F.col("top2")).alias("top2_frac"),
+            frac(F.col("top3")).alias("top3_frac"),
+            frac(F.col("dup3")).alias("dup3_frac"),
+            frac(F.col("dup4")).alias("dup4_frac"),
         )
         .withColumn(
             "keep",
@@ -1154,28 +1108,28 @@ def ensemble_scores(d: DataFrame) -> DataFrame:
     """Library face of ``quality_ensemble_filter`` over any
     (doc_id, text, n_chars) frame — shared with the streaming twin
     (streaming/curation.py::stream_quality_filter), which scores each
-    micro-batch with this identical plan. r17: the repetition fracs
-    are per-row expressions (_rep_gram_stats), so the quality term
-    and the features live in the SAME projection — the old per-doc
-    stitch join (and both of its exchanges) is gone; the whole score
-    is one corpus pass plus the output sort (guide §2.4). The old
-    inner join was row-preserving: _rep_base's size >= 1 filter
-    never drops a row (split() yields [''] on empty text)."""
-    base = _with_repetition_fracs(_rep_base(d, "text", "n_chars"))
-    quality = (
-        F.floor(quality_score(F.col("text"), F.col("n_chars")) * 10000)
-        / 10000
+    micro-batch with this identical plan."""
+    q = d.select(
+        "doc_id",
+        (
+            F.floor(quality_score(F.col("text"), F.col("n_chars")) * 10000)
+            / 10000
+        ).alias("quality"),
+    )
+    feats = repetition_signals(d.select("doc_id", "text")).select(
+        "doc_id", "top2_frac", "dup3_frac"
     )
     score = F.floor(
         (
-            quality
+            F.col("quality")
             - F.lit(2.0) * F.col("top2_frac")
             - F.lit(4.0) * F.col("dup3_frac")
         )
         * 10000
     ) / 10000
     return (
-        base.select(
+        q.join(feats, "doc_id")
+        .select(
             "doc_id",
             score.alias("ensemble_score"),
             (score >= 0.45).cast("long").alias("keep"),
@@ -1248,14 +1202,7 @@ def ensemble_scores(d: DataFrame) -> DataFrame:
 )
 def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    # r17: the repetition fracs ride the same projection as the
-    # quality/stat columns (per-row _rep_gram_stats, guide §2.4) —
-    # the old per-doc fr join and its exchanges are gone; the only
-    # join left is the content-hash dup flag, which genuinely
-    # couples rows across documents.
-    q = _with_repetition_fracs(
-        _rep_base(d, "lang", "text", "n_chars")
-    ).select(
+    q = d.select(
         "doc_id",
         "lang",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
@@ -1263,16 +1210,14 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("q_int"),
         F.md5("text").alias("content_hash"),
-        "top2_frac",
-        "top3_frac",
-        "dup3_frac",
-        "dup4_frac",
     )
     dupf = q.groupBy("content_hash").agg(
         (F.count(F.lit(1)) > 1).alias("is_dup")
     )
+    fr = repetition_signals(d.select("doc_id", "text"))
     per_doc = (
         q.join(dupf, "content_hash")
+        .join(fr.select("doc_id", "top2_frac", "top3_frac", "dup3_frac", "dup4_frac"), "doc_id")
         .select(
             "lang",
             "n_tokens",

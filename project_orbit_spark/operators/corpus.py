@@ -934,94 +934,6 @@ def doc_segments(d: DataFrame, seg_w: int = _SEG_W) -> DataFrame:
     )
 
 
-def doc_segment_hashes(d: DataFrame, seg_w: int = _SEG_W) -> DataFrame:
-    """(doc_id, seg_idx, seg_hash) — the DECISION-sized segment
-    stream: 60-bit hashes only. The segment text is hashed inside the
-    row and never enters the exploded projection, so every downstream
-    seg-keyed exchange carries two longs and an int per segment
-    instead of the segment string (r17, guide §2.3/§8)."""
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 1)
-    return t.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size("toks") / F.lit(seg_w)).cast("int") - 1,
-                ),
-                lambda i: F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                " ", F.slice("toks", i * seg_w + 1, seg_w)
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-            )
-        ).alias("seg_idx", "seg_hash"),
-    )
-
-
-def _segments_col(seg_w: int) -> Column:
-    """The per-row segment array of a (doc_id, text) frame — the same
-    fixed-width grid doc_segments explodes, kept in the row for the
-    map-side rebuild."""
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    return F.transform(
-        F.sequence(
-            F.lit(0), F.ceil(F.size(toks) / F.lit(seg_w)).cast("int") - 1
-        ),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_w + 1, seg_w)),
-    )
-
-
-def _drop_decisions(flagged: DataFrame) -> DataFrame:
-    """(doc_id, seg_idx, is_dup) → one decision row per doc:
-    (doc_id, n_segments, n_dropped, dropped idx array). Ints only —
-    guide §8's lightweight-proxy rule for the rebuild join."""
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_segments"),
-        F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
-        F.collect_list(F.when(F.col("is_dup"), F.col("seg_idx"))).alias(
-            "dropped"
-        ),
-    )
-
-
-def _rebuild_from_drops(
-    d: DataFrame, drops: DataFrame, seg_w: int
-) -> DataFrame:
-    """Reattach per-doc drop DECISIONS to the document row and rebuild
-    clean_text map-side by re-deriving the segment grid from the text
-    itself (r17, guide §8): the old shape shuffled every segment
-    STRING through the flag join and again through a collect_list
-    reassembly; now only (doc_id, ints) cross the seg-keyed exchanges
-    and the text crosses exactly the one doc-keyed rebuild join."""
-    segs = _segments_col(seg_w)
-    clean = F.array_join(
-        F.filter(segs, lambda s, i: ~F.array_contains(F.col("dropped"), i)),
-        " ",
-    )
-    return (
-        d.select("doc_id", "text")
-        .join(drops, "doc_id")
-        .select(
-            "doc_id",
-            "n_segments",
-            "n_dropped",
-            clean.alias("clean_text"),
-        )
-        .withColumn("clean_n_chars", F.length("clean_text").cast("long"))
-        .orderBy("doc_id")
-    )
-
-
 def boilerplate_hashes(
     d: DataFrame, seg_w: int = _SEG_W, bp_df: int = _BP_DF
 ) -> DataFrame:
@@ -1030,7 +942,7 @@ def boilerplate_hashes(
     at 100 TB this is the persisted scrub artifact the incremental
     face probes (warm_curation_artifacts)."""
     return (
-        doc_segment_hashes(d, seg_w)
+        doc_segments(d, seg_w)
         .groupBy("seg_hash")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= bp_df)
@@ -1038,24 +950,30 @@ def boilerplate_hashes(
     )
 
 
-def apply_boilerplate_scrub(
-    d: DataFrame, bp: DataFrame, seg_w: int = _SEG_W
-) -> DataFrame:
-    """Rewrite (doc_id, text) docs with flagged segments excised — the
-    APPLY stage shared by the full-corpus scrub and the incremental
-    face (which passes the PERSISTED bp set). r17 (guide §8): the
-    flag join and per-doc regroup run over the hash-only segment
-    stream; the rewritten text is rebuilt from the document row."""
-    flagged = (
-        doc_segment_hashes(d, seg_w)
-        .join(bp, "seg_hash", "left")
-        .select(
-            "doc_id",
-            "seg_idx",
-            F.coalesce(F.col("is_bp"), F.lit(False)).alias("is_dup"),
-        )
+def apply_boilerplate_scrub(segs: DataFrame, bp: DataFrame) -> DataFrame:
+    """Rewrite docs from their segment stream with flagged segments
+    excised — the APPLY stage shared by the full-corpus scrub and the
+    incremental face (which passes the PERSISTED bp set)."""
+    flagged = segs.join(bp, "seg_hash", "left")
+    kept = F.when(~F.coalesce(F.col("is_bp"), F.lit(False)), F.struct("seg_idx", "seg"))
+    clean = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept)), lambda x: x.getField("seg")
+        ),
+        " ",
     )
-    return _rebuild_from_drops(d, _drop_decisions(flagged), seg_w)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.coalesce(F.col("is_bp"), F.lit(False)).cast("long")).alias(
+                "n_dropped"
+            ),
+            clean.alias("clean_text"),
+        )
+        .withColumn("clean_n_chars", F.length("clean_text").cast("long"))
+        .orderBy("doc_id")
+    )
 
 
 def scrub_boilerplate(
@@ -1064,7 +982,13 @@ def scrub_boilerplate(
     """Library face of ``boilerplate_segment_scrub``: rewrite each
     (doc_id, text) row with every ``seg_w``-token segment that occurs
     in >= ``bp_df`` distinct documents excised."""
-    bp = boilerplate_hashes(d, seg_w, bp_df)
+    segs = doc_segments(d, seg_w)
+    bp = (
+        segs.groupBy("seg_hash")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= bp_df)
+        .select("seg_hash", F.lit(True).alias("is_bp"))
+    )
     # boilerplate set = segments REPEATED across >=3 docs; bounded by
     # corpus redundancy, not corpus size. This is the AQE-ONLY path
     # ADVICE r11 #2 asked to consider, adopted after measuring: with
@@ -1077,7 +1001,7 @@ def scrub_boilerplate(
     # non-cartesian shape). If the bp set ever outgrows the broadcast
     # threshold at 100 TB, AQE degrades to a shuffle join — the same
     # safe failure mode the gate's decline path had.
-    return apply_boilerplate_scrub(d, bp, seg_w)
+    return apply_boilerplate_scrub(segs, bp)
 
 
 @register(
@@ -1146,26 +1070,40 @@ def segment_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_segments_first_wins(d: DataFrame, seg_w: int = _SEG_W) -> DataFrame:
     """Library face of ``segment_dedup_first_wins``: rewrite each
     (doc_id, text) row keeping only the corpus-wide FIRST occurrence
-    of every ``seg_w``-token segment. r17 (guide §8): the first-
-    occurrence decision rides the hash-only stream; segment strings
-    never shuffle — the rewrite re-derives them from the doc row."""
-    hashes = doc_segment_hashes(d, seg_w)
+    of every ``seg_w``-token segment."""
+    segs = doc_segments(d, seg_w)
     # min(struct) aggregate, NOT row_number over seg_hash: partial
     # aggregation collapses hot segments map-side (see register doc).
-    firsts = hashes.groupBy("seg_hash").agg(
+    firsts = segs.groupBy("seg_hash").agg(
         F.min(F.struct("doc_id", "seg_idx")).alias("first_occ")
     )
-    flagged = hashes.join(firsts, "seg_hash").select(
-        "doc_id",
-        "seg_idx",
-        (
-            ~(
-                (F.col("doc_id") == F.col("first_occ.doc_id"))
-                & (F.col("seg_idx") == F.col("first_occ.seg_idx"))
-            )
-        ).alias("is_dup"),
+    flagged = segs.join(firsts, "seg_hash").withColumn(
+        "is_dup",
+        ~(
+            (F.col("doc_id") == F.col("first_occ.doc_id"))
+            & (F.col("seg_idx") == F.col("first_occ.seg_idx"))
+        ),
     )
-    return _rebuild_from_drops(d, _drop_decisions(flagged), seg_w)
+    kept = F.when(
+        ~F.col("is_dup"),
+        F.struct(F.col("seg_idx").alias("idx"), F.col("seg").alias("seg")),
+    )
+    clean = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept)), lambda x: x.getField("seg")
+        ),
+        " ",
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
+            clean.alias("clean_text"),
+        )
+        .withColumn("clean_n_chars", F.length("clean_text").cast("long"))
+        .orderBy("doc_id")
+    )
 
 
 _SEGMENT_INDEX_CACHE = None  # populated lazily via register_df_cache
@@ -1186,7 +1124,7 @@ def warm_segment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _SEGMENT_INDEX_CACHE:
         d = load(spark, sf_dir, "documents").select("doc_id", "text")
         idx = (
-            doc_segment_hashes(d)
+            doc_segments(d)
             .select("seg_hash")
             .distinct()
             .select("seg_hash", F.lit(True).alias("seen"))
@@ -1290,7 +1228,7 @@ def segment_dedup_batch(batch: DataFrame, idx: DataFrame) -> DataFrame:
     the persisted seen-segment index — factored out so the streaming
     twin (streaming/curation.py::stream_segment_dedup) runs the
     IDENTICAL plan per micro-batch."""
-    nseg = doc_segment_hashes(batch)
+    nseg = doc_segments(batch)
     # within-batch first occurrence — O(new) aggregate, map-side
     # combinable exactly like the offline face
     firsts = nseg.groupBy("seg_hash").agg(
@@ -1299,21 +1237,34 @@ def segment_dedup_batch(batch: DataFrame, idx: DataFrame) -> DataFrame:
     flagged = (
         nseg.join(firsts, "seg_hash")
         .join(idx, "seg_hash", "left")
-        .select(
-            "doc_id",
-            "seg_idx",
-            (
-                F.coalesce(F.col("seen"), F.lit(False))
-                | ~(
-                    (F.col("doc_id") == F.col("first_occ.doc_id"))
-                    & (F.col("seg_idx") == F.col("first_occ.seg_idx"))
-                )
-            ).alias("is_dup"),
+        .withColumn(
+            "is_dup",
+            F.coalesce(F.col("seen"), F.lit(False))
+            | ~(
+                (F.col("doc_id") == F.col("first_occ.doc_id"))
+                & (F.col("seg_idx") == F.col("first_occ.seg_idx"))
+            ),
         )
     )
+    kept = F.when(
+        ~F.col("is_dup"),
+        F.struct(F.col("seg_idx").alias("idx"), F.col("seg").alias("seg")),
+    )
+    clean = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept)), lambda x: x.getField("seg")
+        ),
+        " ",
+    )
     return (
-        _rebuild_from_drops(batch, _drop_decisions(flagged), _SEG_W)
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
+            clean.alias("clean_text"),
+        )
         .withColumnRenamed("doc_id", "new_id")
+        .withColumn("clean_n_chars", F.length("clean_text").cast("long"))
         .orderBy("new_id")
     )
 
@@ -1465,7 +1416,7 @@ def refresh_segment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (seg_hash, dt) — the layout an offline first-wins dedup job
     # maintains day by day
     seed = (
-        doc_segment_hashes(d)
+        doc_segments(d)
         .select(
             "seg_hash",
             F.concat(
@@ -1477,7 +1428,7 @@ def refresh_segment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed.write.mode("overwrite").partitionBy("dt").parquet(stage)
     # MERGE: the nightly batch's distinct segments land as dt=...-04
     b1seg = (
-        doc_segment_hashes(_segment_dedup_arm(d))
+        doc_segments(_segment_dedup_arm(d))
         .select("seg_hash")
         .distinct()
         .withColumn("dt", F.lit("2026-01-04"))
@@ -2011,7 +1962,7 @@ def warm_curation_artifacts(spark: SparkSession, sf_dir: str) -> dict:
         # checkpoints the scrub and LM chains re-execute once per
         # artifact during the one-time warm
         scrubbed = (
-            apply_boilerplate_scrub(d, bp)
+            apply_boilerplate_scrub(doc_segments(d), bp)
             .select("doc_id", F.col("clean_text").alias("text"))
             .localCheckpoint()
         )
@@ -2315,7 +2266,7 @@ def curate_batch(batch: DataFrame, art: dict) -> DataFrame:
     # batch is the O(new) side, so materializing it once is bounded
     # by batch size at any corpus scale.
     scrub = (
-        apply_boilerplate_scrub(batch, art["bp"])
+        apply_boilerplate_scrub(doc_segments(batch), art["bp"])
         .select("doc_id", F.col("clean_text").alias("text"))
         .localCheckpoint()
     )

@@ -901,27 +901,15 @@ def test_brute_force_topk_is_salted_not_single_window(spark):
 
 
 def test_gopher_signals_single_corpus_pass(spark):
-    # r17 shuffle-removal rewrite (_rep_gram_stats): the per-doc gram
-    # counting folds inside the row, so the plan must contain NO
-    # explode and NO exchange other than the output sort — one corpus
-    # pass, map-only until the orderBy (guide §2.4). The old contract
-    # (one flatten+explode into a doc-keyed hash aggregate) is
-    # superseded by this strictly stronger one.
+    # ONE flatten+explode produces the (n, gram) stream for all n —
+    # the plan must contain exactly one Generate (explode) node, and
+    # the count aggregate must have a map-side partial phase
+    import re
+
     f = facts("gopher_repetition_signals", spark)
-    assert "Generate" not in f.text, "gram stats must fold per-row, not explode"
-    # formatted plans name each node twice (tree + detail section), so
-    # one range exchange for the output sort counts as 2
-    assert f.n_shuffles <= 2, f"only the output sort may shuffle: {f.n_shuffles}"
-
-
-def test_ensemble_filter_is_single_pass_map_only(spark):
-    # r17: quality term + repetition fracs live in one projection —
-    # no per-doc stitch join, no aggregate, one corpus pass + sort
-    f = facts("quality_ensemble_filter", spark)
-    assert "Generate" not in f.text
-    assert "Join" not in f.text, "ensemble must not re-join per-doc features"
-    # one range exchange (output sort), printed twice in formatted mode
-    assert f.n_shuffles <= 2, f"only the output sort may shuffle: {f.n_shuffles}"
+    nodes = set(re.findall(r"Generate \((\d+)\)", f.text))
+    assert len(nodes) == 1, f"n-gram stream must be one explode: {nodes}"
+    assert f.partial_agg
 
 
 def test_bpe_tokenize_join_is_broadcast_and_partial_agg(spark):
