@@ -32,8 +32,53 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # reference: data/forbes_ai50_seed.json, src/scraper_v2.py:4133-4145).
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
+def _size_to_bytes(s: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728b', '128m', '1g')."""
+    s = s.strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s) * mult)
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def _fan_out_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Scale-adaptive scan fan-out: repartition to defaultParallelism
+    ONLY when the input's own byte size cannot produce enough splits
+    to feed the cores. Derived from input size, never a constant — on
+    a real lake table the branch is dead code. ``SPARK_GRAFT_FAN_OUT=0``
+    disables it globally (A/B measurement + emergency off-switch)."""
+    if os.environ.get("SPARK_GRAFT_FAN_OUT", "1") == "0":
+        return df
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return df
+    try:
+        max_pb = _size_to_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+    except (ValueError, TypeError):
+        max_pb = 128 * 1024 * 1024
+    target = spark.sparkContext.defaultParallelism
+    est_splits = max(1, -(-size // max_pb))
+    if est_splits >= target or target <= 1:
+        return df
+    return df.repartition(target)
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
     ``events.ts`` has shipped in two physical vintages: TIMESTAMP(NANOS)
@@ -41,6 +86,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     legacy conf) and plain ``timestamp[us]`` (read natively as
     TIMESTAMP_NTZ). Branch on the dtype actually loaded so either
     vintage yields the same microsecond TIMESTAMP column under UTC.
+
+    ``fan_out=True`` opts a call site into the scale-adaptive scan
+    fan-out (``_fan_out_scan``): the fixture parquet ships ONE row
+    group per table, so a scan yields ONE non-empty task and every
+    map stage before the first exchange runs on a single core. Call
+    sites whose per-row map work is expensive (tokenization, n-gram
+    explosion, signature computation, Python-boundary batches) opt in
+    and get a repartition to defaultParallelism — measured r17:
+    gopher_repetition_signals 3.0 s single-task vs 1.5 s fanned out
+    on local[32]. The guide's fix for unsplittable inputs
+    (optimization guide §2.5: "repartition immediately after the
+    read") — applied ADAPTIVELY: only when the file's own split count
+    (size / maxPartitionBytes) cannot feed the cores, so at 100 TB
+    the corpus scan has thousands of splits, the condition is false,
+    and load() is byte-for-byte the plain scan. Cheap map sides
+    (numeric codegen over facts, trivial projections) must NOT opt
+    in: the extra exchange is a measured net loss there (q1-shaped
+    agg: 0.17 s -> 0.61 s; chunk_documents: 0.54 s -> 0.65 s).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -66,7 +129,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # native timestamp / timestamp_ntz vintage: normalize to the
         # session-TZ (UTC) timestamp type every downstream op expects
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if fan_out:
+        df = _fan_out_scan(spark, df, path)
+    return df
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

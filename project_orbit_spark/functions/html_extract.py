@@ -1756,7 +1756,7 @@ def make_table_extractor():
     """,
 )
 def html_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id")
     inner = make_table_extractor()
 
     def template_then_parse(batches):

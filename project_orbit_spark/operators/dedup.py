@@ -1917,7 +1917,7 @@ def _span_hashes(df: DataFrame) -> DataFrame:
     """,
 )
 def repeated_span_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     spans = _span_hashes(d)
     agg = (
         spans.groupBy("span_hash")

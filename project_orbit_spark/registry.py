@@ -253,11 +253,21 @@ _DRIVER_PRIORITY = (
 # guards hold (verified at HEAD). That is the same trade the r16
 # VERDICT demanded for the late-r16 changed paths: changed plans get
 # driver records NOW; an unchanged query's record may ride the bar.
+# Optimization-round (r17) additions: the scan fan-out opt-ins
+# (catalog.load(fan_out=True)) change these queries' physical plans
+# (one adaptive round-robin exchange after the documents scan; values
+# identical, 3-SF hash re-checked at the change commit) — changed
+# plans get driver records NOW per the standing convention.
 _DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
     "winnowing_match_pairs",
     "incremental_span_contamination",
     "simhash_hamming_dups",
     "simhash64_hamming_dups",
+    "gopher_repetition_signals",
+    "quality_ensemble_filter",
+    "corpus_report_card",
+    "repeated_span_mining",
+    "html_table_extract",
 )
 
 
