@@ -957,7 +957,7 @@ _GOPHER_KEEP = {
     """,
 )
 def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents", fan_out=True)
+    d = load(spark, sf_dir, "documents", fan_out=True, fan_out_cols=("doc_id",))
     return repetition_signals(d.select("doc_id", "text"))
 
 
@@ -1100,7 +1100,7 @@ def repetition_signals(d: DataFrame) -> DataFrame:
     """,
 )
 def quality_ensemble_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents", fan_out=True)
+    d = load(spark, sf_dir, "documents", fan_out=True, fan_out_cols=("doc_id",))
     return ensemble_scores(d)
 
 
@@ -1201,7 +1201,7 @@ def ensemble_scores(d: DataFrame) -> DataFrame:
     """,
 )
 def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents", fan_out=True)
+    d = load(spark, sf_dir, "documents", fan_out=True, fan_out_cols=("doc_id",))
     q = d.select(
         "doc_id",
         "lang",

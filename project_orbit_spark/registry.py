@@ -268,6 +268,9 @@ _DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
     "corpus_report_card",
     "repeated_span_mining",
     "html_table_extract",
+    # map-only PQ encode rewrite (similarity/cosine.py::_pq_chosen)
+    "ann_ivf_pq_topk",
+    "ann_ivf_pq_topk_warm",
 )
 
 

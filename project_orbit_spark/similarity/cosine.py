@@ -612,20 +612,54 @@ def pq_codebook(e: DataFrame) -> DataFrame:
     )
 
 
+def _pq_chosen(codebook: DataFrame):
+    """(packed 1-row codebook DF, chosen-codeword expression): for an
+    ``emb`` row, an array of _PQ_M structs (code, cw) — the nearest
+    codeword per subspace (euclidean, code_label tie-break), picked
+    MAP-SIDE via array_min over the packed broadcast codebook. r17
+    (guide §2.3/§2.4): the former encode path shuffled the _PQ_M-way
+    exploded subvectors into a row_number window (one exchange + sort
+    over corpus×_PQ_M rows) — at 100 TB the encode step is a pure map
+    over the broadcast codebook, and now it is one here too. array_min
+    on struct(d, code, cw) compares fields left-to-right, so the
+    (dist, code_label) tie-break is bit-identical to the old window's
+    ORDER BY dist, code_label (code_label is unique within a
+    subspace, so cw never participates)."""
+    pack = codebook.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("s", "code_label", "cw"))).alias(
+            "pq_cs"
+        )
+    )
+    chosen = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.filter("pq_cs", lambda c: c["s"] == s),
+                lambda c: F.struct(
+                    euclidean(
+                        F.slice("emb", s * _PQ_DSUB + 1, _PQ_DSUB), c["cw"]
+                    ).alias("d"),
+                    c["code_label"].alias("code"),
+                    c["cw"].alias("cw"),
+                ),
+            )
+        ),
+    )
+    return pack, chosen
+
+
 def pq_codes(e: DataFrame, codebook: DataFrame) -> DataFrame:
     """(vec_id, s, code): each vector's nearest codeword id per
     subspace (euclidean, code_label tie-break). THIS is the stored
     index artifact at 100 TB — _PQ_M small ints per vector instead of
     the raw floats (64 dims × float32 → 4 bytes of codes: 64×
-    compression) — computed map-side under the broadcast codebook."""
-    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("dist"), F.asc("code_label"))
+    compression) — computed map-side under the broadcast codebook
+    (see _pq_chosen: zero shuffles in the encode since r17)."""
+    pack, chosen = _pq_chosen(codebook)
     return (
-        _pq_sub(e)
-        .join(F.broadcast(codebook), "s")
-        .withColumn("dist", euclidean(F.col("subv"), F.col("cw")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", F.col("code_label").alias("code"))
+        e.crossJoin(F.broadcast(pack))
+        .select("vec_id", F.posexplode(chosen).alias("s", "ch"))
+        .select("vec_id", F.col("s").cast("int").alias("s"), F.col("ch.code").alias("code"))
     )
 
 
@@ -636,7 +670,25 @@ def pq_reconstructions(e: DataFrame, codebook: DataFrame | None = None, codes: D
     read path. Callers pass persisted codes/codebook for the warm
     (serving) path; defaults rebuild both inline (cold path)."""
     cb = codebook if codebook is not None else pq_codebook(e)
-    cd = codes if codes is not None else pq_codes(e, cb)
+    if codes is None:
+        # cold path, r17 (guide §2.4): choose + reconstruct in ONE
+        # map-only pass over the broadcast packed codebook — the old
+        # path materialized (vec_id, s, code) rows, joined them back
+        # to the codebook and re-grouped by vec_id (two exchanges the
+        # serving read never needs when the codes aren't persisted).
+        pack, chosen = _pq_chosen(cb)
+        return (
+            e.crossJoin(F.broadcast(pack))
+            .select(
+                "vec_id",
+                F.flatten(
+                    F.transform(chosen, lambda ch: ch["cw"])
+                ).alias("recon"),
+            )
+        )
+    # warm path: decode the PERSISTED codes artifact — lookup by
+    # stored code id from the broadcast codebook, stitched per vector.
+    cd = codes
     return (
         cd.join(F.broadcast(cb), (cd.s == cb.s) & (cd.code == cb.code_label))
         .select("vec_id", cd.s.alias("s"), "cw")
