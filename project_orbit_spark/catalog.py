@@ -95,6 +95,26 @@ def _fan_out_scan(
     return df.repartition(target)
 
 
+def barrier_width(df: DataFrame) -> int:
+    """Partition width for explicit keyed repartition barriers
+    (CollapseProject barriers in the dedup/LSH/winnowing families).
+    r17: these were hard-coded ``repartition(32, keys)`` — harmless on
+    this 32-core substrate but a throttle at scale, where a
+    corpus-wide shuffle forced through 32 partitions is the exact
+    'constant tuned for local mode' anti-pattern. The width now
+    follows the deployment's own shuffle sizing:
+    max(defaultParallelism, spark.sql.shuffle.partitions) — locally
+    (both 32) the plans are byte-identical; a production session that
+    sizes shuffle.partitions for its data volume sizes these barriers
+    with it."""
+    sess = df.sparkSession
+    try:
+        sp = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        sp = 200
+    return max(sess.sparkContext.defaultParallelism, sp)
+
+
 def load(
     spark: SparkSession,
     sf_dir: str,

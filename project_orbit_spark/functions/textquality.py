@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from project_orbit_spark.catalog import load
+from project_orbit_spark.catalog import barrier_width, load
 from project_orbit_spark.registry import register
 
 # Stopword markers per language — the n-gram/stopword-ratio heuristic
@@ -1790,7 +1790,7 @@ def _winnow_selected(d: DataFrame) -> tuple[DataFrame, DataFrame]:
                 "long"
             ),
         ).alias("hs"),
-    ).repartition(32, "doc_id")
+    ).repartition(barrier_width(d), "doc_id")
     n = F.size("hs")
     grams = F.when(
         n >= WINNOW_K,

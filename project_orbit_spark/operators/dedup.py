@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from project_orbit_spark.catalog import load, maybe_broadcast
+from project_orbit_spark.catalog import barrier_width, load, maybe_broadcast
 from project_orbit_spark.registry import register
 from project_orbit_spark.session import cache_token, register_df_cache
 from project_orbit_spark.similarity.lsh import _duck_auto_bucket as _lsh_duck_auto_bucket
@@ -321,7 +321,7 @@ def exact_jaccard_pairs(corpus: DataFrame) -> DataFrame:
     d = (
         corpus
         .select("doc_id", "lang", word_shingles("text", 3).alias("sh"))
-        .repartition(32, "doc_id")  # barrier: shingle once, not per consumer
+        .repartition(barrier_width(corpus), "doc_id")  # barrier: shingle once, not per consumer
     )
     ex = d.select("doc_id", "lang", F.explode("sh").alias("tok"))
     dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -416,7 +416,7 @@ def exact_token_cosine_pairs(corpus: DataFrame, t: float = SIMHASH_COS_T) -> Dat
                 F.split(F.trim(F.lower("text")), r"\s+")
             ).alias("toks"),
         )
-        .repartition(32, "doc_id")
+        .repartition(barrier_width(corpus), "doc_id")
     )
     ex = d.select("doc_id", "lang", F.explode("toks").alias("tok"))
     dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -601,10 +601,10 @@ def _banded_signatures(
     projections into every downstream lambda (measured 72s → 8s at
     sf0.1) and let their parallelism follow shuffle partitioning
     instead of scan splits."""
-    hashed = corpus.repartition(32, "doc_id").select(
+    hashed = corpus.repartition(barrier_width(corpus), "doc_id").select(
         "doc_id", shingle_hashes(word_shingles("text", 3)).alias("hs")
     )
-    signed = hashed.repartition(32, "doc_id").select(
+    signed = hashed.repartition(barrier_width(hashed), "doc_id").select(
         "doc_id", minhash_signature_int(F.col("hs"), k=k).alias("sig")
     )
     return signed.select(
@@ -1114,7 +1114,9 @@ def simhash_bits(corpus: DataFrame, *, n_words: int) -> DataFrame:
     word_cols = [
         F.transform(toks, word_hash(8 * w)).alias(f"th{w}") for w in range(n_words)
     ]
-    hashed = corpus.select("doc_id", "lang", *word_cols).repartition(32, "doc_id")
+    hashed = corpus.select("doc_id", "lang", *word_cols).repartition(
+        barrier_width(corpus), "doc_id"
+    )
 
     # bit i of simhash: majority vote of bit i across token hashes.
     # bit(i) via floor(h / 2^i) % 2 — the shift builtins require a

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from project_orbit_spark.catalog import barrier_width
 from project_orbit_spark.registry import register
 from project_orbit_spark.session import cache_token, register_df_cache
 from project_orbit_spark.similarity.cosine import _emb, as_double, cosine
@@ -278,7 +279,7 @@ def lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = (
         e.select("vec_id", tb.alias("tb"))
         .select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-        .repartition(32, "tbl", "bucket")
+        .repartition(barrier_width(e), "tbl", "bucket")
     )
     q = bucketed.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("qid"), "tbl", "bucket"
@@ -657,7 +658,7 @@ def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline)
     bucketed = corpus.select(
         "vec_id", "label", "emb", lsh_bucket(F.col("emb"), w).alias("bucket")
-    ).repartition(32, "label", "bucket")
+    ).repartition(barrier_width(corpus), "label", "bucket")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     score = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)
     return (
