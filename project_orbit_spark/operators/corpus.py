@@ -709,7 +709,7 @@ def semantic_decontamination(
     from project_orbit_spark.similarity.cosine import as_double, cosine
     from project_orbit_spark.similarity.lsh import index_planes
 
-    e = load(spark, sf_dir, "embeddings").select(
+    e = load(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "label", as_double("embedding").alias("emb")
     )
     # block width self-scales with the training-corpus size (train =

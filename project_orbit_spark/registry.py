@@ -271,6 +271,8 @@ _DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
     # map-only PQ encode rewrite (similarity/cosine.py::_pq_chosen)
     "ann_ivf_pq_topk",
     "ann_ivf_pq_topk_warm",
+    # embeddings scan fan-out (operators/corpus.py)
+    "semantic_decontamination",
 )
 
 
