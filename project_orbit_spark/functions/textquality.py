@@ -586,8 +586,17 @@ def score_with_lm(
     """,
 )
 def ccnet_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scores = bigram_logprob_scores(spark, sf_dir).select(
-        "doc_id", "avg_logprob"
+    # r17 (guide §2.4/§5): perplexity_bands consumes scores TWICE
+    # (cutoff derivation + band assignment), and exchange reuse does
+    # NOT reliably dedup the duplicated LM subtree (initial plan: 15
+    # scans / 35 exchanges without the barrier). The narrow
+    # (doc_id, double) checkpoint is the same stage barrier the
+    # curation pipeline already places here; measured 2.02 -> 1.60 s
+    # at sf0.1 (interleaved A/B, min-of-medians).
+    scores = (
+        bigram_logprob_scores(spark, sf_dir)
+        .select("doc_id", "avg_logprob")
+        .localCheckpoint()
     )
     return perplexity_bands(scores)
 

@@ -1247,7 +1247,16 @@ def _simhash_pairs(
     # join sides. Packed words shrink the shuffled row to n_words
     # longs, band values become shift-and-mask reads, and hamming is
     # sum(bit_count(xor)) — one codegen'd instruction pair per word.
-    banded = _packed_banded(corpus, n_words=n_words, band_bits=band_bits)
+    # r17 (guide §2.4/§5): the banded rows feed BOTH self-join sides,
+    # and exchange reuse does not reliably dedup the duplicated sig
+    # derivation (md5 word hashes + n_bits vote filters — the
+    # expensive map side) across them. The checkpoint materializes
+    # the compact post-explode rows (n_words + 2 longs per band row)
+    # once; measured 3.86 -> 2.35 s at sf0.1 on the 64-bit tier
+    # (interleaved A/B). Same sym-edges discipline as the CC loop.
+    banded = _packed_banded(
+        corpus, n_words=n_words, band_bits=band_bits
+    ).localCheckpoint()
     a = banded.select(
         F.col("doc_id").alias("left_id"),
         "lang",

@@ -273,6 +273,8 @@ _DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
     "ann_ivf_pq_topk_warm",
     # embeddings scan fan-out (operators/corpus.py)
     "semantic_decontamination",
+    # scores barrier in the standalone ccnet face (textquality.py)
+    "ccnet_perplexity_bands",
 )
 
 
