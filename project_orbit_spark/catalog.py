@@ -34,10 +34,15 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
 
 def _size_to_bytes(s: str) -> int:
-    """Parse a Spark byte-size conf value ('134217728b', '128m', '1g')."""
+    """Parse a Spark byte-size conf value ('134217728b', '128m', '1g',
+    and the two-letter forms Spark also accepts: '128mb', '64kb' —
+    ADVICE r17 #5: the trailing 'b' must strip BEFORE the k/m/g match,
+    else '128mb' → '128m' → ValueError → silent 128MB fallback)."""
     s = s.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
     mult = 1
-    for suffix, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1)):
+    for suffix, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3)):
         if s.endswith(suffix):
             s = s[: -len(suffix)]
             mult = m
@@ -168,10 +173,17 @@ def load(
             # 1.7e18-scale epochs (double's 53-bit mantissa), which can
             # shave 1us off non-aligned values vs the oracle's exact
             # integer truncation.
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        # native timestamp / timestamp_ntz vintage: normalize to the
-        # session-TZ (UTC) timestamp type every downstream op expects
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # native timestamp / timestamp_ntz vintage: normalize to
+            # the session-TZ (UTC) timestamp type downstream ops expect
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # ADVICE r17 #3: fan_out was silently ignored on this branch —
+        # honor it so an events call site opting in gets the same
+        # scale-adaptive gate as every other table.
+        if fan_out:
+            df = _fan_out_scan(spark, df, path, fan_out_cols)
+        return df
     df = spark.read.parquet(path)
     if fan_out:
         df = _fan_out_scan(spark, df, path, fan_out_cols)

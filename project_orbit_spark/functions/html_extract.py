@@ -145,7 +145,7 @@ def make_html_extractor():
     """,
 )
 def html_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     pages = d.select(
         "doc_id", html_page(F.col("doc_id"), F.col("text"), F.col("source")).alias("html")
     )
@@ -281,7 +281,7 @@ def make_meta_extractor():
     """,
 )
 def html_meta_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id", "lang", "source", "text")
 
     # construct the extractor DRIVER-side: the pickled closure then
     # captures the <locals> extract function by value instead of
@@ -501,7 +501,7 @@ def make_job_extractor():
     """,
 )
 def html_job_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id")
 
     # construct the extractor DRIVER-side: the pickled closure then
     # captures the <locals> extract function by value instead of
@@ -729,7 +729,7 @@ def make_article_extractor():
     """,
 )
 def html_article_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
 
     # construct the extractor DRIVER-side: the pickled closure then
     # captures the <locals> extract function by value instead of
@@ -911,7 +911,7 @@ def make_block_profiler():
 def html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
 
     # construct the extractor DRIVER-side: the pickled closure then
     # captures the <locals> extract function by value instead of
@@ -1083,7 +1083,7 @@ def make_class_pattern_job_extractor():
     """,
 )
 def html_class_pattern_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id")
     inner = make_class_pattern_job_extractor()
 
     def template_then_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1358,7 +1358,7 @@ def make_nav_extractor():
     """,
 )
 def nav_structure_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id")
 
     inner = make_nav_extractor()
 
@@ -1556,7 +1556,7 @@ def make_link_inventory_extractor():
     """,
 )
 def html_link_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id")
     inner = make_link_inventory_extractor()
 
     def template_then_parse(batches):
@@ -1945,7 +1945,7 @@ def make_form_extractor():
     """,
 )
 def html_form_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id")
     inner = make_form_extractor()
 
     def template_then_parse(batches):
@@ -2086,7 +2086,7 @@ def make_image_inventory_extractor():
     """,
 )
 def html_image_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id")
     inner = make_image_inventory_extractor()
 
     def template_then_parse(batches):
@@ -2254,7 +2254,7 @@ def make_text_structure_extractor():
     """,
 )
 def html_text_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id")
     inner = make_text_structure_extractor()
 
     def template_then_parse(batches):
@@ -2412,7 +2412,7 @@ def make_script_inventory_extractor():
     """,
 )
 def html_script_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id")
     inner = make_script_inventory_extractor()
 
     def template_then_parse(batches):
@@ -2605,7 +2605,7 @@ def make_pricing_page_parser():
     """,
 )
 def pricing_page_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id")
     inner = make_pricing_page_parser()
 
     def template_then_parse(batches):
@@ -2768,7 +2768,7 @@ def make_customer_partner_parser():
     """,
 )
 def customer_partner_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id")
     inner = make_customer_partner_parser()
 
     def template_then_parse(batches):
@@ -3049,7 +3049,7 @@ def make_team_extractor():
     """,
 )
 def team_page_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id")
     inner = make_team_extractor()
 
     def template_then_parse(batches):

@@ -593,12 +593,18 @@ def ccnet_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id, double) checkpoint is the same stage barrier the
     # curation pipeline already places here; measured 2.02 -> 1.60 s
     # at sf0.1 (interleaved A/B, min-of-medians).
-    scores = (
-        bigram_logprob_scores(spark, sf_dir)
-        .select("doc_id", "avg_logprob")
-        .localCheckpoint()
+    return perplexity_bands(ccnet_scores(spark, sf_dir).localCheckpoint())
+
+
+def ccnet_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact (doc_id, avg_logprob) frame ``ccnet_perplexity_bands``
+    checkpoints — exposed UN-barriered so plan-pin tests can audit the
+    LM-vocab join strategy the barrier otherwise truncates to a
+    ``Scan ExistingRDD`` (r18 guard convention: pin the plan of the
+    frame BEING checkpointed, not the consumer's)."""
+    return bigram_logprob_scores(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
     )
-    return perplexity_bands(scores)
 
 
 def perplexity_bands(scores: DataFrame) -> DataFrame:

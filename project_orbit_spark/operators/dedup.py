@@ -472,13 +472,12 @@ def exact_token_cosine_pairs(corpus: DataFrame, t: float = SIMHASH_COS_T) -> Dat
 
 @register(
     "token_cosine_dups",
-    # driver=False for round 17 only (case 2, registry.py:39): the
-    # r17 window is exactly full — 2 changed-path pins + 2 flips +
-    # 46 of the 47 r12 rotations = 50. Verified locally (tools/check
-    # at 3 SFs, driver_sim, pytest); flip to True in r18, where the
-    # cohort shrinks to ~39 (r13×38 + the carried r12
-    # section_completeness).
-    driver=False,
+    # Was driver=False for round 17 only (case 2, registry.py:39):
+    # the r17 window was exactly full — 2 changed-path pins + 2 flips
+    # + 46 of the 47 r12 rotations = 50. Flipped in r18 per the
+    # documented schedule (VERDICT r17 ask #5) so the surface gets a
+    # real oracle record; never-verified, so the LRV sort fronts it.
+    driver=True,
     tags=("dedup", "similarity"),
     doc="Exact token-set cosine near-dups — the user-facing face of "
     "the r17 own-axis ground truth (exact_token_cosine_pairs): pairs "
@@ -1370,13 +1369,13 @@ def warm_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "incremental_simhash_screen",
-    # driver=False for round 17 only (case 2, registry.py:39): the
-    # r17 window is exactly full (2+2 changed-path pins + 2 flips +
-    # 44 r12 rotations = 52-head trade documented at
-    # _DRIVER_PRIORITY_CHANGED). Verified locally (tools/check at 3
-    # SFs, driver_sim, pytest); flips to True in r18 alongside
-    # token_cosine_dups (cohort ~40, ample slack).
-    driver=False,
+    # Was driver=False for round 17 only (case 2, registry.py:39):
+    # the r17 window was exactly full (2+2 changed-path pins + 2
+    # flips + 44 r12 rotations = 52-head trade documented at
+    # _DRIVER_PRIORITY_CHANGED). Flipped in r18 alongside
+    # token_cosine_dups (VERDICT r17 ask #5); never-verified, so the
+    # LRV sort fronts it.
+    driver=True,
     tags=("dedup", "simhash", "incremental"),
     doc="O(new) incremental simhash screen — the cheap-fingerprint "
     "complement of incremental_minhash_dedup, closing the last tier "

@@ -227,54 +227,37 @@ _DRIVER_PRIORITY = (
 # once the post-change record lands (one round of life, but expired by
 # HAND at the next round's head rewrite, never by the filter).
 #
-# Round 17 (r16's four burn-down entries hand-expired — their
-# post-change records all landed in CORRECTNESS_r16): this round's
-# pins are the two LATE-r16 changed paths that the r16 head rewrite
-# predated (VERDICT r16 what's-wrong #1 / ask #1):
-# winnowing_match_pairs — its pair join changed in r16 (rare-guard
-# pre-filter on both self-join sides, a set-algebra identity; oracle
-# unchanged, hash re-checked locally at sf0.01 in r16, 100x
-# re-probed 10.4 → 8.7 s) but holds an r15 record; and
-# incremental_span_contamination — its batch broadcast path changed
-# in r16 (the _gated_span_batch exact summed-fan-out probe,
-# operators/dedup.py) on an r15 record. Both would otherwise wait
-# for natural rotation (~r20 under LRV) with changed plans — exactly
-# what this list exists to prevent. The r17 flips
-# (refresh_band_index, simhash_match_audit) are NOT here: their
-# never-verified round-0 LRV rank already guarantees their slots.
-# Late-r17 addition: the packed-word simhash representation change
-# (value-identical — bits packed to longs before the band shuffle,
-# hamming via bit_count(xor); hash re-checked at 3 SFs, plan-pinned
-# by test_simhash_pair_shuffle_carries_packed_words) touches both
-# simhash tiers, whose records (r15/r13) sit outside this round's
-# window. Pinning them makes the head 52 > 50: the two LAST r12
-# cohort members in LRV order slip to r18, where the LRV sort fronts
-# them at exactly the staleness bar — the boundary and sustainability
-# guards hold (verified at HEAD). That is the same trade the r16
-# VERDICT demanded for the late-r16 changed paths: changed plans get
-# driver records NOW; an unchanged query's record may ride the bar.
-# Optimization-round (r17) additions: the scan fan-out opt-ins
-# (catalog.load(fan_out=True)) change these queries' physical plans
-# (one adaptive round-robin exchange after the documents scan; values
-# identical, 3-SF hash re-checked at the change commit) — changed
-# plans get driver records NOW per the standing convention.
+# Round 18 (r17's thirteen optimization-round entries hand-expired —
+# their post-change records all landed in CORRECTNESS_r17, 50/50
+# hash-green): this round's pins are the second optimization round's
+# plan changes, per the standing convention that a changed physical
+# plan gets a driver record NOW rather than waiting for LRV rotation.
+# Slot arithmetic at the r18 head rewrite: 12 rotating (records ≤r12)
+# + 2 never-verified flips (token_cosine_dups,
+# incremental_simhash_screen — round-0 LRV rank, no pin needed) = 14
+# occupied, leaving 36 pin slots; the entries below fit with room,
+# and the boundary/sustainability simulations in tests/test_entry.py
+# hold at HEAD.
 _DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
-    "winnowing_match_pairs",
-    "incremental_span_contamination",
-    "simhash_hamming_dups",
-    "simhash64_hamming_dups",
-    "gopher_repetition_signals",
-    "quality_ensemble_filter",
-    "corpus_report_card",
-    "repeated_span_mining",
-    "html_table_extract",
-    # map-only PQ encode rewrite (similarity/cosine.py::_pq_chosen)
-    "ann_ivf_pq_topk",
-    "ann_ivf_pq_topk_warm",
-    # embeddings scan fan-out (operators/corpus.py)
-    "semantic_decontamination",
-    # scores barrier in the standalone ccnet face (textquality.py)
-    "ccnet_perplexity_bands",
+    # r18 scan fan-out opt-ins: the html_* siblings of
+    # html_table_extract (same single-task mapInPandas shape; one
+    # adaptive exchange after the documents scan, values identical,
+    # 3-SF hash re-checked at the change commit).
+    "html_field_extraction",
+    "html_meta_inventory",
+    "html_job_cards",
+    "html_article_extract",
+    "html_main_text",
+    "html_class_pattern_jobs",
+    "nav_structure_extract",
+    "html_link_inventory",
+    "html_form_extract",
+    "html_image_inventory",
+    "html_text_structure",
+    "html_script_inventory",
+    "pricing_page_parse",
+    "customer_partner_mentions",
+    "team_page_extract",
 )
 
 

@@ -950,14 +950,22 @@ def test_lm_vocab_joins_are_never_static_broadcasts(spark):
     # broadcast left is the 1-row total (and ccnet's 1-row cutoffs).
     # Inherited by the curation golds through bigram_scores — this
     # test is the standing contract for the whole full-fit family.
+    # r18 (VERDICT r17 #1): ccnet_perplexity_bands checkpoints its
+    # scores, which truncates the consumer plan to Scan ExistingRDD —
+    # so the guard audits the frame BEING checkpointed (ccnet_scores,
+    # the exact pre-barrier subtree) instead of the consumer. Guard
+    # convention for every localCheckpoint site: pin the plan of the
+    # checkpointed frame, not the plan downstream of the barrier.
     import re
 
-    for name, min_shj in (
-        ("unigram_logprob_scores", 1),
-        ("bigram_logprob_scores", 3),
-        ("ccnet_perplexity_bands", 3),
+    from project_orbit_spark.functions.textquality import ccnet_scores
+
+    for name, frame, min_shj in (
+        ("unigram_logprob_scores", None, 1),
+        ("bigram_logprob_scores", None, 3),
+        ("ccnet_perplexity_bands", ccnet_scores(spark, SF_DIR), 3),
     ):
-        f = facts(name, spark)
+        f = audit(frame) if frame is not None else facts(name, spark)
         assert f.text.count("ShuffledHashJoin") >= min_shj, (
             f"{name}: vocab joins must shuffle, not broadcast"
         )
@@ -1070,4 +1078,33 @@ def test_simhash_pair_shuffle_carries_packed_words(spark):
         assert "bit_count" in f.text, f"{name}: hamming must be bit_count(xor)"
         assert "zip_with" not in f.text, (
             f"{name}: array-valued hamming aggregate regressed"
+        )
+
+
+def test_simhash_banded_rows_are_packed_before_the_barrier(spark):
+    # r18 (ADVICE r17 #2): _simhash_pairs localCheckpoints the banded
+    # rows, so the consumer-plan assertions above can no longer see
+    # the signature-derivation subtree (Scan ExistingRDD). Audit the
+    # frame BEING checkpointed: _packed_banded's output schema must be
+    # scalar longs (never an array column crossing the barrier) and
+    # its plan must not regress to the zip_with array aggregate.
+    from pyspark.sql import types as T
+
+    from project_orbit_spark.catalog import load
+    from project_orbit_spark.operators.dedup import _packed_banded
+
+    corpus = load(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    for n_words, band_bits in ((1, 8), (2, 16)):
+        b = _packed_banded(corpus, n_words=n_words, band_bits=band_bits)
+        assert not any(
+            isinstance(fld.dataType, T.ArrayType) for fld in b.schema.fields
+        ), "banded shuffle rows must carry packed longs, never arrays"
+        for w in range(n_words):
+            assert isinstance(b.schema[f"w{w}"].dataType, T.LongType)
+        f = audit(b)
+        assert "zip_with" not in f.text, (
+            "array-valued signature derivation regressed upstream of "
+            "the checkpoint barrier"
         )

@@ -22,6 +22,8 @@ sys.path.insert(0, str(REPO))
 def main() -> None:
     sf_dir, reps_s, *names = sys.argv[1:]
     reps = int(reps_s)
+    if reps < 1:  # ADVICE r17 #4: reps=0 would NameError/IndexError below
+        sys.exit("reps must be >= 1")
     from project_orbit_spark import registry
     from project_orbit_spark.session import get_spark
 
