@@ -1847,10 +1847,21 @@ def curation_pipeline(d: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     banded = perplexity_bands(scores)
-    gated = scrubbed.join(
-        banded.filter(F.col("band") != "tail").select("doc_id", "band"),
-        "doc_id",
-    ).localCheckpoint()
+    # r18 (guide §2.3, VERDICT r17 ask #3a): n_tokens rides the gated
+    # checkpoint (one extra long beside the text it already carries),
+    # so stage 4 reads it back instead of re-tokenizing the gated text
+    # in a fourth split() pass after the label join.
+    gated = (
+        scrubbed.join(
+            banded.filter(F.col("band") != "tail").select("doc_id", "band"),
+            "doc_id",
+        )
+        .withColumn(
+            "n_tokens",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long"),
+        )
+        .localCheckpoint()
+    )
     # stage 3: leakage-safe split over the gated corpus
     pairs = minhash_pairs(gated.select("doc_id", "text"))
     edges = pairs.select(
@@ -1898,7 +1909,7 @@ def curation_pipeline(d: DataFrame) -> DataFrame:
         "canonical_id",
         split.alias("split"),
         (F.col("doc_id") % PACK_SHARDS).alias("shard"),
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        "n_tokens",
     )
     return pack_next_fit(toks, group_cols=("split", "shard"))
 
@@ -2284,12 +2295,21 @@ def curate_batch(batch: DataFrame, art: dict) -> DataFrame:
         art["total"],
         pin_vocab=False,
     ).select("doc_id", "avg_logprob")
-    gated = scrub.join(
-        band_with_cutoffs(scores, art["cuts"])
-        .filter(F.col("band") != "tail")
-        .select("doc_id", "band"),
-        "doc_id",
-    ).localCheckpoint()
+    # n_tokens rides the gated checkpoint (same shave as the offline
+    # pipeline, r18): stage 4 reads it back instead of re-splitting.
+    gated = (
+        scrub.join(
+            band_with_cutoffs(scores, art["cuts"])
+            .filter(F.col("band") != "tail")
+            .select("doc_id", "band"),
+            "doc_id",
+        )
+        .withColumn(
+            "n_tokens",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long"),
+        )
+        .localCheckpoint()
+    )
     # stage 3 (O(new)): band the batch, match new-vs-INDEX only
     # (dedup.match_new_vs_index — the SHARED helper, ADVICE r12 #3,
     # so the signature length/threshold can never drift from the
@@ -2344,7 +2364,7 @@ def curate_batch(batch: DataFrame, art: dict) -> DataFrame:
         "canonical_id",
         split.alias("split"),
         (F.col("doc_id") % PACK_SHARDS).alias("shard"),
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        "n_tokens",
     )
     return pack_next_fit(toks, group_cols=("split", "shard")).select(
         F.col("doc_id").alias("new_id"),

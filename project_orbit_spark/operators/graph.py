@@ -93,16 +93,33 @@ def connected_components(
     # scale it was an extra shuffle of the full label table per round).
     # decimal(38,0) keeps the sum exact far past long overflow.
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("label_sum")
+    # r18 (guide §2.4, VERDICT r17 ask #3b): label init is FUSED into
+    # propagation round 1. labels₀(node)=node makes round 1's result
+    # min(node, min-neighbor-id), computable straight off sym with one
+    # grouped aggregate — the separate distinct-nodes init frame (its
+    # own checkpoint job + shuffle every CC call) never needs to
+    # exist. Every node of sym appears as src (symmetrized), so the
+    # node set is identical. Fixpoint detection is unaffected: with
+    # ≥1 edge, round 1 always strictly decreases sum(label) vs init
+    # (each edge's larger endpoint takes the smaller label), so the
+    # skipped init-vs-round-1 comparison could never have been the
+    # converging one; the empty graph IS its own fixpoint (sum None)
+    # and returns before the loop.
     obs0 = Observation()
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            F.col("src").alias("node"),
+            F.least("src", "nmin").alias("label"),
+        )
         .observe(obs0, label_sum)
         .localCheckpoint(eager=True)
     )
     prev_sum = obs0.get["label_sum"]
-    for _ in range(max_iter):
+    if prev_sum is None:  # no edges → no endpoints → empty labeling
+        return labels
+    for _ in range(max_iter - 1):
         nbr = sym.join(
             labels.select(F.col("node").alias("dst"), F.col("label").alias("nbr_label")),
             "dst",
@@ -299,13 +316,20 @@ def pagerank_link_graph(spark, sf_dir: str):
         .distinct()
         .localCheckpoint()
     )
+    # r18 (guide §2.4): out-degree rides the checkpointed edge list.
+    # The loop used to re-derive outdeg (a groupBy over the edges) and
+    # join it back EVERY power iteration — od is a static per-src
+    # property of the static graph, so it is joined on once here
+    # (reading the already-checkpointed edges, no recompute) and the
+    # per-round plan drops one aggregate + one join. Same integer
+    # arithmetic, bit-identical ranks.
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    edges_od = edges.join(outdeg, "src").localCheckpoint()
     teleport = (PR_SCALE * 15) // (100 * n)
     ranks = nodes.select("node", F.lit(PR_SCALE // n).cast("long").alias("rank"))
     for _ in range(PR_ITERS):
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(outdeg, "src")
+            edges_od.join(ranks, edges_od.src == ranks.node)
             .select("dst", F.expr("rank DIV od").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))

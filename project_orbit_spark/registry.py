@@ -258,6 +258,33 @@ _DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
     "pricing_page_parse",
     "customer_partner_mentions",
     "team_page_extract",
+    # r18 ann-family restructure (similarity/cosine.py): map-side
+    # routing (packed-centroid array_min instead of the per-qid
+    # row_number window), recon as the bucket corpus side (no vec_id
+    # join-back), packed PQ codes artifact + map-only decode.
+    "ann_ivf_topk",
+    "ann_ivf_topk_warm",
+    "ann_ivf_nprobe2",
+    "ann_ivf_pq_topk",
+    "ann_ivf_pq_topk_warm",
+    # r18 CC fused init (operators/graph.py): every propagation/auto
+    # CC consumer's FINAL plan is unchanged (labels arrive from the
+    # loop's checkpoint either way — Scan ExistingRDD), so one
+    # representative path carries the changed-job-set record; the
+    # other CC consumers (dup_cluster_labels/size_histogram,
+    # dedup_quality_canonical, leakage_safe_split,
+    # corpus_curation_gold) are value-verified at 3 SFs this round
+    # (tools/check) and ride LRV — pinning all six would push six
+    # r13-record queries past the staleness bar at the r19 boundary
+    # (the boundary simulation caught exactly that).
+    "dedup_canonical_corpus",
+    # r18 curation n_tokens-through-checkpoint (operators/corpus.py)
+    # + CC fused init in their pipelines.
+    "curation_training_gold",
+    "incremental_curation_gold",
+    # r18 pagerank out-degree fold (operators/graph.py): od rides the
+    # checkpointed edge list instead of a per-iteration join.
+    "pagerank_link_graph",
 )
 
 

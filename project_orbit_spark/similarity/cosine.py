@@ -388,30 +388,74 @@ _IVF_ORACLE = f"""
     """
 
 
+def _packed_cents(cent: DataFrame) -> DataFrame:
+    """1-row packed centroid table — sorted (bucket, cvec) structs —
+    the broadcast the map-side routing reads (bucket is unique, so the
+    sort is just packing determinism)."""
+    return cent.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("label").alias("bucket"), F.col("cvec"))
+            )
+        ).alias("route_cs")
+    )
+
+
+def _route_dists():
+    """Per-query (d, bucket) structs over the packed broadcast
+    centroids: struct comparison is field-lexicographic, so array_min
+    / ascending array_sort over these reproduces the routing window's
+    ORDER BY dist, bucket bit-for-bit."""
+    return F.transform(
+        "route_cs",
+        lambda c: F.struct(
+            euclidean(F.col("qe"), c["cvec"]).alias("d"),
+            c["bucket"].alias("bucket"),
+        ),
+    )
+
+
 def ivf_topk(e: DataFrame, cent: DataFrame, recon: DataFrame | None = None) -> DataFrame:
     """IVF core against a caller-supplied centroid table: route each
     query to its nearest centroid (broadcast routing), cosine within
-    that bucket only (nprobe=1). With ``recon``, bucket members score
-    against their PQ reconstructions instead of raw vectors — the
-    asymmetric-distance IVF-PQ read path; the routing, tie-break,
-    rank, and rounding contract stays single-source either way."""
+    that bucket only (nprobe=1). With ``recon`` — a (vec_id, label,
+    recon) frame — bucket members score against their PQ
+    reconstructions instead of raw vectors — the asymmetric-distance
+    IVF-PQ read path; the routing, tie-break, rank, and rounding
+    contract stays single-source either way.
+
+    r18 (guide §2.4, VERDICT r17 ask #6): ``recon`` is now the bucket
+    CORPUS side itself, not a side table joined back by vec_id. The
+    old shape — bucket-filter ``e``, then ``bucket.join(recon,
+    "vec_id")`` — joined the corpus against a projection of the same
+    corpus on a key (vec_id) that has nothing to do with where rows
+    are needed (the §8.4 anti-pattern), paying two corpus-wide
+    exchanges + sorts per query. Both recon producers carry (vec_id,
+    label, recon) map-only (see pq_reconstructions), so the bucket
+    probe is ONE broadcast join against whichever table holds the
+    scoring vectors; same rows, same scores, zero vec_id exchanges."""
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("emb").alias("qe"))
-    routed_w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("bucket"))
-    routed = (
-        q.crossJoin(F.broadcast(cent.withColumnRenamed("label", "bucket")))
-        .withColumn("dist", euclidean(F.col("qe"), F.col("cvec")))
-        .withColumn("rn", F.row_number().over(routed_w))
-        .filter(F.col("rn") == 1)
-        .select("qid", "qe", "bucket")
+    # r18 (guide §2.4): routing is MAP-SIDE — array_min over the
+    # packed 1-row broadcast centroid table (the _pq_chosen /
+    # assign_clusters discipline) instead of a per-row centroid
+    # cross-join into a row_number window, whose partitionBy(qid)
+    # exchange + sort every probe paid. struct(d, bucket) compares
+    # field-lexicographically, so the (dist, bucket) tie-break is
+    # bit-identical to the old ORDER BY dist, bucket / rn=1.
+    routed = q.crossJoin(F.broadcast(_packed_cents(cent))).select(
+        "qid", "qe", F.array_min(_route_dists())["bucket"].alias("bucket")
+    )
+    corpus = (
+        recon.select("vec_id", "label", F.col("recon").alias("tvec"))
+        if recon is not None
+        else e.select("vec_id", "label", F.col("emb").alias("tvec"))
     )
     bucket = F.broadcast(routed).join(
-        e, (e.label == F.col("bucket")) & (e.vec_id != F.col("qid"))
+        corpus,
+        (corpus["label"] == F.col("bucket")) & (corpus["vec_id"] != F.col("qid")),
     )
-    if recon is not None:
-        bucket = bucket.join(recon, "vec_id")
-    target = F.col("recon") if recon is not None else F.col("emb")
     scored = bucket.select(
-        "qid", "bucket", F.col("vec_id").alias("cid"), cosine(F.col("qe"), target).alias("score")
+        "qid", "bucket", F.col("vec_id").alias("cid"), cosine(F.col("qe"), F.col("tvec")).alias("score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
     return (
@@ -496,13 +540,17 @@ def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     cent = centroids(e)
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("emb").alias("qe"))
-    routed_w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("bucket"))
+    # r18: map-side routing (see ivf_topk) — the two nearest buckets
+    # are the first two entries of the ascending (d, bucket) sort,
+    # exploded; bit-identical to the old rn <= 2 window filter.
     routed = (
-        q.crossJoin(F.broadcast(cent.withColumnRenamed("label", "bucket")))
-        .withColumn("dist", euclidean(F.col("qe"), F.col("cvec")))
-        .withColumn("rn", F.row_number().over(routed_w))
-        .filter(F.col("rn") <= 2)
-        .select("qid", "qe", "bucket")
+        q.crossJoin(F.broadcast(_packed_cents(cent)))
+        .select(
+            "qid",
+            "qe",
+            F.explode(F.slice(F.array_sort(_route_dists()), 1, 2)).alias("rt"),
+        )
+        .select("qid", "qe", F.col("rt.bucket").alias("bucket"))
     )
     scored = F.broadcast(routed).join(
         e, (e.label == F.col("bucket")) & (e.vec_id != F.col("qid"))
@@ -664,11 +712,19 @@ def pq_codes(e: DataFrame, codebook: DataFrame) -> DataFrame:
 
 
 def pq_reconstructions(e: DataFrame, codebook: DataFrame | None = None, codes: DataFrame | None = None) -> DataFrame:
-    """(vec_id, recon): codewords looked up from the (broadcast)
-    codebook by stored code id, concatenated in subspace order —
-    query-time decode of the compressed index, the asymmetric-distance
-    read path. Callers pass persisted codes/codebook for the warm
-    (serving) path; defaults rebuild both inline (cold path)."""
+    """(vec_id, label, recon): codewords looked up from the
+    (broadcast) codebook by stored code id, concatenated in subspace
+    order — query-time decode of the compressed index, the
+    asymmetric-distance read path. Callers pass the persisted PACKED
+    codes table (vec_id, label, codes[s]=code — see warm_pq_index)
+    plus the codebook for the warm (serving) path; defaults rebuild
+    both inline (cold path). Either way the decode is MAP-ONLY over a
+    1-row broadcast of the packed codebook (r18, guide §2.4: the old
+    warm decode shuffled the (vec_id, s, code) rows into a
+    groupBy(vec_id) regroup — one corpus-wide exchange per query that
+    a per-vector packed artifact never needs), and the output carries
+    ``label`` so ivf_topk can bucket-probe it directly without a
+    corpus-wide vec_id join-back."""
     cb = codebook if codebook is not None else pq_codebook(e)
     if codes is None:
         # cold path, r17 (guide §2.4): choose + reconstruct in ONE
@@ -681,23 +737,38 @@ def pq_reconstructions(e: DataFrame, codebook: DataFrame | None = None, codes: D
             e.crossJoin(F.broadcast(pack))
             .select(
                 "vec_id",
+                "label",
                 F.flatten(
                     F.transform(chosen, lambda ch: ch["cw"])
                 ).alias("recon"),
             )
         )
-    # warm path: decode the PERSISTED codes artifact — lookup by
-    # stored code id from the broadcast codebook, stitched per vector.
-    cd = codes
-    return (
-        cd.join(F.broadcast(cb), (cd.s == cb.s) & (cd.code == cb.code_label))
-        .select("vec_id", cd.s.alias("s"), "cw")
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(F.array_sort(F.collect_list(F.struct("s", "cw"))), lambda x: x["cw"])
-            ).alias("recon")
+    # warm path: decode the PERSISTED packed codes artifact — each
+    # row's codes[s] picks its codeword from the 1-row broadcast
+    # packed codebook; flatten in s order reproduces the exact recon
+    # doubles the old regroup produced (same cw arrays, same order).
+    pack = cb.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("s", "code_label", "cw"))).alias(
+            "pq_cs"
         )
+    )
+    decode = F.flatten(
+        F.transform(
+            "codes",
+            lambda code, s: F.element_at(
+                F.transform(
+                    F.filter(
+                        "pq_cs",
+                        lambda c: (c["s"] == s) & (c["code_label"] == code),
+                    ),
+                    lambda c: c["cw"],
+                ),
+                1,
+            ),
+        )
+    )
+    return codes.crossJoin(F.broadcast(pack)).select(
+        "vec_id", "label", decode.alias("recon")
     )
 
 
@@ -782,20 +853,37 @@ _PQ_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = register_df_cache({})
 
 
 def warm_pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Precompute + persist the PQ index — the CODES table (4 small
-    ints per vector, the 64×-compressed artifact) and the bounded
-    codebook — once per (session, sf_dir). At 100 TB codebooks train
-    offline and vectors encode at ingest; the steady-state query cost
-    is routing + codeword lookup + one bucket of asymmetric scoring,
-    which is what the _warm twin times. Persisting materialized
-    reconstructions instead would store 64 doubles per vector — twice
-    the RAW float32 vectors — defeating the point of PQ."""
+    """Precompute + persist the PQ index — the PACKED codes table
+    (vec_id, label, codes: _PQ_M small ints in subspace order — the
+    64×-compressed artifact, stored contiguous per vector exactly as
+    FAISS lays out PQ codes) and the bounded codebook — once per
+    (session, sf_dir). At 100 TB codebooks train offline and vectors
+    encode at ingest; the steady-state query cost is routing +
+    codeword lookup + one bucket of asymmetric scoring, which is what
+    the _warm twin times. Persisting materialized reconstructions
+    instead would store 64 doubles per vector — twice the RAW float32
+    vectors — defeating the point of PQ. r18: the artifact went from
+    (vec_id, s, code) ROWS to one packed row per vector and gained
+    ``label`` — the decode stops paying a groupBy(vec_id) regroup per
+    query and the bucket probe stops joining back to the raw table
+    (see pq_reconstructions / ivf_topk); the encode stays the r17
+    map-only pass (_pq_chosen)."""
     key = (cache_token(spark), sf_dir)
     cb_key, cd_key = (*key, "codebook"), (*key, "codes")
     if cd_key not in _PQ_INDEX_CACHE:
         cb = pq_codebook(_emb(spark, sf_dir)).persist()
         cb.count()
-        cd = pq_codes(_emb(spark, sf_dir), cb).persist()
+        pack, chosen = _pq_chosen(cb)
+        cd = (
+            _emb(spark, sf_dir)
+            .crossJoin(F.broadcast(pack))
+            .select(
+                "vec_id",
+                "label",
+                F.transform(chosen, lambda ch: ch["code"]).alias("codes"),
+            )
+            .persist()
+        )
         cd.count()
         _PQ_INDEX_CACHE[cb_key] = cb
         _PQ_INDEX_CACHE[cd_key] = cd

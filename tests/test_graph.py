@@ -94,3 +94,21 @@ def test_auto_strategy_falls_back_instead_of_raising(spark):
 
     with pytest.raises(ValueError, match="unknown connected-components"):
         connected_components(df, strategy="bogus")
+
+
+def test_empty_edge_list_yields_empty_labeling(spark):
+    # r18 fused-init contract: with zero edges there are zero
+    # endpoints, so the labeling is empty and the loop never runs —
+    # the common no-duplicates case of the dedup pipelines must not
+    # pay propagation rounds (and must not raise at any max_iter).
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df, max_iter=1).collect() == []
+
+
+def test_fused_init_round_one_labels_match_min_neighbor(spark):
+    # r18: label init is fused into propagation round 1 (one grouped
+    # aggregate over the symmetrized edges instead of a separate
+    # distinct-nodes init job). A diameter-1 star converges in the
+    # fused round + 1 detection round; labels are component minima.
+    got = _labels(spark, [(10, 4), (10, 7), (10, 9)])
+    assert got == {4: 4, 7: 4, 9: 4, 10: 4}

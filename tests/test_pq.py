@@ -53,3 +53,33 @@ def test_pq_recall_floor_vs_exact_ivf(spark):
     exact_buckets = {r["qid"]: r["bucket"] for r in exact_rows}
     for r in pq_rows:
         assert r["bucket"] == exact_buckets[r["qid"]]
+
+
+def test_warm_packed_decode_matches_cold_reconstructions(spark):
+    """r18: the persisted codes artifact is PACKED (vec_id, label,
+    codes[s]) and the warm decode is a map-only lookup over the 1-row
+    broadcast codebook (no groupBy(vec_id) regroup). The decode must
+    be value-identical to the cold map-only reconstruction — same cw
+    doubles, same subspace order — for every vector."""
+    from project_orbit_spark.similarity.cosine import (
+        _pq_chosen,
+        pq_codebook,
+    )
+
+    e = _emb(spark, SF_DIR)
+    cb = pq_codebook(e)
+    cold = {
+        r["vec_id"]: (r["label"], tuple(r["recon"]))
+        for r in pq_reconstructions(e).collect()
+    }
+    pack, chosen = _pq_chosen(cb)
+    packed_codes = e.crossJoin(F.broadcast(pack)).select(
+        "vec_id",
+        "label",
+        F.transform(chosen, lambda ch: ch["code"]).alias("codes"),
+    )
+    warm = {
+        r["vec_id"]: (r["label"], tuple(r["recon"]))
+        for r in pq_reconstructions(e, codebook=cb, codes=packed_codes).collect()
+    }
+    assert warm == cold
