@@ -394,12 +394,14 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_scores(d)
 
 
-def bigram_scores(d: DataFrame) -> DataFrame:
+def bigram_scores(d: DataFrame, ordered: bool = True) -> DataFrame:
     """Library face of ``bigram_logprob_scores``: interpolated bigram
     LM scored over any (doc_id, text) corpus — curation pipelines
     score SCRUBBED text, not the raw crawl (curation_training_gold).
-    Docs with <2 tokens have no bigrams and drop out."""
-    return score_with_lm(doc_bigrams(d), *lm_count_tables(d))
+    Docs with <2 tokens have no bigrams and drop out. ``ordered=False``
+    skips the output-contract doc_id sort for pipeline consumers that
+    checkpoint or re-aggregate the scores (guide §2.4)."""
+    return score_with_lm(doc_bigrams(d), *lm_count_tables(d), ordered=ordered)
 
 
 def doc_bigrams(d: DataFrame) -> DataFrame:
@@ -440,6 +442,7 @@ def score_with_lm(
     freq: DataFrame,
     total: DataFrame,
     pin_vocab: bool = True,
+    ordered: bool = True,
 ) -> DataFrame:
     """Score a (doc_id, w1, w2) bigram stream against LM count
     tables → (doc_id, n_bigrams, avg_logprob). INNER joins: bigrams
@@ -499,14 +502,14 @@ def score_with_lm(
             .crossJoin(F.broadcast(total))
             .select("doc_id", lp.alias("lp"))
         )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg("lp"), 4).alias("avg_logprob"),
-        )
-        .orderBy("doc_id")
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
     )
+    # the doc_id sort is the registered faces' OUTPUT contract, not a
+    # semantic need — pipeline consumers that checkpoint/re-aggregate
+    # the scores skip it (r18, guide §2.4)
+    return out.orderBy("doc_id") if ordered else out
 
 
 @register(
@@ -601,8 +604,10 @@ def ccnet_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoints — exposed UN-barriered so plan-pin tests can audit the
     LM-vocab join strategy the barrier otherwise truncates to a
     ``Scan ExistingRDD`` (r18 guard convention: pin the plan of the
-    frame BEING checkpointed, not the consumer's)."""
-    return bigram_logprob_scores(spark, sf_dir).select(
+    frame BEING checkpointed, not the consumer's). ordered=False: the
+    banding re-aggregates the scores, so bigram_logprob_scores' output
+    sort would be a wasted corpus-wide range exchange here."""
+    return bigram_scores(load(spark, sf_dir, "documents"), ordered=False).select(
         "doc_id", "avg_logprob"
     )
 

@@ -950,10 +950,18 @@ def boilerplate_hashes(
     )
 
 
-def apply_boilerplate_scrub(segs: DataFrame, bp: DataFrame) -> DataFrame:
+def apply_boilerplate_scrub(
+    segs: DataFrame, bp: DataFrame, ordered: bool = True
+) -> DataFrame:
     """Rewrite docs from their segment stream with flagged segments
     excised — the APPLY stage shared by the full-corpus scrub and the
-    incremental face (which passes the PERSISTED bp set)."""
+    incremental face (which passes the PERSISTED bp set).
+
+    ``ordered=False`` (r18, guide §2.4): the global doc_id sort exists
+    for the REGISTERED query faces' output contract only — pipeline
+    consumers that immediately checkpoint / re-aggregate the scrubbed
+    rows skip it, saving a corpus-wide range exchange + sort whose
+    ordering no downstream operator reads."""
     flagged = segs.join(bp, "seg_hash", "left")
     kept = F.when(~F.coalesce(F.col("is_bp"), F.lit(False)), F.struct("seg_idx", "seg"))
     clean = F.array_join(
@@ -962,7 +970,7 @@ def apply_boilerplate_scrub(segs: DataFrame, bp: DataFrame) -> DataFrame:
         ),
         " ",
     )
-    return (
+    out = (
         flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
@@ -972,17 +980,31 @@ def apply_boilerplate_scrub(segs: DataFrame, bp: DataFrame) -> DataFrame:
             clean.alias("clean_text"),
         )
         .withColumn("clean_n_chars", F.length("clean_text").cast("long"))
-        .orderBy("doc_id")
     )
+    return out.orderBy("doc_id") if ordered else out
 
 
 def scrub_boilerplate(
-    d: DataFrame, seg_w: int = _SEG_W, bp_df: int = _BP_DF
+    d: DataFrame,
+    seg_w: int = _SEG_W,
+    bp_df: int = _BP_DF,
+    ordered: bool = True,
 ) -> DataFrame:
     """Library face of ``boilerplate_segment_scrub``: rewrite each
     (doc_id, text) row with every ``seg_w``-token segment that occurs
-    in >= ``bp_df`` distinct documents excised."""
-    segs = doc_segments(d, seg_w)
+    in >= ``bp_df`` distinct documents excised.
+
+    r18 (guide §2.4): the segment stream feeds BOTH the df-count
+    aggregate (bp) and the rebuild join's probe side, and because the
+    flag join is a broadcast there is no shared exchange to dedup the
+    two — the tokenize + posexplode + md5 derivation executed TWICE
+    per scrub. The localCheckpoint materializes it once (A/B at
+    sf0.1: 0.89 → 0.71 s min-of-medians, new arm won all 3 rounds);
+    at scale this is the standard one-pass-plus-spill trade a
+    C4-style stage materialization makes anyway. Pre-barrier plan
+    pinned by test_boilerplate_scrub_shuffles_hashes_not_strings
+    (doc_segments must stay a map-only, exchange-free derivation)."""
+    segs = doc_segments(d, seg_w).localCheckpoint()
     bp = (
         segs.groupBy("seg_hash")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -1001,7 +1023,7 @@ def scrub_boilerplate(
     # non-cartesian shape). If the bp set ever outgrows the broadcast
     # threshold at 100 TB, AQE degrades to a shuffle join — the same
     # safe failure mode the gate's decline path had.
-    return apply_boilerplate_scrub(segs, bp)
+    return apply_boilerplate_scrub(segs, bp, ordered=ordered)
 
 
 @register(
@@ -1070,8 +1092,16 @@ def segment_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_segments_first_wins(d: DataFrame, seg_w: int = _SEG_W) -> DataFrame:
     """Library face of ``segment_dedup_first_wins``: rewrite each
     (doc_id, text) row keeping only the corpus-wide FIRST occurrence
-    of every ``seg_w``-token segment."""
-    segs = doc_segments(d, seg_w)
+    of every ``seg_w``-token segment.
+
+    r18 (guide §2.4): same dual-consumer shape as scrub_boilerplate —
+    the segment stream feeds the first-occurrence aggregate AND the
+    flag join's probe side, and the partial agg below the build-side
+    exchange keeps the two exchanges un-reusable, so doc_segments
+    derived twice. One checkpoint, one derivation (A/B at sf0.1:
+    1.32 → 1.01 s min-of-medians, new arm won all 3 rounds). The
+    pre-barrier map-only pin in test_plans covers this site too."""
+    segs = doc_segments(d, seg_w).localCheckpoint()
     # min(struct) aggregate, NOT row_number over seg_hash: partial
     # aggregation collapses hot segments map-side (see register doc).
     firsts = segs.groupBy("seg_hash").agg(
@@ -1834,15 +1864,18 @@ def curation_pipeline(d: DataFrame) -> DataFrame:
     # barrier Spark re-executes the scrub aggregate once per consumer
     # (measured: 8.3 s -> see SCALE.md round-12 after barriers).
     scrubbed = (
-        scrub_boilerplate(d)
+        scrub_boilerplate(d, ordered=False)
         .select("doc_id", F.col("clean_text").alias("text"))
         .localCheckpoint()
     )
     # stage 2: perplexity band gate on the scrubbed text. scores is
     # consumed twice inside perplexity_bands (cutoff derivation +
     # band assignment) — barrier it too (narrow: doc_id + a double).
+    # ordered=False on both stages (r18, guide §2.4): the registered
+    # faces' doc_id output sorts are wasted corpus-wide range
+    # exchanges immediately upstream of a checkpoint.
     scores = (
-        bigram_scores(scrubbed)
+        bigram_scores(scrubbed, ordered=False)
         .select("doc_id", "avg_logprob")
         .localCheckpoint()
     )
@@ -1967,20 +2000,29 @@ def warm_curation_artifacts(spark: SparkSession, sf_dir: str) -> dict:
     key = (cache_token(spark), sf_dir)
     if key not in _CURATION_ARTIFACTS_CACHE:
         d = load(spark, sf_dir, "documents").select("doc_id", "text")
-        bp = boilerplate_hashes(d).persist()
+        # one shared segment-stream checkpoint (r18): bp and the
+        # rebuild probe otherwise each derive doc_segments in full
+        segs = doc_segments(d).localCheckpoint()
+        bp = (
+            segs.groupBy("seg_hash")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("df") >= _BP_DF)
+            .select("seg_hash", F.lit(True).alias("is_bp"))
+            .persist()
+        )
         # stage barriers, as in curation_pipeline: each derived
         # artifact below re-reads scrubbed/scores/gated — without the
         # checkpoints the scrub and LM chains re-execute once per
         # artifact during the one-time warm
         scrubbed = (
-            apply_boilerplate_scrub(doc_segments(d), bp)
+            apply_boilerplate_scrub(segs, bp, ordered=False)
             .select("doc_id", F.col("clean_text").alias("text"))
             .localCheckpoint()
         )
         c2, c1, freq, total = lm_count_tables(scrubbed)
         c2, c1, freq, total = (t.persist() for t in (c2, c1, freq, total))
         scores = (
-            bigram_scores(scrubbed)
+            bigram_scores(scrubbed, ordered=False)
             .select("doc_id", "avg_logprob")
             .localCheckpoint()
         )
@@ -2277,7 +2319,7 @@ def curate_batch(batch: DataFrame, art: dict) -> DataFrame:
     # batch is the O(new) side, so materializing it once is bounded
     # by batch size at any corpus scale.
     scrub = (
-        apply_boilerplate_scrub(doc_segments(batch), art["bp"])
+        apply_boilerplate_scrub(doc_segments(batch), art["bp"], ordered=False)
         .select("doc_id", F.col("clean_text").alias("text"))
         .localCheckpoint()
     )
@@ -2294,6 +2336,7 @@ def curate_batch(batch: DataFrame, art: dict) -> DataFrame:
         art["freq"],
         art["total"],
         pin_vocab=False,
+        ordered=False,
     ).select("doc_id", "avg_logprob")
     # n_tokens rides the gated checkpoint (same shave as the offline
     # pipeline, r18): stage 4 reads it back instead of re-splitting.

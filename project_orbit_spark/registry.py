@@ -279,12 +279,24 @@ _DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
     # (the boundary simulation caught exactly that).
     "dedup_canonical_corpus",
     # r18 curation n_tokens-through-checkpoint (operators/corpus.py)
-    # + CC fused init in their pipelines.
+    # + CC fused init + unordered internal stage faces (the registered
+    # faces' doc_id output sorts are skipped inside the pipelines).
     "curation_training_gold",
     "incremental_curation_gold",
-    # r18 pagerank out-degree fold (operators/graph.py): od rides the
-    # checkpointed edge list instead of a per-iteration join.
-    "pagerank_link_graph",
+    # r18 unordered ccnet scores subtree (textquality.ccnet_scores
+    # ordered=False — one corpus-wide range exchange removed).
+    "ccnet_perplexity_bands",
+    # r18 segment-stream checkpoint in scrub_boilerplate and
+    # dedup_segments_first_wins (the frequency/first-occurrence
+    # aggregate and the rebuild probe each derived doc_segments).
+    "boilerplate_segment_scrub",
+    "segment_dedup_first_wins",
+    # NOT pinned, same checkpoint-identical-final-plan class as the
+    # unpinned CC consumers: pagerank_link_graph (out-degree fold —
+    # the loop's per-round jobs changed but ranks are checkpoint-fed;
+    # value-verified at 3 SFs this round, rides LRV). Pinning it put
+    # company_gold_profile (r13 record) past the staleness bar at the
+    # r19 boundary.
 )
 
 

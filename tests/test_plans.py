@@ -668,6 +668,19 @@ def test_boilerplate_scrub_shuffles_hashes_not_strings(spark):
 
     agg_keys = re.findall(r"Keys \[1\]: \[(\w+)", f.text)
     assert any("seg_hash" in k for k in agg_keys), agg_keys
+    # r18 guard convention (pin the frame BEING checkpointed): the
+    # segment stream is materialized once behind a localCheckpoint —
+    # its derivation must stay a MAP-ONLY projection of the scan
+    # (tokenize + posexplode + md5), never grow an exchange the
+    # barrier would then hide from this test.
+    from project_orbit_spark.catalog import load
+    from project_orbit_spark.operators.corpus import doc_segments
+
+    pre = audit(
+        doc_segments(load(spark, SF_DIR, "documents").select("doc_id", "text"))
+    )
+    assert pre.n_shuffles == 0, "doc_segments must be exchange-free"
+    assert "md5" in pre.text
 
 
 def test_ccnet_bands_single_partition_window_is_bounded(spark):

@@ -84,6 +84,28 @@ def main() -> None:
             (corpus_mod, "curate_batch",
              old_fn("/tmp/old_corpus.py", corpus_mod, "curate_batch")),
         ]
+    elif case == "simhash":
+        import project_orbit_spark.operators.dedup as dedup_mod
+
+        queries = ["simhash_hamming_dups", "simhash64_hamming_dups"]
+        patches = [
+            (dedup_mod, "_near_dup_corpus",
+             old_fn("/tmp/old_dedup.py", dedup_mod, "_near_dup_corpus")),
+        ]
+    elif case == "scrub":
+        queries = ["boilerplate_segment_scrub"]
+        patches = [
+            (corpus_mod, "scrub_boilerplate",
+             old_fn("/tmp/old_corpus.py", corpus_mod, "scrub_boilerplate")),
+        ]
+    elif case == "ccnet":
+        import project_orbit_spark.functions.textquality as tq_mod
+
+        queries = ["ccnet_perplexity_bands"]
+        patches = [
+            (tq_mod, "ccnet_scores",
+             old_fn("/tmp/old_textquality.py", tq_mod, "ccnet_scores")),
+        ]
     elif case == "pq":
         queries = [
             "ann_ivf_pq_topk",
