@@ -267,30 +267,34 @@ _DRIVER_PRIORITY_CHANGED: tuple[str, ...] = (
     "ann_ivf_nprobe2",
     "ann_ivf_pq_topk",
     "ann_ivf_pq_topk_warm",
-    # r18 CC fused init (operators/graph.py): every propagation/auto
-    # CC consumer's FINAL plan is unchanged (labels arrive from the
-    # loop's checkpoint either way — Scan ExistingRDD), so one
-    # representative path carries the changed-job-set record; the
-    # other CC consumers (dup_cluster_labels/size_histogram,
-    # dedup_quality_canonical, leakage_safe_split,
-    # corpus_curation_gold) are value-verified at 3 SFs this round
-    # (tools/check) and ride LRV — pinning all six would push six
-    # r13-record queries past the staleness bar at the r19 boundary
-    # (the boundary simulation caught exactly that).
-    "dedup_canonical_corpus",
+    # NOT pinned — checkpoint-identical final plans (the change is
+    # pre-barrier or job-set only), value-verified at 3 SFs this
+    # round (tools/check) plus isolated driver_sim, riding LRV: the
+    # CC fused-init consumers (dedup_canonical_corpus,
+    # dup_cluster_labels/size_histogram, dedup_quality_canonical,
+    # leakage_safe_split, corpus_curation_gold), pagerank_link_graph
+    # (out-degree fold), and ccnet_perplexity_bands (unordered scores
+    # INSIDE its checkpoint job — the consumer plan is byte-identical;
+    # the pre-barrier subtree is pinned by
+    # test_lm_vocab_joins_are_never_static_broadcasts and its dump is
+    # committed at plans/r18/ccnet_scores_pre_barrier_*.txt). Pinning
+    # them pushed r13-record queries (company_gold_profile,
+    # rag_index_and_search, ...) past the staleness bar at the r19
+    # boundary — the boundary simulation caught exactly that.
     # r18 curation n_tokens-through-checkpoint (operators/corpus.py)
     # + CC fused init + unordered internal stage faces (the registered
     # faces' doc_id output sorts are skipped inside the pipelines).
     "curation_training_gold",
     "incremental_curation_gold",
-    # r18 unordered ccnet scores subtree (textquality.ccnet_scores
-    # ordered=False — one corpus-wide range exchange removed).
-    "ccnet_perplexity_bands",
     # r18 segment-stream checkpoint in scrub_boilerplate and
     # dedup_segments_first_wins (the frequency/first-occurrence
     # aggregate and the rebuild probe each derived doc_segments).
     "boilerplate_segment_scrub",
     "segment_dedup_first_wins",
+    # r18 materialized quantized feature table in the Lloyd fit
+    # (operators/clustering.py::_qvec_materialized): one fan-out +
+    # checkpoint instead of 4+ scan re-derivations per fit.
+    "kmeans_embedding_clusters",
     # NOT pinned, same checkpoint-identical-final-plan class as the
     # unpinned CC consumers: pagerank_link_graph (out-degree fold —
     # the loop's per-round jobs changed but ranks are checkpoint-fed;
